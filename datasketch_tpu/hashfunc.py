@@ -1,0 +1,71 @@
+"""Token hash functions.
+
+Host-side hashes mirror the reference defaults
+(``/root/reference/datasketch/hashfunc.py:5-28``): SHA1 truncated to the low
+32/64 bits, little-endian. They are the *pluggable-hashfunc* compatibility
+path; the TPU-native fast path is batched hashing — either the native C++
+batch hasher (:mod:`datasketch_tpu.native`) for bytes tokens, or the on-device
+integer mix hash in :mod:`datasketch_tpu.ops.hashing` for pre-tokenized ids.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+__all__ = ["sha1_hash32", "sha1_hash64", "batch_sha1_hash32", "batch_sha1_hash64"]
+
+
+def sha1_hash32(data: bytes) -> int:
+    """A 32-bit hash function based on SHA1.
+
+    Parity with ``/root/reference/datasketch/hashfunc.py:5-15``.
+
+    Args:
+        data (bytes): the data to generate 32-bit integer hash from.
+
+    Returns:
+        int: an integer hash value that can be encoded using 32 bits.
+    """
+    return struct.unpack("<I", hashlib.sha1(data).digest()[:4])[0]
+
+
+def sha1_hash64(data: bytes) -> int:
+    """A 64-bit hash function based on SHA1.
+
+    Parity with ``/root/reference/datasketch/hashfunc.py:18-28``.
+
+    Args:
+        data (bytes): the data to generate 64-bit integer hash from.
+
+    Returns:
+        int: an integer hash value that can be encoded using 64 bits.
+    """
+    return struct.unpack("<Q", hashlib.sha1(data).digest()[:8])[0]
+
+
+def batch_sha1_hash32(tokens) -> "np.ndarray":
+    """Hash a sequence of bytes tokens to uint32 with SHA1 (low 32 bits, LE).
+
+    Uses the native C++ hasher when available (releases the GIL, multi-token
+    throughput), otherwise falls back to hashlib. Bit-identical to mapping
+    :func:`sha1_hash32` over ``tokens``.
+    """
+    import numpy as np
+
+    from datasketch_tpu.native import native_batch_sha1_hash32
+
+    if native_batch_sha1_hash32 is not None:
+        return native_batch_sha1_hash32(tokens)
+    return np.array([sha1_hash32(t) for t in tokens], dtype=np.uint32)
+
+
+def batch_sha1_hash64(tokens) -> "np.ndarray":
+    """Hash a sequence of bytes tokens to uint64 with SHA1 (low 64 bits, LE)."""
+    import numpy as np
+
+    from datasketch_tpu.native import native_batch_sha1_hash64
+
+    if native_batch_sha1_hash64 is not None:
+        return native_batch_sha1_hash64(tokens)
+    return np.array([sha1_hash64(t) for t in tokens], dtype=np.uint64)

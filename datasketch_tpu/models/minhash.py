@@ -1,0 +1,311 @@
+"""MinHash — Jaccard similarity sketch.
+
+API parity with ``/root/reference/datasketch/minhash.py:51`` (update,
+update_batch, jaccard, count, merge, union, digest, bulk, generator, pickle),
+re-architected TPU-first:
+
+- Single-object ``update``/``update_batch`` run the exact reference NumPy
+  formula on host (a one-token device round-trip would lose).
+- Bulk signature construction (``MinHash.bulk``/``generator`` and the
+  functional :mod:`datasketch_tpu.ops.minhash_ops` API) batches every
+  document into one ``uint32[batch, num_perm]`` device computation. The
+  reference's ``gpu_mode`` CuPy toggle (minhash.py:156,271-291) becomes
+  ``device_mode`` targeting the local JAX accelerator.
+
+Signatures are bit-identical to the reference at equal (seed, num_perm,
+hashfunc) — including NumPy's silent uint64 wrap of ``a*h`` — so sketches
+serialize/interoperate across the two libraries.
+"""
+
+from __future__ import annotations
+
+import copy
+import warnings
+from typing import Callable, Iterable, Optional
+
+import numpy as np
+
+from datasketch_tpu.hashfunc import sha1_hash32
+
+__all__ = ["MinHash"]
+
+_mersenne_prime = np.uint64((1 << 61) - 1)
+_max_hash = np.uint64((1 << 32) - 1)
+_hash_range = 1 << 32
+
+# Below this many tokens a host NumPy update beats a device dispatch.
+_DEVICE_BATCH_THRESHOLD = 4096
+
+
+class MinHash:
+    """A probabilistic sketch for estimating Jaccard similarity between sets.
+
+    Args:
+        num_perm: Number of random permutation functions.
+        seed: Seed for the permutation family; sketches are only comparable
+            at equal seeds.
+        hashfunc: Token hash: takes the value passed to :meth:`update`,
+            returns an int encodable in 32 bits. Defaults to SHA1-low-32.
+        hashobj: Deprecated no-op (reference parity, minhash.py:139-141).
+        hashvalues: Optional initial state (copies another sketch's state).
+        permutations: Optional (a, b) parameter arrays to share across
+            sketches instead of regenerating from the seed.
+        device_mode: 'disable' | 'auto' | 'always' — whether
+            :meth:`update_batch` may offload the permutation+min to the JAX
+            accelerator ('auto' offloads only for large token batches).
+            Accepts the reference's ``gpu_mode`` spelling as an alias.
+    """
+
+    def __init__(
+        self,
+        num_perm: int = 128,
+        seed: int = 1,
+        hashfunc: Callable = sha1_hash32,
+        hashobj: Optional[object] = None,
+        hashvalues=None,
+        permutations=None,
+        device_mode: str = "auto",
+        gpu_mode: Optional[str] = None,
+    ) -> None:
+        if hashvalues is not None:
+            num_perm = len(hashvalues)
+        if num_perm > _hash_range:
+            raise ValueError(
+                "Cannot have more than %d number of permutation functions" % _hash_range
+            )
+        self.seed = seed
+        self.num_perm = num_perm
+        if not callable(hashfunc):
+            raise ValueError("The hashfunc must be a callable.")
+        self.hashfunc = hashfunc
+        if hashobj is not None:
+            warnings.warn(
+                "hashobj is deprecated, use hashfunc instead.",
+                DeprecationWarning,
+                stacklevel=2,
+            )
+        if gpu_mode is not None:
+            # Reference compatibility: 'disable'/'detect'/'always' map onto
+            # our device modes.
+            _gpu_map = {"disable": "disable", "detect": "auto", "always": "always"}
+            if gpu_mode not in _gpu_map:
+                raise ValueError("gpu_mode must be 'disable', 'detect' or 'always'")
+            device_mode = _gpu_map[gpu_mode]
+        if device_mode not in ("disable", "auto", "always"):
+            raise ValueError("device_mode must be 'disable', 'auto' or 'always'")
+        self._device_mode = device_mode
+        if hashvalues is not None:
+            self.hashvalues = self._parse_hashvalues(hashvalues)
+        else:
+            self.hashvalues = self._init_hashvalues(num_perm)
+        if permutations is not None:
+            self.permutations = permutations
+        else:
+            from datasketch_tpu.ops.minhash_ops import init_permutations
+
+            self.permutations = init_permutations(seed, num_perm)
+        if len(self) != len(self.permutations[0]):
+            raise ValueError("Numbers of hash values and permutations mismatch")
+
+    def _init_hashvalues(self, num_perm: int) -> np.ndarray:
+        return np.ones(num_perm, dtype=np.uint64) * _max_hash
+
+    def _parse_hashvalues(self, hashvalues) -> np.ndarray:
+        return np.array(hashvalues, dtype=np.uint64)
+
+    def update(self, b) -> None:
+        """Fold one value into the sketch (hashed with ``hashfunc``)."""
+        hv = self.hashfunc(b)
+        a, bb = self.permutations
+        phv = np.bitwise_and((a * np.uint64(hv) + bb) % _mersenne_prime, _max_hash)
+        self.hashvalues = np.minimum(phv, self.hashvalues)
+
+    def update_batch(self, b: Iterable) -> None:
+        """Fold many values into the sketch in one vectorized pass.
+
+        Hashing runs on host (to honor ``hashfunc`` semantics); the
+        permutation+min matrix runs on host NumPy for small batches and on
+        the JAX device for large ones (per ``device_mode``).
+        """
+        hv = self._hash_tokens(list(b))
+        if hv.size == 0:
+            return
+        use_device = self._device_mode == "always" or (
+            self._device_mode == "auto" and hv.size >= _DEVICE_BATCH_THRESHOLD
+        )
+        if use_device:
+            from datasketch_tpu.ops import minhash_ops
+
+            state = np.asarray(self.hashvalues, dtype=np.uint64).astype(np.uint32)
+            sig = minhash_ops.update_signatures(
+                np.ascontiguousarray(state[None, :]),
+                np.ascontiguousarray(hv[None, :]),
+                np.array([hv.size], dtype=np.int32),
+                *minhash_ops.perm_limbs(self.seed, self.num_perm),
+            )
+            self.hashvalues = np.asarray(sig)[0].astype(np.uint64)
+            return
+        a, bb = self.permutations
+        hv64 = hv.astype(np.uint64)[:, None]
+        phv = np.bitwise_and((hv64 * a + bb) % _mersenne_prime, _max_hash)
+        self.hashvalues = np.minimum(self.hashvalues, phv.min(axis=0))
+
+    def _hash_tokens(self, tokens: list) -> np.ndarray:
+        """Hash a token list to uint32, batching through native SHA1 when the
+        hashfunc is the stock one."""
+        if self.hashfunc is sha1_hash32 and tokens:
+            from datasketch_tpu.hashfunc import batch_sha1_hash32
+
+            return batch_sha1_hash32(tokens)
+        return np.array([self.hashfunc(t) for t in tokens], dtype=np.uint64).astype(
+            np.uint32
+        )
+
+    def jaccard(self, other: "MinHash") -> float:
+        """Estimate Jaccard similarity against another sketch."""
+        if other.seed != self.seed:
+            raise ValueError(
+                "Cannot compute Jaccard given MinHash with different seeds"
+            )
+        if len(self) != len(other):
+            raise ValueError(
+                "Cannot compute Jaccard given MinHash with different numbers "
+                "of permutation functions"
+            )
+        return float(np.count_nonzero(self.hashvalues == other.hashvalues)) / float(
+            len(self)
+        )
+
+    def count(self) -> float:
+        """Cardinality estimate (Cohen's technique, minhash.py:326-335)."""
+        k = len(self)
+        return float(k) / np.sum(self.hashvalues / float(_max_hash)) - 1.0
+
+    def merge(self, other: "MinHash") -> None:
+        """Merge the other sketch into this one (set-union semantics)."""
+        if other.seed != self.seed:
+            raise ValueError("Cannot merge MinHash with different seeds")
+        if len(self) != len(other):
+            raise ValueError(
+                "Cannot merge MinHash with different numbers of permutation functions"
+            )
+        self.hashvalues = np.minimum(other.hashvalues, self.hashvalues)
+
+    def digest(self) -> np.ndarray:
+        """A copy of the internal hashvalues state."""
+        return copy.copy(self.hashvalues)
+
+    def is_empty(self) -> bool:
+        """True if no value has ever been folded in."""
+        return not np.any(self.hashvalues != _max_hash)
+
+    def clear(self) -> None:
+        """Reset to the just-initialized state."""
+        self.hashvalues = self._init_hashvalues(len(self))
+
+    def copy(self) -> "MinHash":
+        return MinHash(
+            seed=self.seed,
+            hashfunc=self.hashfunc,
+            hashvalues=self.digest(),
+            permutations=self.permutations,
+            device_mode=self._device_mode,
+        )
+
+    def __len__(self) -> int:
+        return len(self.hashvalues)
+
+    def __eq__(self, other) -> bool:
+        return (
+            type(self) is type(other)
+            and self.seed == other.seed
+            and np.array_equal(self.hashvalues, other.hashvalues)
+        )
+
+    @classmethod
+    def union(cls, *mhs: "MinHash") -> "MinHash":
+        """A new sketch equal to the union of all the given sketches."""
+        if len(mhs) < 2:
+            raise ValueError("Cannot union less than 2 MinHash")
+        num_perm = len(mhs[0])
+        seed = mhs[0].seed
+        if any((seed != m.seed or num_perm != len(m)) for m in mhs):
+            raise ValueError(
+                "The unioning MinHash must have the same seed and number of "
+                "permutation functions"
+            )
+        hashvalues = np.minimum.reduce([m.hashvalues for m in mhs])
+        permutations = mhs[0].permutations
+        return cls(
+            num_perm=num_perm,
+            seed=seed,
+            hashfunc=mhs[0].hashfunc,
+            hashvalues=hashvalues,
+            permutations=permutations,
+            device_mode=mhs[0]._device_mode,
+        )
+
+    @classmethod
+    def bulk(cls, b: Iterable, **minhash_kwargs) -> list:
+        """Compute many MinHashes at once (minhash.py:464-489).
+
+        Unlike the reference's sequential object reuse, all documents are
+        hashed, padded into one ``uint32[batch, tokens]`` array, and pushed
+        through a single device signature computation.
+        """
+        return list(cls.generator(b, **minhash_kwargs))
+
+    @classmethod
+    def generator(cls, b: Iterable, **minhash_kwargs):
+        """Generator form of :meth:`bulk`, computing in device-sized chunks."""
+        proto = cls(**minhash_kwargs)
+        chunk: list = []
+        chunk_docs = 1024
+        for doc in b:
+            chunk.append(doc)
+            if len(chunk) >= chunk_docs:
+                yield from proto._bulk_chunk(chunk)
+                chunk = []
+        if chunk:
+            yield from proto._bulk_chunk(chunk)
+
+    def _bulk_chunk(self, docs: list):
+        from datasketch_tpu.ops import minhash_ops
+
+        if self._device_mode == "disable":
+            for doc in docs:
+                m = self.copy()
+                m.update_batch(doc)
+                yield m
+            return
+        hashed = [self._hash_tokens(list(doc)) for doc in docs]
+        total = sum(h.size for h in hashed)
+        if total < _DEVICE_BATCH_THRESHOLD and self._device_mode != "always":
+            for doc_hashes in hashed:
+                m = self.copy()
+                if doc_hashes.size:
+                    a, bb = self.permutations
+                    hv64 = doc_hashes.astype(np.uint64)[:, None]
+                    phv = np.bitwise_and((hv64 * a + bb) % _mersenne_prime, _max_hash)
+                    m.hashvalues = np.minimum(m.hashvalues, phv.min(axis=0))
+                yield m
+            return
+        padded, lengths = minhash_ops.pad_token_hashes(hashed)
+        sigs = np.asarray(
+            minhash_ops.compute_signatures(padded, lengths, self.seed, self.num_perm)
+        ).astype(np.uint64)
+        for row in sigs:
+            yield MinHash(
+                seed=self.seed,
+                hashfunc=self.hashfunc,
+                hashvalues=row,
+                permutations=self.permutations,
+                device_mode=self._device_mode,
+            )
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)

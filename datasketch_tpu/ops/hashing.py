@@ -1,0 +1,38 @@
+"""On-device token hashing for pre-tokenized integer ids.
+
+The reference hashes raw bytes on the host (pluggable ``hashfunc``,
+``/root/reference/datasketch/minhash.py:118``). The TPU-native fast path
+accepts integer token ids already on device and mixes them with a
+murmur3/splitmix-style finalizer — a stateless bijective scramble whose
+output is uniform over uint32/uint64, so MinHash collision statistics match
+those of a random hash function.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["mix32", "mix64"]
+
+
+def mix32(x):
+    """Murmur3 fmix32 finalizer over uint32 arrays (bijective)."""
+    x = x.astype(jnp.uint32)
+    x ^= x >> 16
+    x *= jnp.uint32(0x85EBCA6B)
+    x ^= x >> 13
+    x *= jnp.uint32(0xC2B2AE35)
+    x ^= x >> 16
+    return x
+
+
+def mix64(hi, lo):
+    """splitmix64-style finalizer over (hi, lo) uint32 limb pairs.
+
+    Cheap two-round variant: mixes the limbs against each other with fmix32
+    rounds so every input bit affects both output limbs.
+    """
+    hi = mix32(hi ^ (lo >> 16) ^ (lo << 16))
+    lo = mix32(lo ^ hi)
+    hi = mix32(hi ^ (lo >> 13))
+    return hi, lo

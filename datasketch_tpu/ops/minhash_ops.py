@@ -1,0 +1,160 @@
+"""Functional MinHash compute core (batch-first, jittable).
+
+A batch of MinHash sketches is one ``uint32[batch, num_perm]`` array (values
+are always <= 2**32-1 so uint32 is lossless vs the reference's uint64 state,
+``/root/reference/datasketch/minhash.py:167-168``). Updates are pure
+functions; the :class:`datasketch_tpu.models.minhash.MinHash` facade wraps
+them for API parity.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from datasketch_tpu.ops import u64
+
+__all__ = [
+    "MERSENNE_PRIME",
+    "MAX_HASH",
+    "HASH_RANGE",
+    "init_permutations",
+    "perm_limbs",
+    "empty_signatures",
+    "update_signatures",
+    "compute_signatures",
+    "jaccard_pairwise",
+    "jaccard_matrix",
+    "merge_signatures",
+    "pad_token_hashes",
+]
+
+MERSENNE_PRIME = u64.MERSENNE_PRIME
+MAX_HASH = u64.MAX_HASH
+HASH_RANGE = 1 << 32
+
+
+@functools.lru_cache(maxsize=64)
+def init_permutations(seed: int, num_perm: int):
+    """Draw (a, b) universal-hash parameters, bit-identical to the reference.
+
+    Reproduces the exact interleaved draw order of
+    ``/root/reference/datasketch/minhash.py:170-184`` (a_i then b_i per
+    permutation from one ``np.random.RandomState(seed)``) so signatures are
+    cross-compatible with the reference at the same seed.
+
+    Returns:
+        (a, b): two numpy uint64 arrays of shape [num_perm].
+    """
+    gen = np.random.RandomState(seed)
+    params = np.array(
+        [
+            (
+                gen.randint(1, MERSENNE_PRIME, dtype=np.uint64),
+                gen.randint(0, MERSENNE_PRIME, dtype=np.uint64),
+            )
+            for _ in range(num_perm)
+        ],
+        dtype=np.uint64,
+    ).T
+    a, b = params[0], params[1]
+    a.setflags(write=False)
+    b.setflags(write=False)
+    return a, b
+
+
+@functools.lru_cache(maxsize=64)
+def perm_limbs(seed: int, num_perm: int):
+    """Permutation parameters as device-ready (a_hi, a_lo, b_hi, b_lo) uint32."""
+    a, b = init_permutations(seed, num_perm)
+    a_hi, a_lo = u64.split_u64(a)
+    b_hi, b_lo = u64.split_u64(b)
+    return (
+        jnp.asarray(a_hi),
+        jnp.asarray(a_lo),
+        jnp.asarray(b_hi),
+        jnp.asarray(b_lo),
+    )
+
+
+def empty_signatures(batch: int, num_perm: int) -> jax.Array:
+    """Initial sketch state: all slots at MAX_HASH (minhash.py:167-168)."""
+    return jnp.full((batch, num_perm), MAX_HASH, dtype=jnp.uint32)
+
+
+def pad_token_hashes(hash_arrays, pad_multiple: int = 128):
+    """Host helper: ragged list of uint32 token-hash arrays -> padded batch.
+
+    Returns (hashes uint32[B, T], lengths int32[B]) with T padded up to a
+    multiple of ``pad_multiple`` (bucketed to limit jit recompiles).
+    """
+    lengths = np.array([len(h) for h in hash_arrays], dtype=np.int32)
+    max_len = max(1, int(lengths.max()) if len(lengths) else 1)
+    t = ((max_len + pad_multiple - 1) // pad_multiple) * pad_multiple
+    out = np.zeros((len(hash_arrays), t), dtype=np.uint32)
+    for i, h in enumerate(hash_arrays):
+        out[i, : len(h)] = h
+    return out, lengths
+
+
+def _permute_all(hashes, a_hi, a_lo, b_hi, b_lo):
+    """Permuted values for hashes[..., T] x params[P] -> uint32[..., T, P]."""
+    h = hashes[..., None]
+    return u64.permute_hash(h, a_hi, a_lo, b_hi, b_lo)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def update_signatures(state, hashes, lengths, a_hi, a_lo, b_hi, b_lo):
+    """Fold a padded batch of token hashes into existing signatures.
+
+    Args:
+        state: uint32[B, P] current signatures.
+        hashes: uint32[B, T] token hashes (padded).
+        lengths: int32[B] valid token counts per row.
+    Returns:
+        uint32[B, P] updated signatures (elementwise min semantics of
+        ``/root/reference/datasketch/minhash.py:294-297``).
+    """
+    t = hashes.shape[-1]
+    mask = jax.lax.broadcasted_iota(jnp.int32, hashes.shape, 1) < lengths[:, None]
+    phv = _permute_all(hashes, a_hi, a_lo, b_hi, b_lo)  # [B, T, P]
+    phv = jnp.where(mask[..., None], phv, jnp.uint32(MAX_HASH))
+    return jnp.minimum(state, phv.min(axis=-2))
+
+
+def compute_signatures(hashes, lengths, seed: int, num_perm: int) -> jax.Array:
+    """Fresh signatures for a padded batch of token hashes.
+
+    Args:
+        hashes: uint32[B, T] (numpy or jax), lengths: int32[B].
+    Returns:
+        uint32[B, P] device array.
+    """
+    limbs = perm_limbs(seed, num_perm)
+    state = empty_signatures(hashes.shape[0], num_perm)
+    return update_signatures(state, jnp.asarray(hashes), jnp.asarray(lengths), *limbs)
+
+
+@jax.jit
+def jaccard_pairwise(sig_a, sig_b):
+    """Rowwise Jaccard estimate between two signature batches [B, P]."""
+    return (sig_a == sig_b).mean(axis=-1, dtype=jnp.float32)
+
+
+@jax.jit
+def jaccard_matrix(sig_q, sig_d):
+    """All-pairs Jaccard estimates: [Q, P] x [D, P] -> float32[Q, D].
+
+    Equality-count form of ``/root/reference/datasketch/minhash.py:324``.
+    """
+    eq = sig_q[:, None, :] == sig_d[None, :, :]
+    return eq.mean(axis=-1, dtype=jnp.float32)
+
+
+@jax.jit
+def merge_signatures(sig_a, sig_b):
+    """Elementwise-min merge (union semantics, minhash.py:337-359)."""
+    return jnp.minimum(sig_a, sig_b)

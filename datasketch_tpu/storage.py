@@ -1,0 +1,291 @@
+"""Pluggable storage layer for the LSH indexes.
+
+Mirrors the abstract interface of ``/root/reference/datasketch/storage.py:106-205``
+(``Storage`` / ``OrderedStorage`` / ``UnorderedStorage`` with config-dict
+factories) so user code written against the reference drops in unchanged.
+
+Backends:
+- ``dict`` — in-memory defaultdict backends (storage.py:209-259 parity).
+- ``redis`` — optional, gated on the ``redis`` package being importable.
+
+The TPU-native scale-out path does NOT live here: device-resident band
+tables (:mod:`datasketch_tpu.ops.lsh_ops`) and mesh-sharded indexes
+(:mod:`datasketch_tpu.parallel`) replace the reference's Redis/Cassandra
+story for on-accelerator serving. This module exists for API-compatible
+host-side indexes and external persistence.
+"""
+
+from __future__ import annotations
+
+import os
+from abc import ABCMeta, abstractmethod
+from collections import defaultdict
+
+__all__ = [
+    "ordered_storage",
+    "unordered_storage",
+    "Storage",
+    "OrderedStorage",
+    "UnorderedStorage",
+    "DictListStorage",
+    "DictSetStorage",
+]
+
+
+def ordered_storage(config, name=None):
+    """Create an ordered storage (list-valued) from a config dict.
+
+    Config parity with ``/root/reference/datasketch/storage.py:29-64``:
+    ``{'type': 'dict'}`` or ``{'type': 'redis', 'redis': {...}}``.
+    """
+    tp = config["type"]
+    if tp == "dict":
+        return DictListStorage(config)
+    if tp == "redis":
+        return RedisListStorage(config, name=name)
+    raise ValueError("Unknown storage type: %s" % tp)
+
+
+def unordered_storage(config, name=None):
+    """Create an unordered storage (set-valued) from a config dict."""
+    tp = config["type"]
+    if tp == "dict":
+        return DictSetStorage(config)
+    if tp == "redis":
+        return RedisSetStorage(config, name=name)
+    raise ValueError("Unknown storage type: %s" % tp)
+
+
+class Storage(metaclass=ABCMeta):
+    """Key -> container-of-values store (storage.py:106-198 interface)."""
+
+    def __getitem__(self, key):
+        return self.get(key)
+
+    def __delitem__(self, key):
+        return self.remove(key)
+
+    def __len__(self):
+        return self.size()
+
+    def __iter__(self):
+        for key in self.keys():
+            yield key
+
+    def __contains__(self, item):
+        return self.has_key(item)
+
+    @abstractmethod
+    def keys(self):
+        """Return an iterator of all keys."""
+
+    @abstractmethod
+    def get(self, key):
+        """Get the container of values for `key`; empty container if absent."""
+
+    def getmany(self, *keys):
+        return [self.get(key) for key in keys]
+
+    @abstractmethod
+    def insert(self, key, *vals, **kwargs):
+        """Add `vals` to the container at `key`, creating it if absent."""
+
+    @abstractmethod
+    def remove(self, *keys):
+        """Remove `keys` entirely."""
+
+    @abstractmethod
+    def remove_val(self, key, val):
+        """Remove `val` from the container at `key`."""
+
+    @abstractmethod
+    def size(self):
+        """Number of keys."""
+
+    @abstractmethod
+    def itemcounts(self, **kwargs):
+        """Dict of key -> number of values."""
+
+    @abstractmethod
+    def has_key(self, key):
+        """Whether `key` exists."""
+
+    def status(self):
+        return {"keyspace_size": len(self)}
+
+    def empty_buffer(self):
+        pass
+
+    def add_to_select_buffer(self, keys):
+        """Queue keys for a batched select (parity: storage.py:185-192)."""
+        if not hasattr(self, "_select_buffer"):
+            self._select_buffer = []
+        self._select_buffer.extend(keys)
+
+    def collect_select_buffer(self):
+        """Fetch all buffered selects and clear the buffer."""
+        if not hasattr(self, "_select_buffer"):
+            return []
+        results = self.getmany(*self._select_buffer)
+        self._select_buffer = []
+        return results
+
+
+class OrderedStorage(Storage):
+    """Storage whose value containers preserve insertion order."""
+
+
+class UnorderedStorage(Storage):
+    """Storage whose value containers are sets."""
+
+
+class DictListStorage(OrderedStorage):
+    """defaultdict(list)-backed ordered storage (storage.py:209-233)."""
+
+    def __init__(self, config):
+        self._dict = defaultdict(list)
+
+    def keys(self):
+        return self._dict.keys()
+
+    def get(self, key):
+        return self._dict.get(key, [])
+
+    def remove(self, *keys):
+        for key in keys:
+            del self._dict[key]
+
+    def remove_val(self, key, val):
+        self._dict[key].remove(val)
+
+    def insert(self, key, *vals, **kwargs):
+        self._dict[key].extend(vals)
+
+    def size(self):
+        return len(self._dict)
+
+    def itemcounts(self, **kwargs):
+        return {k: len(v) for k, v in self._dict.items()}
+
+    def has_key(self, key):
+        return key in self._dict
+
+
+class DictSetStorage(UnorderedStorage, DictListStorage):
+    """defaultdict(set)-backed unordered storage (storage.py:236-259)."""
+
+    def __init__(self, config):
+        self._dict = defaultdict(set)
+
+    def get(self, key):
+        return self._dict.get(key, set())
+
+    def insert(self, key, *vals, **kwargs):
+        self._dict[key].update(vals)
+
+
+def _parse_redis_config(cfg):
+    """Resolve env-var indirection in redis connection params.
+
+    Parity with ``/root/reference/datasketch/storage.py:907-919``: values of
+    the form ``{'env': 'NAME', 'default': x}`` are read from the process
+    environment at parse time.
+    """
+    resolved = {}
+    for key, value in cfg.items():
+        if isinstance(value, dict) and "env" in value:
+            value = os.getenv(value["env"], value.get("default", None))
+        resolved[key] = value
+    return resolved
+
+
+class RedisStorage:
+    """Base for Redis-backed storages (requires the ``redis`` package).
+
+    Keys are namespaced under a ``name`` prefix the way the reference
+    namespaces with ``basename`` (storage.py:856-905).
+    """
+
+    def __init__(self, config, name=None):
+        try:
+            import redis
+        except ImportError as e:  # pragma: no cover - optional dep
+            raise RuntimeError(
+                "redis storage requested but the 'redis' package is not installed"
+            ) from e
+        self.config = config
+        self._redis_params = _parse_redis_config(config["redis"])
+        self._redis = redis.Redis(**self._redis_params)
+        self._name = name if name is not None else os.urandom(8).hex().encode("ascii")
+        if isinstance(self._name, str):
+            self._name = self._name.encode("ascii")
+
+    def redis_key(self, key):
+        return self._name + b"/" + (key if isinstance(key, bytes) else bytes(key))
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state.pop("_redis", None)
+        return state
+
+    def __setstate__(self, state):
+        import redis
+
+        self.__dict__.update(state)
+        self._redis = redis.Redis(**self._redis_params)
+
+
+class RedisListStorage(RedisStorage, OrderedStorage):
+    def keys(self):
+        return [k[len(self._name) + 1 :] for k in self._redis.keys(self._name + b"/*")]
+
+    def get(self, key):
+        return self._redis.lrange(self.redis_key(key), 0, -1)
+
+    def insert(self, key, *vals, **kwargs):
+        if vals:
+            self._redis.rpush(self.redis_key(key), *vals)
+
+    def remove(self, *keys):
+        if keys:
+            self._redis.delete(*[self.redis_key(k) for k in keys])
+
+    def remove_val(self, key, val):
+        self._redis.lrem(self.redis_key(key), 1, val)
+
+    def size(self):
+        return len(self.keys())
+
+    def itemcounts(self, **kwargs):
+        return {k: self._redis.llen(self.redis_key(k)) for k in self.keys()}
+
+    def has_key(self, key):
+        return bool(self._redis.exists(self.redis_key(key)))
+
+
+class RedisSetStorage(RedisStorage, UnorderedStorage):
+    def keys(self):
+        return [k[len(self._name) + 1 :] for k in self._redis.keys(self._name + b"/*")]
+
+    def get(self, key):
+        return self._redis.smembers(self.redis_key(key))
+
+    def insert(self, key, *vals, **kwargs):
+        if vals:
+            self._redis.sadd(self.redis_key(key), *vals)
+
+    def remove(self, *keys):
+        if keys:
+            self._redis.delete(*[self.redis_key(k) for k in keys])
+
+    def remove_val(self, key, val):
+        self._redis.srem(self.redis_key(key), val)
+
+    def size(self):
+        return len(self.keys())
+
+    def itemcounts(self, **kwargs):
+        return {k: self._redis.scard(self.redis_key(k)) for k in self.keys()}
+
+    def has_key(self, key):
+        return bool(self._redis.exists(self.redis_key(key)))
