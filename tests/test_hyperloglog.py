@@ -1,0 +1,177 @@
+"""HyperLogLog / HLL++ tests.
+
+Coverage model: /root/reference/test/test_hyperloglog.py — exact register
+assertions with the identity hash, estimator-branch selection, serialization
+round-trip — plus device-op parity for the batched path.
+"""
+
+import pickle
+import struct
+
+import numpy as np
+import pytest
+
+from datasketch_tpu import HyperLogLog, HyperLogLogPlusPlus
+from datasketch_tpu.ops import hll_ops
+
+from .utils import fake_hash_func
+
+
+class TestHyperLogLog:
+    _class = HyperLogLog
+
+    def test_init(self):
+        h = self._class(4, hashfunc=fake_hash_func)
+        assert h.m == 16 and h.p == 4
+        assert h.is_empty()
+        with pytest.raises(ValueError):
+            self._class(3)
+        with pytest.raises(ValueError):
+            self._class(17)
+
+    def test_update_exact_register(self):
+        """Rank assertion pattern from test_hyperloglog.py:32-39."""
+        h = self._class(4, hashfunc=fake_hash_func)
+        h.update(0b00011111)
+        assert h.reg[0b1111] == h.max_rank  # bits=1 after >>p, bit_length 1
+
+    def test_update_batch_matches_updates(self):
+        h1 = self._class(8, hashfunc=fake_hash_func)
+        h2 = self._class(8, hashfunc=fake_hash_func)
+        vals = [int(v) for v in np.random.RandomState(1).randint(1, 2**31, 500)]
+        for v in vals:
+            h1.update(v)
+        h2.update_batch(vals)
+        np.testing.assert_array_equal(h1.reg, h2.reg)
+
+    def test_count_accuracy(self):
+        h = self._class(12)
+        n = 5000
+        for i in range(n):
+            h.update(str(i).encode())
+        assert abs(h.count() - n) / n < 0.05
+
+    def test_merge_union(self):
+        h1 = self._class(6, hashfunc=fake_hash_func)
+        h2 = self._class(6, hashfunc=fake_hash_func)
+        h1.update(11)
+        h2.update(1001)
+        u = self._class.union(h1, h2)
+        h1.merge(h2)
+        assert u == h1
+        with pytest.raises(ValueError):
+            h1.merge(self._class(8))
+        with pytest.raises(ValueError):
+            self._class.union(h1)
+
+    def test_serialize_roundtrip(self):
+        h = self._class(6)
+        for i in range(100):
+            h.update(str(i).encode())
+        buf = bytearray(h.bytesize())
+        h.serialize(buf)
+        h2 = self._class.deserialize(buf)
+        assert h.p == h2.p
+        np.testing.assert_array_equal(h.reg, h2.reg)
+        # layout: 1 byte p + m register bytes
+        assert struct.unpack_from("B", bytes(buf), 0)[0] == h.p
+        with pytest.raises(ValueError):
+            h.serialize(bytearray(2))
+
+    def test_pickle(self):
+        h = self._class(6)
+        h.update(b"value")
+        assert pickle.loads(pickle.dumps(h)) == h
+
+    def test_digest_copy_clear_eq(self):
+        h = self._class(6, hashfunc=fake_hash_func)
+        h.update(42)
+        c = h.copy()
+        assert c == h and type(c) is type(h)
+        c.update(43)
+        assert c != h
+        c.clear()
+        assert c.is_empty()
+        assert len(h) == h.m
+
+
+class TestHyperLogLogPlusPlus(TestHyperLogLog):
+    _class = HyperLogLogPlusPlus
+
+    def test_update_exact_register(self):
+        h = self._class(4, hashfunc=fake_hash_func)
+        h.update(0b00011111)
+        assert h.reg[0b1111] == h.max_rank  # bits=1 after >>p, bit_length 1
+        assert h.max_rank == 64 - 4
+
+    def test_bias_correction_range(self):
+        """HLL++ should be more accurate than plain HLL in the mid range."""
+        h = self._class(10)
+        n = 2000
+        for i in range(n):
+            h.update(str(i).encode())
+        assert abs(h.count() - n) / n < 0.06
+
+
+class TestHLLDeviceOps:
+    def test_bit_length32(self):
+        import jax.numpy as jnp
+
+        vals = np.array([0, 1, 2, 3, 255, 256, 2**31, 2**32 - 1], dtype=np.uint64)
+        got = np.asarray(hll_ops.bit_length32(jnp.asarray(vals.astype(np.uint32))))
+        expect = np.array([int(v).bit_length() for v in vals])
+        np.testing.assert_array_equal(got, expect)
+
+    def test_update_regs_matches_host(self):
+        import jax.numpy as jnp
+
+        p = 8
+        rng = np.random.RandomState(0)
+        hashes = rng.randint(0, 2**32, size=(4, 300), dtype=np.uint64)
+        host = np.zeros((4, 1 << p), dtype=np.int8)
+        for b in range(4):
+            hll = HyperLogLog(p, hashfunc=fake_hash_func)
+            for v in hashes[b]:
+                hll.update(int(v))
+            host[b] = hll.reg
+        idx, rank = hll_ops.ranks_and_indices32(jnp.asarray(hashes.astype(np.uint32)), p)
+        regs = hll_ops.update_regs(
+            jnp.zeros((4, 1 << p), jnp.int8), idx, rank,
+            jnp.ones(hashes.shape, bool), 1 << p,
+        )
+        np.testing.assert_array_equal(np.asarray(regs), host)
+
+    def test_ranks64(self):
+        import jax.numpy as jnp
+
+        p = 10
+        rng = np.random.RandomState(1)
+        hv = rng.randint(0, 2**63, size=200, dtype=np.uint64) * 2 + 1
+        hll = HyperLogLogPlusPlus(p, hashfunc=fake_hash_func)
+        expect_idx = (hv & np.uint64(hll.m - 1)).astype(np.int64)
+        expect_rank = np.array(
+            [hll.max_rank - int(v >> np.uint64(p)).bit_length() + 1 for v in hv]
+        )
+        hi = (hv >> np.uint64(32)).astype(np.uint32)
+        lo = (hv & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        idx, rank = hll_ops.ranks_and_indices64(jnp.asarray(hi), jnp.asarray(lo), p)
+        np.testing.assert_array_equal(np.asarray(idx), expect_idx)
+        np.testing.assert_array_equal(np.asarray(rank), expect_rank)
+
+    def test_count_batch(self):
+        p = 10
+        hlls = []
+        for n in (100, 1000, 4000):
+            h = HyperLogLog(p)
+            for i in range(n):
+                h.update(f"{n}-{i}".encode())
+            hlls.append(h)
+        regs = np.stack([h.reg for h in hlls])
+        got = np.asarray(hll_ops.count_batch(regs, p))
+        import warnings as _w
+
+        for i, h in enumerate(hlls):
+            with _w.catch_warnings():
+                _w.simplefilter("ignore")
+                expect = h.count()
+            assert abs(got[i] - expect) / max(expect, 1) < 1e-3
