@@ -91,11 +91,11 @@ class Storage(metaclass=ABCMeta):
         """Add `vals` to the container at `key`, creating it if absent."""
 
     @abstractmethod
-    def remove(self, *keys):
+    def remove(self, *keys, **kwargs):
         """Remove `keys` entirely."""
 
     @abstractmethod
-    def remove_val(self, key, val):
+    def remove_val(self, key, val, **kwargs):
         """Remove `val` from the container at `key`."""
 
     @abstractmethod
@@ -151,11 +151,11 @@ class DictListStorage(OrderedStorage):
     def get(self, key):
         return self._dict.get(key, [])
 
-    def remove(self, *keys):
+    def remove(self, *keys, **kwargs):
         for key in keys:
             del self._dict[key]
 
-    def remove_val(self, key, val):
+    def remove_val(self, key, val, **kwargs):
         self._dict[key].remove(val)
 
     def insert(self, key, *vals, **kwargs):
@@ -246,11 +246,11 @@ class RedisListStorage(RedisStorage, OrderedStorage):
         if vals:
             self._redis.rpush(self.redis_key(key), *vals)
 
-    def remove(self, *keys):
+    def remove(self, *keys, **kwargs):
         if keys:
             self._redis.delete(*[self.redis_key(k) for k in keys])
 
-    def remove_val(self, key, val):
+    def remove_val(self, key, val, **kwargs):
         self._redis.lrem(self.redis_key(key), 1, val)
 
     def size(self):
@@ -274,11 +274,11 @@ class RedisSetStorage(RedisStorage, UnorderedStorage):
         if vals:
             self._redis.sadd(self.redis_key(key), *vals)
 
-    def remove(self, *keys):
+    def remove(self, *keys, **kwargs):
         if keys:
             self._redis.delete(*[self.redis_key(k) for k in keys])
 
-    def remove_val(self, key, val):
+    def remove_val(self, key, val, **kwargs):
         self._redis.srem(self.redis_key(key), val)
 
     def size(self):

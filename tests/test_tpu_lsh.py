@@ -1,0 +1,125 @@
+"""TpuMinHashLSH (device-resident index) tests: agreement with the
+host/storage MinHashLSH on the same data, truncation reporting, top-k."""
+
+import numpy as np
+
+from datasketch_tpu import MinHash, MinHashLSH
+from datasketch_tpu.models.tpu_lsh import TpuMinHashLSH
+from datasketch_tpu.ops import lsh_ops
+
+from .utils import fake_hash_func
+
+
+def _make_minhashes(n_docs=60, num_perm=64, seed=0):
+    rng = np.random.RandomState(seed)
+    universe = rng.randint(0, 2**31, size=500)
+    ms, sets = [], []
+    for i in range(n_docs):
+        size = rng.randint(20, 80)
+        items = rng.choice(universe, size=size, replace=False)
+        m = MinHash(num_perm, hashfunc=fake_hash_func)
+        m.update_batch([int(v) for v in items])
+        ms.append(m)
+        sets.append(set(int(v) for v in items))
+    return ms, sets
+
+
+class TestLshOps:
+    def test_band_fingerprints_deterministic_and_band_local(self):
+        rng = np.random.RandomState(0)
+        sigs = rng.randint(0, 2**32, size=(10, 64), dtype=np.uint64).astype(np.uint32)
+        f1 = np.asarray(lsh_ops.band_fingerprints(sigs, 8, 8))
+        f2 = np.asarray(lsh_ops.band_fingerprints(sigs.copy(), 8, 8))
+        np.testing.assert_array_equal(f1, f2)
+        # same band values -> same fingerprint regardless of other bands
+        sigs2 = sigs.copy()
+        sigs2[:, 8:] = 0
+        f3 = np.asarray(lsh_ops.band_fingerprints(sigs2, 8, 8))
+        np.testing.assert_array_equal(f1[:, 0], f3[:, 0])
+
+    def test_build_and_query_roundtrip(self):
+        rng = np.random.RandomState(1)
+        sigs = rng.randint(0, 2**32, size=(100, 64), dtype=np.uint64).astype(np.uint32)
+        fps = lsh_ops.band_fingerprints(sigs, 8, 8)
+        table_fp, table_ids = lsh_ops.build_tables(fps)
+        # query with the same signatures: each doc must find itself
+        ids, trunc = lsh_ops.query_tables(table_fp, table_ids, fps, cap=16)
+        ids = np.asarray(ids)
+        assert int(trunc) == 0
+        for i in range(100):
+            assert i in set(ids[i].ravel())
+
+    def test_truncation_reported(self):
+        # all docs identical -> every bucket has 50 members, cap 8 truncates
+        sigs = np.tile(
+            np.arange(64, dtype=np.uint32)[None, :], (50, 1)
+        )
+        fps = lsh_ops.band_fingerprints(sigs, 8, 8)
+        t_fp, t_ids = lsh_ops.build_tables(fps)
+        ids, trunc = lsh_ops.query_tables(t_fp, t_ids, fps[:1], cap=8)
+        assert int(trunc) == (50 - 8) * 8  # per band
+
+    def test_rerank_matches_host_jaccard(self):
+        rng = np.random.RandomState(2)
+        db = rng.randint(0, 2**32, size=(30, 64), dtype=np.uint64).astype(np.uint32)
+        q = db[:5].copy()
+        cand = np.tile(np.arange(30, dtype=np.int32)[None, :], (5, 1))
+        scores = np.asarray(lsh_ops.rerank_jaccard(db, q, cand))
+        for qi in range(5):
+            for ci in range(30):
+                expect = (db[ci] == q[qi]).mean()
+                assert abs(scores[qi, ci] - expect) < 1e-6
+
+
+class TestTpuMinHashLSH:
+    def test_agrees_with_host_lsh(self):
+        ms, _ = _make_minhashes()
+        host = MinHashLSH(threshold=0.5, num_perm=64)
+        tpu = TpuMinHashLSH(threshold=0.5, num_perm=64, rerank=False, bucket_cap=64)
+        keys = [f"doc{i}" for i in range(len(ms))]
+        for k, m in zip(keys, ms):
+            host.insert(k, m)
+        tpu.index(keys, ms)
+        for i, m in enumerate(ms):
+            host_res = set(host.query(m))
+            tpu_res = set(tpu.query(m))
+            # fingerprint collisions can only ADD candidates
+            assert host_res <= tpu_res
+            assert keys[i] in tpu_res
+
+    def test_rerank_filters(self):
+        ms, sets = _make_minhashes()
+        keys = [f"doc{i}" for i in range(len(ms))]
+        tpu = TpuMinHashLSH(threshold=0.9, num_perm=64, rerank=True, bucket_cap=64)
+        tpu.index(keys, ms)
+        res = tpu.query(ms[0])
+        assert keys[0] in res  # self-similarity 1.0 >= 0.9
+
+    def test_incremental_insert(self):
+        ms, _ = _make_minhashes(n_docs=20)
+        tpu = TpuMinHashLSH(threshold=0.5, num_perm=64, rerank=False)
+        for i, m in enumerate(ms[:10]):
+            tpu.insert(f"d{i}", m)
+        assert f"d3" in tpu.query(ms[3])
+        tpu.index([f"d{i}" for i in range(10, 20)], ms[10:])
+        assert "d15" in tpu.query(ms[15])
+        assert len(tpu) == 20
+        import pytest
+
+        with pytest.raises(ValueError):
+            tpu.insert("d3", ms[3])
+
+    def test_top_k_scores_sorted(self):
+        ms, _ = _make_minhashes(n_docs=40)
+        tpu = TpuMinHashLSH(threshold=0.3, num_perm=64, bucket_cap=64)
+        tpu.index([f"d{i}" for i in range(40)], ms)
+        top = tpu.top_k([ms[0]], k=5)[0]
+        assert top[0][0] == "d0" and abs(top[0][1] - 1.0) < 1e-6
+        scores = [s for _, s in top]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_empty_index(self):
+        tpu = TpuMinHashLSH(threshold=0.5, num_perm=64)
+        ms, _ = _make_minhashes(n_docs=1)
+        assert tpu.query(ms[0]) == []
+        assert tpu.is_empty()
