@@ -179,12 +179,13 @@ class MinHashLSH:
     def _byteswap(self, hs) -> bytes:
         # Big-endian byte serialization of the band's hashvalues
         # (lsh.py:537-538) — keeps band keys identical to the reference's.
-        return bytes(np.asarray(hs, dtype=np.uint64).byteswap().data)
+        # Native dtype preserved: WeightedMinHash rows are signed (k, t).
+        return bytes(np.asarray(hs).byteswap().data)
 
     def _hashed_byteswap(self, hs) -> bytes:
         if self.hashfunc is None:
             raise RuntimeError("Hash function not configured.")
-        return self.hashfunc(bytes(np.asarray(hs, dtype=np.uint64).byteswap().data))
+        return self.hashfunc(bytes(np.asarray(hs).byteswap().data))
 
     def _band_keys(self, minhash) -> list:
         hv = minhash.hashvalues

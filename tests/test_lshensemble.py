@@ -1,0 +1,118 @@
+"""MinHashLSHEnsemble tests (model: /root/reference/test/test_lshensemble.py
+— randomized sets, query self-recall) plus partitioner properties."""
+
+import numpy as np
+import pytest
+
+from datasketch_tpu import MinHash, MinHashLSHEnsemble
+from datasketch_tpu.models.lshensemble import optimal_partitions, _nfps_matrix
+
+from .utils import fake_hash_func
+
+
+def _entries(n=40, seed=0, num_perm=128):
+    rng = np.random.RandomState(seed)
+    entries = []
+    for i in range(n):
+        size = int(rng.randint(10, 200))
+        vals = [int(x) for x in rng.randint(0, 2**31, size)]
+        m = MinHash(num_perm, hashfunc=fake_hash_func)
+        m.update_batch(vals)
+        entries.append((f"e{i}", m, len(set(vals)), set(vals)))
+    return entries
+
+
+class TestPartitioner:
+    def test_edge_cases(self):
+        sizes = np.array([1, 5, 10, 50])
+        counts = np.array([3, 2, 1, 4])
+        assert optimal_partitions(sizes, counts, 1) == [(1, 50)]
+        assert optimal_partitions(sizes, counts, 4) == [(1, 1), (5, 5), (10, 10), (50, 50)]
+        assert optimal_partitions(sizes, counts, 9) == [(1, 1), (5, 5), (10, 10), (50, 50)]
+
+    def test_partitions_cover_domain(self):
+        rng = np.random.RandomState(1)
+        sizes = np.unique(rng.randint(1, 1000, 60))
+        counts = rng.randint(1, 20, len(sizes))
+        for num_part in (2, 3, 8):
+            parts = optimal_partitions(sizes, counts, num_part)
+            assert parts[0][0] == sizes[0]
+            assert parts[-1][1] == sizes[-1]
+            for (l1, u1), (l2, u2) in zip(parts, parts[1:]):
+                assert u1 < l2
+                # contiguous over the size domain
+                between = sizes[(sizes > u1) & (sizes < l2)]
+                assert len(between) == 0
+
+    def test_nfps_matrix_matches_naive(self):
+        rng = np.random.RandomState(2)
+        sizes = np.unique(rng.randint(1, 100, 15)).astype(float)
+        counts = rng.randint(1, 10, len(sizes)).astype(float)
+        got = _nfps_matrix(counts, sizes)
+        n = len(sizes)
+        for l in range(n):
+            for u in range(l, n):
+                expect = np.sum(
+                    (sizes[u] - sizes[l : u + 1]) / sizes[u] * counts[l : u + 1]
+                )
+                assert abs(got[l, u] - expect) < 1e-9
+
+
+class TestMinHashLSHEnsemble:
+    def test_init_validation(self):
+        with pytest.raises(ValueError):
+            MinHashLSHEnsemble(threshold=1.5)
+        with pytest.raises(ValueError):
+            MinHashLSHEnsemble(num_perm=1)
+        with pytest.raises(ValueError):
+            MinHashLSHEnsemble(num_part=0)
+        with pytest.raises(ValueError):
+            MinHashLSHEnsemble(m=1)
+        with pytest.raises(ValueError):
+            MinHashLSHEnsemble(weights=(0.6, 0.6))
+
+    def test_index_and_self_recall(self):
+        ens = MinHashLSHEnsemble(threshold=0.8, num_perm=128, num_part=4)
+        entries = _entries()
+        ens.index([(k, m, s) for k, m, s, _ in entries])
+        assert not ens.is_empty()
+        recalled = 0
+        for k, m, s, _ in entries:
+            if k in set(ens.query(m, s)):
+                recalled += 1
+        assert recalled / len(entries) > 0.9
+
+    def test_index_once_only(self):
+        ens = MinHashLSHEnsemble(threshold=0.8, num_perm=128, num_part=2)
+        entries = _entries(10)
+        ens.index([(k, m, s) for k, m, s, _ in entries])
+        with pytest.raises(ValueError):
+            ens.index([(k, m, s) for k, m, s, _ in entries])
+
+    def test_bad_entries(self):
+        ens = MinHashLSHEnsemble(threshold=0.8, num_perm=128, num_part=2)
+        with pytest.raises(ValueError):
+            ens.index([])
+        m = MinHash(128)
+        with pytest.raises(ValueError):
+            ens.index([("a", m, 0)])
+
+    def test_containment_behavior(self):
+        """A small set fully contained in a big indexed set is found."""
+        rng = np.random.RandomState(3)
+        big = [int(x) for x in rng.randint(0, 2**31, 500)]
+        mb = MinHash(128, hashfunc=fake_hash_func)
+        mb.update_batch(big)
+        others = _entries(20, seed=4)
+        ens = MinHashLSHEnsemble(threshold=0.7, num_perm=128, num_part=4)
+        ens.index(
+            [("big", mb, len(set(big)))]
+            + [(k, m, s) for k, m, s, _ in others]
+        )
+        # query = subset of big
+        sub = big[:60]
+        ms = MinHash(128, hashfunc=fake_hash_func)
+        ms.update_batch(sub)
+        assert "big" in set(ens.query(ms, len(set(sub))))
+        assert "big" in ens
+        assert "nope" not in ens
