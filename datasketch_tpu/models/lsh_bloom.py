@@ -1,7 +1,285 @@
-"""Placeholder — implementation lands later this round."""
+"""MinHashLSHBloom — membership-only LSH (LSHBloom, arXiv:2411.04257).
 
+API parity with ``/root/reference/datasketch/lsh_bloom.py:126`` (threshold/
+params, n/fp sizing, per-band filters, file-backed persistence, bool
+queries). The reference depends on the ``pybloomfilter3`` C extension for
+mmap'd filters; here each band's filter is a self-contained NumPy bitmap
+with double-hashing (k = m/n ln2 probes), so there is no native dependency
+and inserts/queries vectorize over whole signature batches. Persisted files
+are ``.npy`` bitmaps plus a small header (not pybloomfilter's mmap format).
+
+Band key parity: a band's r hashvalues are combined as
+``sum(hashvalues) % (2**61 - 1)`` (the universal-hash-sum argument at
+lsh_bloom.py:102-106) before entering the filter.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import warnings
+from typing import Optional
+
+import numpy as np
+
+from datasketch_tpu.models.lsh import _optimal_param
+
+logger = logging.getLogger(__name__)
+
+_mersenne_prime = np.uint64((1 << 61) - 1)
+
+__all__ = ["MinHashLSHBloom", "BloomTable"]
+
+
+class BloomTable:
+    """A Bloom filter modeling one band of the signature matrix.
+
+    Args:
+        item_count: Expected number of inserts (sizes the bitmap).
+        fp: Target false-positive rate in (0, 1).
+        band_size: r — number of hashvalues per band.
+        fname: Optional path; if it exists the filter is loaded from it,
+            otherwise a new filter is created (and :meth:`sync` saves there).
+    """
+
+    _MAGIC = 0x42463031  # "BF01"
+
+    def __init__(
+        self,
+        item_count: int,
+        fp: float,
+        band_size: int,
+        fname: Optional[str] = None,
+    ):
+        self.r = band_size
+        self.fname = fname
+        if fname is not None and os.path.exists(fname):
+            logger.info("Loading Bloom Filter at %s...", fname)
+            self._load(fname)
+        else:
+            # standard sizing: m = -n ln p / (ln 2)^2 ; k = m/n ln 2
+            n = max(1, int(item_count))
+            m = int(np.ceil(-n * np.log(fp) / (np.log(2.0) ** 2)))
+            m = max(64, m)
+            self.num_bits = m
+            self.num_hashes = max(1, int(round(m / n * np.log(2.0))))
+            self.bits = np.zeros((m + 63) // 64, dtype=np.uint64)
+
+    # -------------------------------------------------------------- hashing
+
+    def _positions(self, x: np.ndarray) -> np.ndarray:
+        """k probe positions per key via double hashing: [N] -> [N, k]."""
+        x = x.astype(np.uint64)
+        h1 = x * np.uint64(0x9E3779B97F4A7C15)
+        h1 ^= h1 >> np.uint64(29)
+        h1 *= np.uint64(0xBF58476D1CE4E5B9)
+        h1 ^= h1 >> np.uint64(32)
+        h2 = x * np.uint64(0xC2B2AE3D27D4EB4F)
+        h2 ^= h2 >> np.uint64(33)
+        h2 = h2 | np.uint64(1)  # odd stride
+        i = np.arange(self.num_hashes, dtype=np.uint64)
+        return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(self.num_bits)
+
+    @staticmethod
+    def _band_key(hashvalues) -> np.uint64:
+        return np.uint64(
+            int(np.sum(np.asarray(hashvalues, dtype=np.uint64), dtype=np.uint64))
+            % int(_mersenne_prime)
+        )
+
+    def assert_size(self, hashvalues) -> None:
+        if not len(hashvalues) == self.r:
+            raise RuntimeError(
+                f"Invalid length for indices, {len(hashvalues)}, expected "
+                f"{self.r} hashvalues in band"
+            )
+
+    # ------------------------------------------------------------ single ops
+
+    def insert(self, hashvalues) -> None:
+        """Add one band's hashvalues to the filter."""
+        self.assert_size(hashvalues)
+        self.insert_keys(np.array([self._band_key(hashvalues)], dtype=np.uint64))
+
+    def query(self, hashvalues) -> bool:
+        """Whether one band's hashvalues were (probably) inserted."""
+        self.assert_size(hashvalues)
+        return bool(
+            self.query_keys(np.array([self._band_key(hashvalues)], dtype=np.uint64))[0]
+        )
+
+    # ------------------------------------------------------------- batch ops
+
+    def insert_keys(self, keys: np.ndarray) -> None:
+        pos = self._positions(keys).reshape(-1)
+        word = (pos >> np.uint64(6)).astype(np.int64)
+        bit = np.uint64(1) << (pos & np.uint64(63))
+        np.bitwise_or.at(self.bits, word, bit)
+
+    def query_keys(self, keys: np.ndarray) -> np.ndarray:
+        pos = self._positions(keys)
+        word = (pos >> np.uint64(6)).astype(np.int64)
+        bit = np.uint64(1) << (pos & np.uint64(63))
+        hits = (self.bits[word] & bit) != 0
+        return hits.all(axis=1)
+
+    # ----------------------------------------------------------- persistence
+
+    def sync(self) -> None:
+        """Persist to ``fname`` (no-op warning for in-memory filters,
+        parity with lsh_bloom.py:80-85)."""
+        if self.fname is not None:
+            header = np.array(
+                [self._MAGIC, self.num_bits, self.num_hashes, self.r],
+                dtype=np.uint64,
+            )
+            with open(self.fname, "wb") as f:
+                np.save(f, header)
+                np.save(f, self.bits)
+        else:
+            warnings.warn(
+                "Attempting to save in-memory Bloom filter, this is a no-op.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+
+    def _load(self, fname: str) -> None:
+        with open(fname, "rb") as f:
+            header = np.load(f)
+            if int(header[0]) != self._MAGIC:
+                raise ValueError(f"{fname} is not a datasketch_tpu bloom file")
+            self.num_bits = int(header[1])
+            self.num_hashes = int(header[2])
+            self.r = int(header[3])
+            self.bits = np.load(f)
 
 
 class MinHashLSHBloom:
-    def __init__(self, *a, **kw):
-        raise NotImplementedError("MinHashLSHBloom: not yet implemented in this build")
+    """Membership-only LSH: answers "is this a likely duplicate?" in O(b)
+    bloom probes with no key storage.
+
+    Args:
+        threshold: Jaccard threshold the banding is optimized for.
+        num_perm: Signature length.
+        n: Expected number of inserted sets (sizes each filter).
+        fp: Per-filter false-positive rate in (0, 1).
+        save_dir: Directory for band filter files (``band-<i>.bf``); None
+            keeps the index in memory only (warns).
+        weights / params: As in :class:`MinHashLSH`.
+    """
+
+    def __init__(
+        self,
+        threshold: float = 0.9,
+        num_perm: int = 128,
+        n: Optional[int] = None,
+        fp: Optional[float] = None,
+        save_dir: Optional[str] = None,
+        weights: tuple = (0.5, 0.5),
+        params: Optional[tuple] = None,
+    ) -> None:
+        if threshold > 1.0 or threshold < 0.0:
+            raise ValueError("threshold must be in [0.0, 1.0]")
+        if num_perm < 2:
+            raise ValueError("Too few permutation functions")
+        if n is None or n <= 0:
+            raise ValueError("n for LSHBloom must be >= 0")
+        if fp is None or fp >= 1.0 or fp <= 0.0:
+            raise ValueError("fp must be in (0.0, 1.0)")
+        if save_dir is None:
+            warnings.warn(
+                "Creating LSHBloom index without save directory, this index "
+                "will not be persisted.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        if any(w < 0.0 or w > 1.0 for w in weights):
+            raise ValueError("Weight must be in [0.0, 1.0]")
+        if sum(weights) != 1.0:
+            raise ValueError("Weights must sum to 1.0")
+        self.h = num_perm
+        if params is not None:
+            self.b, self.r = params
+            if self.b * self.r > num_perm:
+                raise ValueError(
+                    "The product of b and r in params is "
+                    f"{self.b} * {self.r} = {self.b * self.r} -- it must be "
+                    f"less than num_perm {num_perm}. "
+                    "Did you forget to specify num_perm?"
+                )
+        else:
+            fpw, fnw = weights
+            self.b, self.r = _optimal_param(threshold, num_perm, fpw, fnw)
+        if self.b < 2:
+            raise ValueError("The number of bands are too small (b < 2)")
+
+        if save_dir is not None:
+            os.makedirs(save_dir, exist_ok=True)
+        self.hashtables = [
+            BloomTable(
+                item_count=n,
+                fp=fp,
+                band_size=self.r,
+                fname=(
+                    os.path.join(save_dir, f"band-{i}.bf")
+                    if save_dir is not None
+                    else None
+                ),
+            )
+            for i in range(self.b)
+        ]
+        self.hashranges = [(i * self.r, (i + 1) * self.r) for i in range(self.b)]
+
+    def insert(self, minhash) -> None:
+        """Insert a MinHash/WeightedMinHash into every band filter."""
+        if len(minhash) != self.h:
+            raise ValueError(
+                "Expecting minhash with length %d, got %d" % (self.h, len(minhash))
+            )
+        for (start, end), hashtable in zip(self.hashranges, self.hashtables):
+            hashtable.insert(minhash.hashvalues[start:end])
+
+    def insert_batch(self, minhashes) -> None:
+        """Vectorized insert of many sketches: one scatter per band."""
+        sigs = np.stack(
+            [np.asarray(m.hashvalues, dtype=np.uint64) for m in minhashes]
+        )
+        if sigs.shape[1] != self.h:
+            raise ValueError(
+                "Expecting minhash with length %d, got %d" % (self.h, sigs.shape[1])
+            )
+        for i, (start, end) in enumerate(self.hashranges):
+            keys = sigs[:, start:end].sum(axis=1, dtype=np.uint64) % _mersenne_prime
+            self.hashtables[i].insert_keys(keys)
+
+    def query(self, minhash) -> bool:
+        """True if any band collides — i.e. a likely duplicate was inserted."""
+        if len(minhash) != self.h:
+            raise ValueError(
+                "Expecting minhash with length %d, got %d" % (self.h, len(minhash))
+            )
+        for (start, end), hashtable in zip(self.hashranges, self.hashtables):
+            if hashtable.query(minhash.hashvalues[start:end]):
+                return True
+        return False
+
+    def query_batch(self, minhashes) -> np.ndarray:
+        """Vectorized duplicate test: bool[N]."""
+        sigs = np.stack(
+            [np.asarray(m.hashvalues, dtype=np.uint64) for m in minhashes]
+        )
+        if sigs.shape[1] != self.h:
+            raise ValueError(
+                "Expecting minhash with length %d, got %d" % (self.h, sigs.shape[1])
+            )
+        out = np.zeros(sigs.shape[0], dtype=bool)
+        for i, (start, end) in enumerate(self.hashranges):
+            keys = sigs[:, start:end].sum(axis=1, dtype=np.uint64) % _mersenne_prime
+            out |= self.hashtables[i].query_keys(keys)
+        return out
+
+    def sync(self) -> None:
+        """Persist all band filters."""
+        logger.info("Saving Bloom Index...")
+        for table in self.hashtables:
+            table.sync()
