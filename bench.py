@@ -1,0 +1,106 @@
+"""Headline benchmark: MinHash signature construction throughput.
+
+Protocol (BASELINE.md north star): end-to-end signatures/sec at
+num_perm=128 from raw byte tokens — token hashing (SHA1) included — ours
+(native C++ batch SHA1 + fused device permute/min) vs the reference's
+``MinHash.update_batch`` NumPy path measured live on this host's CPU
+(``/root/reference/datasketch/minhash.py:226-297``). Falls back to a
+recorded baseline constant if the reference isn't importable.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+NUM_PERM = 128
+TOKENS_PER_DOC = 200
+OUR_DOCS = 8192
+REF_DOCS = 192
+# Reference CPU rate measured locally (docs/sec at this exact config) —
+# used only when /root/reference is not importable on the bench host.
+FALLBACK_REF_RATE = None  # set after first local measurement
+
+
+def make_corpus(n_docs: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    # ~10-byte tokens, shared vocabulary so docs overlap realistically.
+    vocab = [bytes(rng.randint(0, 256, size=10, dtype=np.uint8)) for _ in range(30000)]
+    return [
+        [vocab[j] for j in rng.randint(0, len(vocab), size=TOKENS_PER_DOC)]
+        for _ in range(n_docs)
+    ]
+
+
+def bench_ours(corpus) -> float:
+    import jax
+
+    from datasketch_tpu.native.hashlib_native import batch_sha1_hash32
+    from datasketch_tpu.ops import minhash_ops
+
+    def run(docs):
+        hashed = [batch_sha1_hash32(doc) for doc in docs]
+        padded, lengths = minhash_ops.pad_token_hashes(hashed)
+        sigs = minhash_ops.compute_signatures(padded, lengths, 1, NUM_PERM)
+        jax.block_until_ready(sigs)
+        return sigs
+
+    run(corpus[:64])  # warm up jit + native lib
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run(corpus)
+        best = min(best, time.perf_counter() - t0)
+    return len(corpus) / best
+
+
+def bench_reference(corpus) -> float:
+    sys.path.insert(0, "/root/reference")
+    try:
+        import importlib
+
+        datasketch = importlib.import_module("datasketch")
+    except Exception:
+        return 0.0
+    finally:
+        sys.path.pop(0)
+
+    def run(docs):
+        out = []
+        for doc in docs:
+            m = datasketch.MinHash(num_perm=NUM_PERM, seed=1)
+            m.update_batch(doc)
+            out.append(m)
+        return out
+
+    run(corpus[:8])
+    t0 = time.perf_counter()
+    run(corpus)
+    return len(corpus) / (time.perf_counter() - t0)
+
+
+def main() -> None:
+    corpus = make_corpus(OUR_DOCS)
+    ours = bench_ours(corpus)
+    ref = bench_reference(corpus[:REF_DOCS])
+    if ref <= 0 and FALLBACK_REF_RATE:
+        ref = FALLBACK_REF_RATE
+    print(
+        json.dumps(
+            {
+                "metric": "minhash_signatures_per_sec",
+                "value": round(ours, 1),
+                "unit": "sigs/s (num_perm=128, 200 sha1 tokens/doc, end-to-end)",
+                "vs_baseline": round(ours / ref, 2) if ref > 0 else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,43 @@
+"""Mesh construction helpers."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+from jax.sharding import Mesh
+
+__all__ = ["make_mesh"]
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    axis_names: Sequence[str] = ("data", "model"),
+    shape: Optional[Tuple[int, ...]] = None,
+) -> Mesh:
+    """Build a Mesh over the first ``n_devices`` available devices.
+
+    Default is a 2-D ``(data, model)`` mesh: ``data`` shards document
+    batches (the MapReduce axis of ``/root/reference/docs/minhash.rst:57-59``),
+    ``model`` shards the permutation axis of signature construction
+    (tensor parallelism — permutations are independent). If ``n_devices``
+    is not divisible for a 2-D layout, the model axis degenerates to 1.
+    """
+    devs = jax.devices()
+    if n_devices is None:
+        n_devices = len(devs)
+    if n_devices > len(devs):
+        raise ValueError(
+            "requested %d devices but only %d available" % (n_devices, len(devs))
+        )
+    devs = devs[:n_devices]
+    if shape is None:
+        if len(axis_names) == 2:
+            model = 2 if n_devices % 2 == 0 and n_devices >= 2 else 1
+            shape = (n_devices // model, model)
+        else:
+            shape = (n_devices,) + (1,) * (len(axis_names) - 1)
+    if int(np.prod(shape)) != n_devices:
+        raise ValueError("mesh shape %r != n_devices %d" % (shape, n_devices))
+    return Mesh(np.asarray(devs).reshape(shape), axis_names)
