@@ -154,9 +154,9 @@ class MinHash:
         """Hash a token list to uint32, batching through native SHA1 when the
         hashfunc is the stock one."""
         if self.hashfunc is sha1_hash32 and tokens:
-            from datasketch_tpu.hashfunc import batch_sha1_hash32
+            from datasketch_tpu.native import corpus
 
-            return batch_sha1_hash32(tokens)
+            return corpus.hash_tokens(tokens, corpus.ALGO_SHA1_32)
         return np.array([self.hashfunc(t) for t in tokens], dtype=np.uint64).astype(
             np.uint32
         )
@@ -278,9 +278,21 @@ class MinHash:
                 m.update_batch(doc)
                 yield m
             return
-        hashed = [self._hash_tokens(list(doc)) for doc in docs]
-        total = sum(h.size for h in hashed)
+        if self.hashfunc is sha1_hash32:
+            # One native call walks the whole corpus (C-level list iteration,
+            # SHA-NI, parallel) straight into the padded device input.
+            from datasketch_tpu.native import corpus
+
+            docs = [doc if isinstance(doc, list) else list(doc) for doc in docs]
+            padded, lengths = corpus.hash_corpus_padded(docs, corpus.ALGO_SHA1_32)
+            total = int(lengths.sum())
+            hashed = None
+        else:
+            hashed = [self._hash_tokens(list(doc)) for doc in docs]
+            total = sum(h.size for h in hashed)
         if total < _DEVICE_BATCH_THRESHOLD and self._device_mode != "always":
+            if hashed is None:
+                hashed = [padded[i, :n] for i, n in enumerate(lengths)]
             for doc_hashes in hashed:
                 m = self.copy()
                 if doc_hashes.size:
@@ -290,7 +302,8 @@ class MinHash:
                     m.hashvalues = np.minimum(m.hashvalues, phv.min(axis=0))
                 yield m
             return
-        padded, lengths = minhash_ops.pad_token_hashes(hashed)
+        if hashed is not None:
+            padded, lengths = minhash_ops.pad_token_hashes(hashed)
         sigs = np.asarray(
             minhash_ops.compute_signatures(padded, lengths, self.seed, self.num_perm)
         ).astype(np.uint64)

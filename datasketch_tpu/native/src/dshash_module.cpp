@@ -1,0 +1,324 @@
+// _dshash — CPython extension for zero-marshalling corpus hashing.
+//
+// The ctypes path (hashing.cpp) still needs Python to flatten token lists
+// and b"".join() them into a packed buffer — at millions of tokens that
+// Python-level marshalling dominates SHA-NI hashing by >3x. This module
+// walks list[bytes] / list[list[bytes]] structures directly in C, reads
+// PyBytes payloads in place, releases the GIL, and hashes in parallel
+// straight into a caller-provided numpy buffer (padded [B, T] matrix for
+// the corpus form — the exact input layout of the device signature kernel,
+// datasketch_tpu/ops/minhash_ops.py:update_signatures).
+//
+// Algo codes: 0 = sha1_32, 1 = xxhash32, 2 = sha1_64 (64-bit out buffer).
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include "dshash_core.h"
+
+namespace {
+
+struct TokenRef {
+  const uint8_t* ptr;
+  uint32_t len;
+  int64_t out_pos;
+};
+
+// Owns references that must stay alive until hashing completes (the
+// PySequence_Fast lists may hold the only reference to tokens produced by
+// lazy sequences).
+struct Keepalive {
+  std::vector<PyObject*> objs;
+  ~Keepalive() {
+    for (PyObject* o : objs) Py_DECREF(o);
+  }
+};
+
+// Consumes (ptr, len, out_pos) triples. Either buffers them for a later
+// parallel pass (multi-core) or hashes inline during collection
+// (single-core: skips the buffer entirely; SHA-NI tokens are paired
+// through the 2-way compressor via a one-deep pending slot).
+struct TokenSink {
+  std::vector<TokenRef>* refs = nullptr;  // buffering mode if non-null
+  uint32_t* out32 = nullptr;
+  uint64_t* out64 = nullptr;
+  int algo = 0;
+  uint32_t seed = 0;
+  dshash::compress_fn compress = nullptr;
+  bool use_x2 = false;
+  TokenRef pending{nullptr, 0, 0};
+  bool has_pending = false;
+
+  inline void consume(const uint8_t* ptr, uint32_t len, int64_t pos) {
+    if (refs) {
+      refs->push_back(TokenRef{ptr, len, pos});
+      return;
+    }
+    switch (algo) {
+      case 0:
+#ifdef DSHASH_X86
+        if (use_x2 && len <= 55) {
+          if (!has_pending) {
+            pending = TokenRef{ptr, len, pos};
+            has_pending = true;
+          } else {
+            dshash::sha1_32_short_x2(pending.ptr, pending.len, ptr, len,
+                                     &out32[pending.out_pos], &out32[pos]);
+            has_pending = false;
+          }
+          return;
+        }
+#endif
+        out32[pos] = dshash::sha1_32(ptr, len, compress);
+        return;
+      case 1:
+        out32[pos] = dshash::xxh32(ptr, len, seed);
+        return;
+      default:
+        out64[pos] = dshash::sha1_64(ptr, len, compress);
+    }
+  }
+
+  inline void flush() {
+    if (has_pending) {
+      out32[pending.out_pos] =
+          dshash::sha1_32(pending.ptr, pending.len, compress);
+      has_pending = false;
+    }
+  }
+};
+
+// Collect (ptr, len) for every bytes token in `seq` under the GIL, feeding
+// them to `sink` (buffer or inline-hash). Errors if the sequence holds more
+// than `max_count` tokens (out-buffer bound, checked BEFORE any write).
+// Returns the token count on success, -1 on error.
+Py_ssize_t collect_tokens(PyObject* seq, int64_t out_base, Py_ssize_t max_count,
+                          TokenSink& sink, Keepalive& keep) {
+  PyObject* fast = PySequence_Fast(seq, "expected a sequence of bytes tokens");
+  if (!fast) return -1;
+  keep.objs.push_back(fast);
+  const Py_ssize_t n = PySequence_Fast_GET_SIZE(fast);
+  if (n > max_count) {
+    PyErr_Format(PyExc_ValueError, "%zd tokens exceed capacity %zd", n,
+                 max_count);
+    return -1;
+  }
+  PyObject** items = PySequence_Fast_ITEMS(fast);
+  for (Py_ssize_t i = 0; i < n; i++) {
+    PyObject* tok = items[i];
+    if (PyBytes_Check(tok)) {
+      sink.consume(reinterpret_cast<const uint8_t*>(PyBytes_AS_STRING(tok)),
+                   static_cast<uint32_t>(PyBytes_GET_SIZE(tok)), out_base + i);
+    } else if (PyByteArray_Check(tok)) {
+      sink.consume(
+          reinterpret_cast<const uint8_t*>(PyByteArray_AS_STRING(tok)),
+          static_cast<uint32_t>(PyByteArray_GET_SIZE(tok)), out_base + i);
+    } else {
+      PyErr_Format(PyExc_TypeError,
+                   "token %zd is %.80s, expected bytes/bytearray", i,
+                   Py_TYPE(tok)->tp_name);
+      return -1;
+    }
+  }
+  return n;
+}
+
+// mode: 0 = auto (inline on single-core hosts, where a deferred parallel
+// pass only adds buffer traffic), 1 = force inline (hash under the GIL
+// during collection — lowest latency), 2 = force buffered (GIL-released
+// deferred pass — lets hashing overlap other Python threads).
+void init_sink(TokenSink& sink, std::vector<TokenRef>* refs, int algo,
+               uint32_t seed, uint32_t* out32, uint64_t* out64, int mode) {
+  sink.algo = algo;
+  sink.seed = seed;
+  sink.out32 = out32;
+  sink.out64 = out64;
+  sink.compress = dshash::sha1_compress();
+  sink.use_x2 = dshash::sha_ni_available();
+  static const bool single_core = std::thread::hardware_concurrency() <= 1;
+  const bool inline_mode = (mode == 1) || (mode == 0 && single_core);
+  sink.refs = inline_mode ? nullptr : refs;
+}
+
+// Hash all collected tokens into `out32`/`out64` (one of them), GIL released.
+void hash_refs(const std::vector<TokenRef>& refs, int algo, uint32_t seed,
+               uint32_t* out32, uint64_t* out64) {
+  const dshash::compress_fn c = dshash::sha1_compress();
+  const int64_t n = static_cast<int64_t>(refs.size());
+#ifdef DSHASH_X86
+  if (algo == 0 && dshash::sha_ni_available()) {
+    // Pair single-block tokens through the 2-way interleaved compressor.
+    dshash::parallel_for(n, [&](int64_t lo, int64_t hi) {
+      int64_t pending = -1;
+      for (int64_t i = lo; i < hi; i++) {
+        const TokenRef& r = refs[i];
+        if (r.len <= 55) {
+          if (pending < 0) {
+            pending = i;
+          } else {
+            const TokenRef& p = refs[pending];
+            dshash::sha1_32_short_x2(p.ptr, p.len, r.ptr, r.len,
+                                     &out32[p.out_pos], &out32[r.out_pos]);
+            pending = -1;
+          }
+        } else {
+          out32[r.out_pos] = dshash::sha1_32(r.ptr, r.len, c);
+        }
+      }
+      if (pending >= 0) {
+        const TokenRef& p = refs[pending];
+        out32[p.out_pos] = dshash::sha1_32(p.ptr, p.len, c);
+      }
+    });
+    return;
+  }
+#endif
+  dshash::parallel_for(n, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; i++) {
+      const TokenRef& r = refs[i];
+      switch (algo) {
+        case 0:
+          out32[r.out_pos] = dshash::sha1_32(r.ptr, r.len, c);
+          break;
+        case 1:
+          out32[r.out_pos] = dshash::xxh32(r.ptr, r.len, seed);
+          break;
+        default:
+          out64[r.out_pos] = dshash::sha1_64(r.ptr, r.len, c);
+      }
+    }
+  });
+}
+
+// get a writable contiguous buffer; itemsize validated by caller via algo.
+int get_out_buffer(PyObject* obj, Py_buffer* view, int algo) {
+  if (PyObject_GetBuffer(obj, view, PyBUF_WRITABLE | PyBUF_C_CONTIGUOUS) < 0)
+    return -1;
+  const Py_ssize_t want = (algo == 2) ? 8 : 4;
+  if (view->itemsize != want) {
+    PyBuffer_Release(view);
+    PyErr_Format(PyExc_ValueError, "out buffer itemsize %zd, expected %zd",
+                 view->itemsize, want);
+    return -1;
+  }
+  return 0;
+}
+
+// hash_flat(tokens, out, algo, seed, mode=0) -> n
+PyObject* hash_flat(PyObject*, PyObject* args) {
+  PyObject* tokens;
+  PyObject* out_obj;
+  int algo;
+  unsigned int seed;
+  int mode = 0;
+  if (!PyArg_ParseTuple(args, "OOiI|i", &tokens, &out_obj, &algo, &seed, &mode))
+    return nullptr;
+
+  Py_buffer view;
+  if (get_out_buffer(out_obj, &view, algo) < 0) return nullptr;
+  const Py_ssize_t capacity = view.len / view.itemsize;
+
+  std::vector<TokenRef> refs;
+  Keepalive keep;
+  TokenSink sink;
+  init_sink(sink, &refs, algo, seed, static_cast<uint32_t*>(view.buf),
+            static_cast<uint64_t*>(view.buf), mode);
+  if (sink.refs && PySequence_Check(tokens)) {
+    Py_ssize_t hint = PySequence_Size(tokens);
+    if (hint > 0) refs.reserve(static_cast<size_t>(hint));
+  }
+  const Py_ssize_t n = collect_tokens(tokens, 0, capacity, sink, keep);
+  if (n < 0) {
+    PyBuffer_Release(&view);
+    return nullptr;
+  }
+  sink.flush();
+
+  if (sink.refs) {
+    Py_BEGIN_ALLOW_THREADS
+    hash_refs(refs, algo, seed, static_cast<uint32_t*>(view.buf),
+              static_cast<uint64_t*>(view.buf));
+    Py_END_ALLOW_THREADS
+  }
+  PyBuffer_Release(&view);
+  return PyLong_FromSsize_t(n);
+}
+
+// hash_padded(docs, out, row_stride, algo, seed, mode=0) -> total_tokens
+//
+// docs: sequence of sequences of bytes; doc i's token j hashes into
+// out[i * row_stride + j]. Caller guarantees row_stride >= max doc length.
+PyObject* hash_padded(PyObject*, PyObject* args) {
+  PyObject* docs;
+  PyObject* out_obj;
+  Py_ssize_t row_stride;
+  int algo;
+  unsigned int seed;
+  int mode = 0;
+  if (!PyArg_ParseTuple(args, "OOniI|i", &docs, &out_obj, &row_stride, &algo,
+                        &seed, &mode))
+    return nullptr;
+
+  Keepalive keep;
+  PyObject* fast = PySequence_Fast(docs, "expected a sequence of documents");
+  if (!fast) return nullptr;
+  keep.objs.push_back(fast);
+  const Py_ssize_t n_docs = PySequence_Fast_GET_SIZE(fast);
+  PyObject** doc_items = PySequence_Fast_ITEMS(fast);
+
+  Py_buffer view;
+  if (get_out_buffer(out_obj, &view, algo) < 0) return nullptr;
+  if (row_stride <= 0 || view.len / view.itemsize < n_docs * row_stride) {
+    PyBuffer_Release(&view);
+    PyErr_SetString(PyExc_ValueError, "out buffer too small for docs*stride");
+    return nullptr;
+  }
+
+  std::vector<TokenRef> refs;
+  Keepalive token_keep;
+  TokenSink sink;
+  init_sink(sink, &refs, algo, seed, static_cast<uint32_t*>(view.buf),
+            static_cast<uint64_t*>(view.buf), mode);
+  if (sink.refs) refs.reserve(static_cast<size_t>(n_docs) * 8);
+
+  int64_t total = 0;
+  for (Py_ssize_t d = 0; d < n_docs; d++) {
+    const Py_ssize_t count =
+        collect_tokens(doc_items[d], static_cast<int64_t>(d) * row_stride,
+                       row_stride, sink, token_keep);
+    if (count < 0) {
+      PyBuffer_Release(&view);
+      return nullptr;
+    }
+    total += count;
+  }
+  sink.flush();
+
+  if (sink.refs) {
+    Py_BEGIN_ALLOW_THREADS
+    hash_refs(refs, algo, seed, static_cast<uint32_t*>(view.buf),
+              static_cast<uint64_t*>(view.buf));
+    Py_END_ALLOW_THREADS
+  }
+  PyBuffer_Release(&view);
+  return PyLong_FromSsize_t(static_cast<Py_ssize_t>(total));
+}
+
+PyObject* sha_ni(PyObject*, PyObject*) {
+  return PyBool_FromLong(dshash::sha_ni_available() ? 1 : 0);
+}
+
+PyMethodDef methods[] = {
+    {"hash_flat", hash_flat, METH_VARARGS,
+     "hash_flat(tokens, out, algo, seed, mode=0) -> n"},
+    {"hash_padded", hash_padded, METH_VARARGS,
+     "hash_padded(docs, out, row_stride, algo, seed, mode=0) -> total_tokens"},
+    {"sha_ni_available", sha_ni, METH_NOARGS, "SHA-NI fast path active?"},
+    {nullptr, nullptr, 0, nullptr}};
+
+PyModuleDef moduledef = {PyModuleDef_HEAD_INIT, "_dshash",
+                         "native corpus hashing", -1, methods};
+
+}  // namespace
+
+PyMODINIT_FUNC PyInit__dshash(void) { return PyModule_Create(&moduledef); }

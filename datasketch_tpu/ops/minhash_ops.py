@@ -125,6 +125,15 @@ def update_signatures(state, hashes, lengths, a_hi, a_lo, b_hi, b_lo):
     return jnp.minimum(state, phv.min(axis=-2))
 
 
+@jax.jit
+def _sign_batch(hashes, lengths, a_hi, a_lo, b_hi, b_lo):
+    """Fresh signatures in ONE dispatch (state init fused into the jit)."""
+    mask = jax.lax.broadcasted_iota(jnp.int32, hashes.shape, 1) < lengths[:, None]
+    phv = _permute_all(hashes, a_hi, a_lo, b_hi, b_lo)
+    phv = jnp.where(mask[..., None], phv, jnp.uint32(MAX_HASH))
+    return phv.min(axis=-2)
+
+
 def compute_signatures(hashes, lengths, seed: int, num_perm: int) -> jax.Array:
     """Fresh signatures for a padded batch of token hashes.
 
@@ -134,8 +143,7 @@ def compute_signatures(hashes, lengths, seed: int, num_perm: int) -> jax.Array:
         uint32[B, P] device array.
     """
     limbs = perm_limbs(seed, num_perm)
-    state = empty_signatures(hashes.shape[0], num_perm)
-    return update_signatures(state, jnp.asarray(hashes), jnp.asarray(lengths), *limbs)
+    return _sign_batch(hashes, jnp.asarray(lengths), *limbs)
 
 
 @jax.jit
