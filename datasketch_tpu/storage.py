@@ -7,6 +7,7 @@ factories) so user code written against the reference drops in unchanged.
 Backends:
 - ``dict`` — in-memory defaultdict backends (storage.py:209-259 parity).
 - ``redis`` — optional, gated on the ``redis`` package being importable.
+- ``cassandra`` — optional, gated on ``cassandra-driver``.
 
 The TPU-native scale-out path does NOT live here: device-resident band
 tables (:mod:`datasketch_tpu.ops.lsh_ops`) and mesh-sharded indexes
@@ -29,6 +30,8 @@ __all__ = [
     "UnorderedStorage",
     "DictListStorage",
     "DictSetStorage",
+    "CassandraListStorage",
+    "CassandraSetStorage",
 ]
 
 
@@ -43,6 +46,8 @@ def ordered_storage(config, name=None):
         return DictListStorage(config)
     if tp == "redis":
         return RedisListStorage(config, name=name)
+    if tp == "cassandra":
+        return CassandraListStorage(config, name=name)
     raise ValueError("Unknown storage type: %s" % tp)
 
 
@@ -53,6 +58,8 @@ def unordered_storage(config, name=None):
         return DictSetStorage(config)
     if tp == "redis":
         return RedisSetStorage(config, name=name)
+    if tp == "cassandra":
+        return CassandraSetStorage(config, name=name)
     raise ValueError("Unknown storage type: %s" % tp)
 
 
@@ -289,3 +296,166 @@ class RedisSetStorage(RedisStorage, UnorderedStorage):
 
     def has_key(self, key):
         return bool(self._redis.exists(self.redis_key(key)))
+
+
+# ---------------------------------------------------------------- cassandra
+
+
+class CassandraSharedSession:
+    """One shared Cassandra cluster session per process.
+
+    Mirrors ``/root/reference/datasketch/storage.py:264-301``: the driver's
+    session is expensive, so every CassandraStorage shares one, keyed by the
+    frozen seed/keyspace config.
+    """
+
+    _session = None
+    _session_config = None
+
+    QUERY_CREATE_KEYSPACE = (
+        "CREATE KEYSPACE IF NOT EXISTS {} WITH replication = "
+        "{{'class': 'SimpleStrategy', 'replication_factor': '1'}}"
+    )
+
+    @classmethod
+    def get_session(cls, config):
+        try:
+            from cassandra.cluster import Cluster
+        except ImportError as exc:  # pragma: no cover - gated dependency
+            raise ImportError(
+                "cassandra storage requested but the 'cassandra-driver' "
+                "package is not installed"
+            ) from exc
+        frozen = tuple(sorted((k, str(v)) for k, v in config.items()))
+        if cls._session is None or cls._session_config != frozen:
+            cluster = Cluster(
+                contact_points=config.get("seeds", ["localhost"]),
+                port=config.get("port", 9042),
+            )
+            session = cluster.connect()
+            keyspace = config.get("keyspace", "datasketch_tpu")
+            session.execute(cls.QUERY_CREATE_KEYSPACE.format(keyspace))
+            session.set_keyspace(keyspace)
+            cls._session = session
+            cls._session_config = frozen
+        return cls._session
+
+
+class CassandraStorage:
+    """Base for Cassandra-backed storages (requires ``cassandra-driver``).
+
+    Table layout parity with ``/root/reference/datasketch/storage.py:324-418``:
+    one table ``lsh_<name>`` per storage with
+    ``(key blob, value blob, ts bigint, PRIMARY KEY (key, value))``;
+    upsert-as-set semantics with a monotonic timestamp ordering list values.
+    """
+
+    QUERY_CREATE_TABLE = (
+        "CREATE TABLE IF NOT EXISTS {} "
+        "(key blob, value blob, ts bigint, PRIMARY KEY (key, value))"
+    )
+
+    def __init__(self, config, name=None):
+        self._config = config["cassandra"]
+        raw = name if name is not None else b"storage"
+        if isinstance(raw, bytes):
+            raw = raw.hex()
+        self._table = "lsh_" + raw
+        self._session = CassandraSharedSession.get_session(self._config)
+        self._session.execute(self.QUERY_CREATE_TABLE.format(self._table))
+        self._counter = 0
+
+    def _ts(self):
+        # Monotonic per-storage timestamp (storage.py:387,512).
+        self._counter += 1
+        return self._counter
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state.pop("_session", None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__ = state
+        self._session = CassandraSharedSession.get_session(self._config)
+
+    # shared ops -----------------------------------------------------------
+
+    def keys(self):
+        rows = self._session.execute(
+            "SELECT DISTINCT key FROM {}".format(self._table)
+        )
+        return [row.key for row in rows]
+
+    def size(self):
+        return len(self.keys())
+
+    def has_key(self, key):
+        rows = self._session.execute(
+            "SELECT key FROM {} WHERE key = %s LIMIT 1".format(self._table), (key,)
+        )
+        return rows.one() is not None
+
+    def remove(self, *keys, **kwargs):
+        for key in keys:
+            self._session.execute(
+                "DELETE FROM {} WHERE key = %s".format(self._table), (key,)
+            )
+
+    def remove_val(self, key, val, **kwargs):
+        self._session.execute(
+            "DELETE FROM {} WHERE key = %s AND value = %s".format(self._table),
+            (key, val),
+        )
+
+    def itemcounts(self, **kwargs):
+        out = {}
+        for key in self.keys():
+            rows = self._session.execute(
+                "SELECT COUNT(*) AS c FROM {} WHERE key = %s".format(self._table),
+                (key,),
+            )
+            out[key] = rows.one().c
+        return out
+
+    def status(self):
+        return {"keyspace_size": self.size()}
+
+
+class CassandraListStorage(CassandraStorage, OrderedStorage):
+    """Ordered (ts-sorted) values per key (storage.py:488-560 parity)."""
+
+    def get(self, key):
+        rows = self._session.execute(
+            "SELECT value, ts FROM {} WHERE key = %s".format(self._table), (key,)
+        )
+        return [r.value for r in sorted(rows, key=lambda r: r.ts)]
+
+    def insert(self, key, *vals, **kwargs):
+        for val in vals:
+            self._session.execute(
+                "INSERT INTO {} (key, value, ts) VALUES (%s, %s, %s)".format(
+                    self._table
+                ),
+                (key, val, self._ts()),
+            )
+
+
+class CassandraSetStorage(CassandraStorage, UnorderedStorage):
+    """Set semantics via the (key, value) primary key upsert
+    (storage.py:518-534 parity)."""
+
+    def get(self, key):
+        rows = self._session.execute(
+            "SELECT value FROM {} WHERE key = %s".format(self._table), (key,)
+        )
+        return {r.value for r in rows}
+
+    def insert(self, key, *vals, **kwargs):
+        for val in vals:
+            self._session.execute(
+                "INSERT INTO {} (key, value, ts) VALUES (%s, %s, %s)".format(
+                    self._table
+                ),
+                (key, val, self._ts()),
+            )
