@@ -1,0 +1,130 @@
+"""Top-k Jaccard search benchmark: exact / TpuMinHashLSH / Forest / HNSW.
+
+Port of ``/root/reference/benchmark/indexes/jaccard/topk_benchmark.py``
+(sweep at lines 70-128): every index's results are scored as recall@k
+against the exact linear-scan run, with per-query wall times, persisted to
+SQLite. Datasets are synthetic (see utils.generate_sets).
+
+Usage: python benchmarks/jaccard_topk.py [n_sets] [out.db]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")  # repo root
+
+from benchmarks import utils  # noqa: E402
+
+
+def build_minhashes(sets, num_perm):
+    from datasketch_tpu import MinHash
+
+    docs = [[int(t).to_bytes(8, "little") for t in s] for s in sets]
+    t0 = time.perf_counter()
+    mhs = MinHash.bulk(docs, num_perm=num_perm)
+    return mhs, time.perf_counter() - t0
+
+
+def bench_tpu_lsh(mhs, query_idx, k, num_perm):
+    from datasketch_tpu.models.tpu_lsh import TpuMinHashLSH
+
+    index = TpuMinHashLSH(threshold=0.1, num_perm=num_perm, bucket_cap=512)
+    t0 = time.perf_counter()
+    index.index(list(range(len(mhs))), mhs)
+    index.query_batch([mhs[query_idx[0]]])  # force build+trace
+    indexing = time.perf_counter() - t0
+
+    queries = [mhs[i] for i in query_idx]
+    t0 = time.perf_counter()
+    batch = index.top_k(queries, k)
+    total = time.perf_counter() - t0
+    times = [total / len(queries)] * len(queries)
+    results = [[(key, score) for key, score in row] for row in batch]
+    return results, times, indexing
+
+
+def bench_forest(mhs, query_idx, k, num_perm):
+    from datasketch_tpu import MinHashLSHForest
+
+    forest = MinHashLSHForest(num_perm=num_perm)
+    t0 = time.perf_counter()
+    for i, m in enumerate(mhs):
+        forest.add(i, m)
+    forest.index()
+    indexing = time.perf_counter() - t0
+
+    results, times = [], []
+    for i in query_idx:
+        t0 = time.perf_counter()
+        keys = forest.query(mhs[i], k)
+        times.append(time.perf_counter() - t0)
+        results.append([(key, mhs[i].jaccard(mhs[key])) for key in keys])
+    return results, times, indexing
+
+
+def bench_hnsw(mhs, query_idx, k, num_perm, m=16, ef=100):
+    from datasketch_tpu import HNSW
+
+    def jaccard_distance(x, y):
+        return 1.0 - float(np.mean(x == y))
+
+    index = HNSW(distance_func=jaccard_distance, m=m, ef_construction=ef)
+    t0 = time.perf_counter()
+    for i, mh in enumerate(mhs):
+        index.insert(i, np.asarray(mh.hashvalues))
+    indexing = time.perf_counter() - t0
+
+    results, times = [], []
+    for i in query_idx:
+        t0 = time.perf_counter()
+        found = index.query(np.asarray(mhs[i].hashvalues), k=k, ef=ef)
+        times.append(time.perf_counter() - t0)
+        results.append([(key, 1.0 - d) for key, d in found])
+    return results, times, indexing
+
+
+def main():
+    n_sets = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    db_path = sys.argv[2] if len(sys.argv) > 2 else "topk_results.db"
+    num_perm, k, n_queries = 128, 10, 50
+
+    sets, keys, query_sets, query_keys = utils.generate_sets(
+        n_sets=n_sets, n_queries=n_queries
+    )
+    query_idx = query_keys
+
+    print(f"corpus: {n_sets} sets; exact ground truth (k={k})...")
+    gt, exact_times = utils.exact_topk(sets, query_sets, k)
+    conn = utils.init_results_db(db_path)
+    utils.save_run(conn, "exact", k, None, {}, 0.0, exact_times,
+                   [1.0] * len(gt), gt, query_keys)
+
+    mhs, sig_time = build_minhashes(sets, num_perm)
+    print(f"signatures: {n_sets} in {sig_time:.3f}s "
+          f"({n_sets / sig_time:.0f}/s)")
+
+    for name, fn, params in [
+        ("tpu_lsh", bench_tpu_lsh, {"num_perm": num_perm}),
+        ("lshforest", bench_forest, {"num_perm": num_perm}),
+        ("hnsw", bench_hnsw, {"num_perm": num_perm, "m": 16, "ef": 100}),
+    ]:
+        results, times, indexing = fn(mhs, query_idx, k, num_perm)
+        recalls = utils.compute_recalls(results, gt)
+        utils.save_run(conn, name, k, None, params, indexing, times, recalls,
+                       results, query_keys)
+        print(
+            f"{name:10s} recall@{k}={np.mean(recalls):.3f} "
+            f"mean_q={np.mean(times) * 1000:.2f}ms "
+            f"p90_q={np.percentile(times, 90) * 1000:.2f}ms "
+            f"index={indexing:.2f}s"
+        )
+    print(f"exact      mean_q={np.mean(exact_times) * 1000:.2f}ms")
+    print(f"results -> {db_path}")
+
+
+if __name__ == "__main__":
+    main()

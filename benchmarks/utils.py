@@ -1,0 +1,155 @@
+"""Shared benchmark machinery: synthetic sets, exact ground truth, SQLite.
+
+Reproduces the evaluation protocol of the reference harness
+(``/root/reference/benchmark/indexes/jaccard/utils.py``): recall@k and mean
+average precision are computed against an exact-Jaccard run (utils.py:207-237,
+279-347), per-query wall times are recorded, and results persist to SQLite
+(utils.py:137-188). The reference reads datasets from
+ekzhu/set-similarity-search-benchmark; this harness generates synthetic
+corpora with matched size/overlap statistics instead (no network egress).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sqlite3
+import time
+
+import numpy as np
+
+try:  # persistent jit cache: ragged corpora hit several (B, T) shapes
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("DATASKETCH_TPU_JIT_CACHE", "/tmp/datasketch_tpu_jit_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover
+    pass
+
+
+def generate_sets(
+    n_sets: int = 10000,
+    vocab: int = 50000,
+    mean_size: int = 190,
+    n_queries: int = 100,
+    seed: int = 41,
+):
+    """Synthetic corpus of integer-token sets with realistic overlap.
+
+    Sizes are lognormal around ``mean_size`` (the 20-Newsgroups 3-shingle
+    corpus used by the reference docs has avg cardinality 193,
+    ``/root/reference/docs/lsh.rst:71``); tokens are drawn Zipf-like so
+    near-duplicate structure emerges; a fraction of sets are explicit
+    mutated near-duplicates of earlier sets.
+
+    Returns (sets, keys, query_sets, query_keys); sets are sorted unique
+    int64 numpy arrays (the reference's set representation).
+    """
+    rng = np.random.RandomState(seed)
+    sizes = np.maximum(
+        8, rng.lognormal(np.log(mean_size), 0.6, size=n_sets).astype(np.int64)
+    )
+    zipf_w = 1.0 / np.arange(1, vocab + 1) ** 0.8
+    zipf_p = zipf_w / zipf_w.sum()
+    sets = []
+    for i in range(n_sets):
+        if i > 10 and rng.rand() < 0.3:
+            # near-duplicate: mutate an earlier set
+            base = sets[rng.randint(0, i)]
+            keep = base[rng.rand(len(base)) < rng.uniform(0.5, 0.98)]
+            extra = rng.choice(vocab, size=max(1, int(0.1 * len(base))), p=zipf_p)
+            s = np.union1d(keep, extra)
+        else:
+            s = np.unique(rng.choice(vocab, size=sizes[i], p=zipf_p))
+        sets.append(s.astype(np.int64))
+    keys = list(range(len(sets)))
+    q_idx = rng.choice(len(sets), size=n_queries, replace=False)
+    query_sets = [sets[i] for i in q_idx]
+    query_keys = [int(i) for i in q_idx]
+    return sets, keys, query_sets, query_keys
+
+
+def exact_jaccard(q: np.ndarray, s: np.ndarray) -> float:
+    inter = np.intersect1d(q, s, assume_unique=True).shape[0]
+    if inter == 0:
+        return 0.0
+    return inter / (len(q) + len(s) - inter)
+
+
+def exact_topk(sets, query_sets, k: int):
+    """Exact linear-scan ground truth (reference exact.py protocol).
+
+    Returns (results, times): results[i] is a list of (key, similarity)
+    sorted descending, times[i] the per-query wall time.
+    """
+    results, times = [], []
+    for q in query_sets:
+        t0 = time.perf_counter()
+        sims = np.array([exact_jaccard(q, s) for s in sets])
+        top = np.argsort(-sims)[:k]
+        times.append(time.perf_counter() - t0)
+        results.append([(int(i), float(sims[i])) for i in top])
+    return results, times
+
+
+def compute_recalls(results, ground_truths):
+    """recall@k against the exact run (reference utils.py:207-221)."""
+    recalls = []
+    for res, gt in zip(results, ground_truths):
+        gt_keys = set(k for k, _ in gt)
+        found = sum(1 for k, _ in res if k in gt_keys)
+        recalls.append(found / len(gt_keys) if gt_keys else 1.0)
+    return recalls
+
+
+def compute_similarities(results):
+    return [[s for _, s in res] for res in results]
+
+
+def init_results_db(path: str) -> sqlite3.Connection:
+    """Results schema mirroring reference utils.py:137-160."""
+    conn = sqlite3.connect(path)
+    conn.execute(
+        """CREATE TABLE IF NOT EXISTS runs (
+            key INTEGER PRIMARY KEY,
+            name TEXT, k INTEGER, threshold REAL, params TEXT,
+            indexing_time REAL, mean_query_time REAL, mean_recall REAL,
+            ts DATETIME DEFAULT CURRENT_TIMESTAMP)"""
+    )
+    conn.execute(
+        """CREATE TABLE IF NOT EXISTS query_results (
+            run_key INTEGER, query_key INTEGER,
+            result TEXT, time REAL)"""
+    )
+    conn.commit()
+    return conn
+
+
+def save_run(conn, name, k, threshold, params, indexing_time, times, recalls,
+             results, query_keys):
+    cur = conn.execute(
+        "INSERT INTO runs (name, k, threshold, params, indexing_time, "
+        "mean_query_time, mean_recall) VALUES (?, ?, ?, ?, ?, ?, ?)",
+        (
+            name,
+            k,
+            threshold,
+            json.dumps(params),
+            indexing_time,
+            float(np.mean(times)),
+            float(np.mean(recalls)) if recalls else None,
+        ),
+    )
+    run_key = cur.lastrowid
+    conn.executemany(
+        "INSERT INTO query_results VALUES (?, ?, ?, ?)",
+        [
+            (run_key, qk, json.dumps(res), t)
+            for qk, res, t in zip(query_keys, results, times)
+        ],
+    )
+    conn.commit()
+    return run_key

@@ -284,7 +284,15 @@ class MinHash:
             from datasketch_tpu.native import corpus
 
             docs = [doc if isinstance(doc, list) else list(doc) for doc in docs]
-            padded, lengths = corpus.hash_corpus_padded(docs, corpus.ALGO_SHA1_32)
+            # Bucket T to powers of two: ragged corpora otherwise produce a
+            # new (B, T) shape per chunk, each costing a fresh jit compile.
+            max_len = max((len(d) for d in docs), default=1)
+            t_bucket = 128
+            while t_bucket < max_len:
+                t_bucket *= 2
+            padded, lengths = corpus.hash_corpus_padded(
+                docs, corpus.ALGO_SHA1_32, pad_multiple=t_bucket
+            )
             total = int(lengths.sum())
             hashed = None
         else:
@@ -304,9 +312,20 @@ class MinHash:
             return
         if hashed is not None:
             padded, lengths = minhash_ops.pad_token_hashes(hashed)
+        # Pad the batch axis to the generator chunk size so every full-rate
+        # chunk reuses one compiled (B, T) program.
+        b_bucket = 128
+        while b_bucket < padded.shape[0]:
+            b_bucket *= 2
+        if padded.shape[0] != b_bucket:
+            n_real = padded.shape[0]
+            padded = np.pad(padded, ((0, b_bucket - n_real), (0, 0)))
+            lengths = np.pad(lengths, (0, b_bucket - n_real))
+        else:
+            n_real = padded.shape[0]
         sigs = np.asarray(
             minhash_ops.compute_signatures(padded, lengths, self.seed, self.num_perm)
-        ).astype(np.uint64)
+        ).astype(np.uint64)[:n_real]
         for row in sigs:
             yield MinHash(
                 seed=self.seed,

@@ -106,6 +106,36 @@ def _permute_all(hashes, a_hi, a_lo, b_hi, b_lo):
     return u64.permute_hash(h, a_hi, a_lo, b_hi, b_lo)
 
 
+# Token-axis tile for the scan form below. Keeps the fused [B, tile, P]
+# intermediate VMEM-sized and — critically — keeps XLA:TPU compile time flat:
+# a single fused [B, T, P] elementwise+reduce was observed to compile in
+# seconds at T=256 but MINUTES at T=512 on v5e.
+TOKEN_TILE = 128
+
+
+def _scan_min(state, hashes, lengths, a_hi, a_lo, b_hi, b_lo):
+    """Permute+min folded over token tiles: state uint32[B, P] -> [B, P]."""
+    b, t = hashes.shape
+    if t % TOKEN_TILE:
+        pad = TOKEN_TILE - t % TOKEN_TILE
+        hashes = jnp.pad(hashes, ((0, 0), (0, pad)))
+        t += pad
+    nt = t // TOKEN_TILE
+    tiles = hashes.reshape(b, nt, TOKEN_TILE).transpose(1, 0, 2)  # [nt, B, tile]
+    offsets = jnp.arange(nt, dtype=jnp.int32) * TOKEN_TILE
+
+    def body(carry, inp):
+        tile, off = inp  # [B, tile], []
+        col = off + jax.lax.broadcasted_iota(jnp.int32, tile.shape, 1)
+        mask = col < lengths[:, None]
+        phv = _permute_all(tile, a_hi, a_lo, b_hi, b_lo)  # [B, tile, P]
+        phv = jnp.where(mask[..., None], phv, jnp.uint32(MAX_HASH))
+        return jnp.minimum(carry, phv.min(axis=-2)), None
+
+    out, _ = jax.lax.scan(body, state, (tiles, offsets))
+    return out
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def update_signatures(state, hashes, lengths, a_hi, a_lo, b_hi, b_lo):
     """Fold a padded batch of token hashes into existing signatures.
@@ -118,20 +148,16 @@ def update_signatures(state, hashes, lengths, a_hi, a_lo, b_hi, b_lo):
         uint32[B, P] updated signatures (elementwise min semantics of
         ``/root/reference/datasketch/minhash.py:294-297``).
     """
-    t = hashes.shape[-1]
-    mask = jax.lax.broadcasted_iota(jnp.int32, hashes.shape, 1) < lengths[:, None]
-    phv = _permute_all(hashes, a_hi, a_lo, b_hi, b_lo)  # [B, T, P]
-    phv = jnp.where(mask[..., None], phv, jnp.uint32(MAX_HASH))
-    return jnp.minimum(state, phv.min(axis=-2))
+    return _scan_min(state, hashes, lengths, a_hi, a_lo, b_hi, b_lo)
 
 
 @jax.jit
 def _sign_batch(hashes, lengths, a_hi, a_lo, b_hi, b_lo):
     """Fresh signatures in ONE dispatch (state init fused into the jit)."""
-    mask = jax.lax.broadcasted_iota(jnp.int32, hashes.shape, 1) < lengths[:, None]
-    phv = _permute_all(hashes, a_hi, a_lo, b_hi, b_lo)
-    phv = jnp.where(mask[..., None], phv, jnp.uint32(MAX_HASH))
-    return phv.min(axis=-2)
+    state = jnp.full(
+        (hashes.shape[0], a_hi.shape[0]), MAX_HASH, dtype=jnp.uint32
+    )
+    return _scan_min(state, hashes, lengths, a_hi, a_lo, b_hi, b_lo)
 
 
 def compute_signatures(hashes, lengths, seed: int, num_perm: int) -> jax.Array:

@@ -32,12 +32,16 @@ def _local_signatures(hashes, lengths, a_hi, a_lo, b_hi, b_lo):
     hashes uint32[b_loc, T], lengths int32[b_loc], limbs uint32[p_loc]
     -> uint32[b_loc, p_loc].
     """
-    mask = (
-        jax.lax.broadcasted_iota(jnp.int32, hashes.shape, 1) < lengths[:, None]
+    # Init carry derived from the sharded inputs so it carries their
+    # varying-manual-axes type inside shard_map (a plain jnp.full would be
+    # unvarying and fail lax.scan's carry type check). MAX_HASH is all-ones,
+    # so OR-ing zeroed input slices yields exactly MAX_HASH.
+    state = (
+        (hashes[:, :1] & jnp.uint32(0))
+        | (a_hi[None, :] & jnp.uint32(0))
+        | jnp.uint32(minhash_ops.MAX_HASH)
     )
-    phv = u64.permute_hash(hashes[..., None], a_hi, a_lo, b_hi, b_lo)
-    phv = jnp.where(mask[..., None], phv, jnp.uint32(minhash_ops.MAX_HASH))
-    return phv.min(axis=-2)
+    return minhash_ops._scan_min(state, hashes, lengths, a_hi, a_lo, b_hi, b_lo)
 
 
 def sharded_compute_signatures(hashes, lengths, seed: int, num_perm: int, mesh: Mesh):
