@@ -32,13 +32,13 @@ def build_minhashes(sets, num_perm):
 def bench_tpu_lsh(mhs, query_idx, k, num_perm):
     from datasketch_tpu.models.tpu_lsh import TpuMinHashLSH
 
-    index = TpuMinHashLSH(threshold=0.1, num_perm=num_perm, bucket_cap=512)
+    index = TpuMinHashLSH(threshold=0.4, num_perm=num_perm, bucket_cap=256)
     t0 = time.perf_counter()
     index.index(list(range(len(mhs))), mhs)
-    index.query_batch([mhs[query_idx[0]]])  # force build+trace
     indexing = time.perf_counter() - t0
 
     queries = [mhs[i] for i in query_idx]
+    index.top_k(queries, k)  # warm the query program (jit compile)
     t0 = time.perf_counter()
     batch = index.top_k(queries, k)
     total = time.perf_counter() - t0
@@ -78,6 +78,7 @@ def bench_hnsw(mhs, query_idx, k, num_perm, m=16, ef=100):
         index.insert(i, np.asarray(mh.hashvalues))
     indexing = time.perf_counter() - t0
 
+    index.query(np.asarray(mhs[query_idx[0]].hashvalues), k=k, ef=ef)  # warm
     results, times = [], []
     for i in query_idx:
         t0 = time.perf_counter()

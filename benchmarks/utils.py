@@ -49,22 +49,31 @@ def generate_sets(
     int64 numpy arrays (the reference's set representation).
     """
     rng = np.random.RandomState(seed)
-    sizes = np.maximum(
-        8, rng.lognormal(np.log(mean_size), 0.6, size=n_sets).astype(np.int64)
-    )
     zipf_w = 1.0 / np.arange(1, vocab + 1) ** 0.8
     zipf_p = zipf_w / zipf_w.sum()
+
+    # Clustered corpus: each cluster is a base set plus mutations at graded
+    # similarity (Jaccard roughly 0.3..0.95 to the base), so exact top-k
+    # ground truth consists of genuinely similar sets — the regime the
+    # reference's benchmark datasets (Open Data / WDC web tables) exhibit.
+    cluster_size = 20
     sets = []
-    for i in range(n_sets):
-        if i > 10 and rng.rand() < 0.3:
-            # near-duplicate: mutate an earlier set
-            base = sets[rng.randint(0, i)]
-            keep = base[rng.rand(len(base)) < rng.uniform(0.5, 0.98)]
-            extra = rng.choice(vocab, size=max(1, int(0.1 * len(base))), p=zipf_p)
-            s = np.union1d(keep, extra)
-        else:
-            s = np.unique(rng.choice(vocab, size=sizes[i], p=zipf_p))
-        sets.append(s.astype(np.int64))
+    while len(sets) < n_sets:
+        base_size = max(
+            8, int(rng.lognormal(np.log(mean_size), 0.5))
+        )
+        base = np.unique(rng.choice(vocab, size=base_size, p=zipf_p))
+        sets.append(base.astype(np.int64))
+        n_members = min(cluster_size - 1, n_sets - len(sets))
+        for j in range(n_members):
+            keep_rate = rng.uniform(0.45, 0.98)
+            keep = base[rng.rand(len(base)) < keep_rate]
+            n_extra = max(1, int(len(base) * rng.uniform(0.02, 0.35)))
+            extra = rng.choice(vocab, size=n_extra, p=zipf_p)
+            sets.append(np.union1d(keep, extra).astype(np.int64))
+    sets = sets[:n_sets]
+    order = rng.permutation(n_sets)
+    sets = [sets[i] for i in order]
     keys = list(range(len(sets)))
     q_idx = rng.choice(len(sets), size=n_queries, replace=False)
     query_sets = [sets[i] for i in q_idx]

@@ -187,34 +187,57 @@ class TpuMinHashLSH:
             scores_host = np.asarray(scores)
             out = []
             for qi in range(q):
-                seen = {}
                 row_ids = ids_host[qi]
                 row_sc = scores_host[qi]
-                for j in np.nonzero(row_ids >= 0)[0]:
-                    pos = int(row_ids[j])
-                    if pos not in seen:
-                        seen[pos] = float(row_sc[j])
+                mask = row_ids >= 0
                 if self.rerank:
-                    seen = {p: s for p, s in seen.items() if s >= cutoff}
+                    mask &= row_sc >= cutoff
+                uniq, first = np.unique(row_ids[mask], return_index=True)
+                sc = row_sc[mask][first]
                 if return_scores:
+                    order = np.argsort(-sc)
                     out.append(
-                        sorted(
-                            ((self._keys[p], s) for p, s in seen.items()),
-                            key=lambda t: -t[1],
-                        )
+                        [(self._keys[int(p)], float(s))
+                         for p, s in zip(uniq[order], sc[order])]
                     )
                 else:
-                    out.append([self._keys[p] for p in seen])
+                    out.append([self._keys[int(p)] for p in uniq])
             return out
         ids_host = np.asarray(flat_ids)
         out = []
         for qi in range(q):
-            uniq = set(int(p) for p in ids_host[qi] if p >= 0)
-            out.append([self._keys[p] for p in uniq])
+            row = ids_host[qi]
+            uniq = np.unique(row[row >= 0])
+            out.append([self._keys[int(p)] for p in uniq])
         return out
 
     def top_k(self, minhashes, k: int) -> list:
-        """Top-k most similar indexed keys per query (by estimated Jaccard
-        among band-collision candidates)."""
-        results = self.query_batch(minhashes, threshold=-1.0, return_scores=True)
-        return [row[:k] for row in results]
+        """Top-k most similar indexed keys per query, fully on device:
+        band probe -> fused Jaccard rerank -> dedupe -> ``lax.top_k``."""
+        self._flush_pending()
+        if self._sigs_dev is None or not len(self._keys):
+            return [[] for _ in minhashes]
+        q_sigs = _as_signature_matrix(minhashes)
+        if q_sigs.shape[1] != self.h:
+            raise ValueError(
+                "Expecting minhash with length %d, got %d" % (self.h, q_sigs.shape[1])
+            )
+        q_dev = jnp.asarray(q_sigs)
+        q_fps = lsh_ops.band_fingerprints(q_dev, self.b, self.r)
+        ids, truncated = lsh_ops.query_tables(
+            self._sorted_fp, self._sorted_ids, q_fps, cap=self.bucket_cap
+        )
+        self.last_truncated = int(truncated)
+        flat_ids = ids.reshape(q_sigs.shape[0], -1)
+        scores = lsh_ops.rerank_jaccard(self._sigs_dev, q_dev, flat_ids)
+        top_ids, top_sc = lsh_ops.topk_candidates(scores, flat_ids, k)
+        top_ids = np.asarray(top_ids)
+        top_sc = np.asarray(top_sc)
+        return [
+            [
+                (self._keys[int(p)], float(s))
+                for p, s in zip(row_ids, row_sc)
+                if p >= 0
+            ]
+            for row_ids, row_sc in zip(top_ids, top_sc)
+        ]

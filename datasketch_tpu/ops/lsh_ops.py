@@ -33,6 +33,7 @@ __all__ = [
     "build_tables",
     "query_tables",
     "rerank_jaccard",
+    "topk_candidates",
 ]
 
 
@@ -133,3 +134,37 @@ def rerank_jaccard(db_sigs, q_sigs, cand_ids, chunk: int = 64):
         ),
     )
     return out.reshape(-1, c)[:q_total]
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def topk_candidates(scores, ids, k: int):
+    """Device-side dedupe + top-k over gathered candidates.
+
+    A band-collision candidate appears once per colliding band with an
+    identical score; per-row sort by id exposes runs, duplicates and
+    invalid (-1) slots are masked to -1 score, then ``lax.top_k`` selects.
+
+    Args:
+        scores: float32[Q, C], ids: int32[Q, C] (-1 = invalid).
+    Returns:
+        (top_ids int32[Q, k], top_scores float32[Q, k]); empty slots have
+        id -1 and score -1.
+    """
+    order = jnp.argsort(ids, axis=1)
+    ids_s = jnp.take_along_axis(ids, order, axis=1)
+    sc_s = jnp.take_along_axis(scores, order, axis=1)
+    prev = jnp.concatenate(
+        [jnp.full((ids_s.shape[0], 1), -2, dtype=ids_s.dtype), ids_s[:, :-1]],
+        axis=1,
+    )
+    first = (ids_s != prev) & (ids_s >= 0)
+    sc_m = jnp.where(first, sc_s, -1.0)
+    k_eff = min(k, sc_m.shape[1])
+    top_sc, pos = jax.lax.top_k(sc_m, k_eff)
+    top_ids = jnp.take_along_axis(ids_s, pos, axis=1)
+    top_ids = jnp.where(top_sc >= 0, top_ids, -1)
+    if k_eff < k:
+        pad = k - k_eff
+        top_ids = jnp.pad(top_ids, ((0, 0), (0, pad)), constant_values=-1)
+        top_sc = jnp.pad(top_sc, ((0, 0), (0, pad)), constant_values=-1.0)
+    return top_ids, top_sc

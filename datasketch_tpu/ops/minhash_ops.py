@@ -163,12 +163,29 @@ def _sign_batch(hashes, lengths, a_hi, a_lo, b_hi, b_lo):
 def compute_signatures(hashes, lengths, seed: int, num_perm: int) -> jax.Array:
     """Fresh signatures for a padded batch of token hashes.
 
+    On TPU (when shapes tile), dispatches to the Pallas kernel
+    (:func:`datasketch_tpu.ops.pallas_kernels.sign_batch_pallas`) — same
+    bit-exact result, but Mosaic compiles in ~1s where the XLA fusion of
+    this computation takes 20-130s per new shape on the remote-TPU path.
+
     Args:
         hashes: uint32[B, T] (numpy or jax), lengths: int32[B].
     Returns:
         uint32[B, P] device array.
     """
     limbs = perm_limbs(seed, num_perm)
+    b, t = hashes.shape
+    from datasketch_tpu.ops import pallas_kernels as pk
+
+    if (
+        pk.signature_kernel_available()
+        and b % pk.BLOCK_B == 0
+        and t % pk.TILE_T == 0
+        and num_perm % 128 == 0
+    ):
+        return pk.sign_batch_pallas(
+            jnp.asarray(hashes), jnp.asarray(lengths), *limbs
+        )
     return _sign_batch(hashes, jnp.asarray(lengths), *limbs)
 
 

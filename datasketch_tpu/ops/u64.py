@@ -34,9 +34,13 @@ __all__ = [
 MERSENNE_PRIME = (1 << 61) - 1
 MAX_HASH = (1 << 32) - 1
 
-_LOW16 = jnp.uint32(0xFFFF)
-_P_HI = jnp.uint32(0x1FFFFFFF)  # high limb of 2**61 - 1
-_P_LO = jnp.uint32(0xFFFFFFFF)  # low limb of 2**61 - 1
+# NOTE: kept as Python ints and materialized inside each function —
+# module-level jnp scalars would be closure-captured constants, which
+# Pallas kernels reject (datasketch_tpu/ops/pallas_kernels.py calls these
+# helpers inside kernel bodies).
+_LOW16 = 0xFFFF
+_P_HI = 0x1FFFFFFF  # high limb of 2**61 - 1
+_P_LO = 0xFFFFFFFF  # low limb of 2**61 - 1
 
 
 def split_u64(x: np.ndarray):
@@ -63,16 +67,17 @@ def umul32_wide(a, b):
     """
     a = a.astype(jnp.uint32)
     b = b.astype(jnp.uint32)
-    a0 = a & _LOW16
+    low16 = jnp.uint32(_LOW16)
+    a0 = a & low16
     a1 = a >> 16
-    b0 = b & _LOW16
+    b0 = b & low16
     b1 = b >> 16
     ll = a0 * b0
     lh = a0 * b1
     hl = a1 * b0
     hh = a1 * b1
-    t = (ll >> 16) + (lh & _LOW16) + (hl & _LOW16)
-    lo = (ll & _LOW16) | (t << 16)
+    t = (ll >> 16) + (lh & low16) + (hl & low16)
+    lo = (ll & low16) | (t << 16)
     hi = hh + (lh >> 16) + (hl >> 16) + (t >> 16)
     return hi, lo
 
@@ -99,11 +104,13 @@ def mod_mersenne61(x_hi, x_lo):
     ``y < 2**61 + 7``; one conditional subtract of p finishes. Note NumPy's
     ``%`` maps multiples of p to 0 (not p), which this reproduces.
     """
-    low_hi = x_hi & _P_HI
+    p_hi = jnp.uint32(_P_HI)
+    p_lo = jnp.uint32(_P_LO)
+    low_hi = x_hi & p_hi
     top3 = x_hi >> 29
     y_hi, y_lo = add64(low_hi, x_lo, jnp.uint32(0), top3)
     # y >= p  <=>  y_hi > P_HI or (y_hi == P_HI and y_lo == P_LO)
-    ge = (y_hi > _P_HI) | ((y_hi == _P_HI) & (y_lo == _P_LO))
+    ge = (y_hi > p_hi) | ((y_hi == p_hi) & (y_lo == p_lo))
     # subtract p == add (2**64 - p) = (0xE0000000, 0x00000001) mod 2**64
     s_hi, s_lo = add64(y_hi, y_lo, jnp.uint32(0xE0000000), jnp.uint32(1))
     out_hi = jnp.where(ge, s_hi, y_hi)
