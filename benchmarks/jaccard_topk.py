@@ -72,7 +72,16 @@ def bench_hnsw(mhs, query_idx, k, num_perm, m=16, ef=100):
     def jaccard_distance(x, y):
         return 1.0 - float(np.mean(x == y))
 
-    index = HNSW(distance_func=jaccard_distance, m=m, ef_construction=ef)
+    def batch_jaccard_distance(q, pts):
+        # one vectorized pass per beam frontier instead of per-edge calls
+        return 1.0 - (np.asarray(pts) == q).mean(axis=1)
+
+    index = HNSW(
+        distance_func=jaccard_distance,
+        batch_distance_func=batch_jaccard_distance,
+        m=m,
+        ef_construction=ef,
+    )
     t0 = time.perf_counter()
     for i, mh in enumerate(mhs):
         index.insert(i, np.asarray(mh.hashvalues))
@@ -85,6 +94,43 @@ def bench_hnsw(mhs, query_idx, k, num_perm, m=16, ef=100):
         found = index.query(np.asarray(mhs[i].hashvalues), k=k, ef=ef)
         times.append(time.perf_counter() - t0)
         results.append([(key, 1.0 - d) for key, d in found])
+    return results, times, indexing
+
+
+def bench_hnsw_tpu(mhs, query_idx, k, num_perm, m=16, ef=100):
+    """Same graph as bench_hnsw, but queried on device (batched beam)."""
+    from datasketch_tpu import HNSW
+    from datasketch_tpu.ops import hnsw_ops
+
+    def jaccard_distance(x, y):
+        return 1.0 - float(np.mean(x == y))
+
+    def batch_jaccard_distance(q, pts):
+        return 1.0 - (np.asarray(pts) == q).mean(axis=1)
+
+    index = HNSW(
+        distance_func=jaccard_distance,
+        batch_distance_func=batch_jaccard_distance,
+        m=m,
+        ef_construction=ef,
+    )
+    t0 = time.perf_counter()
+    for i, mh in enumerate(mhs):
+        index.insert(i, np.asarray(mh.hashvalues).astype(np.uint32))
+    graph = hnsw_ops.export_graph(index)
+    indexing = time.perf_counter() - t0
+
+    queries = np.stack(
+        [np.asarray(mhs[i].hashvalues).astype(np.uint32) for i in query_idx]
+    )
+    hnsw_ops.batch_query(graph, queries, k=k, ef=ef, metric="minhash_jaccard")
+    t0 = time.perf_counter()
+    batch = hnsw_ops.batch_query(
+        graph, queries, k=k, ef=ef, metric="minhash_jaccard"
+    )
+    total = time.perf_counter() - t0
+    times = [total / len(queries)] * len(queries)
+    results = [[(key, 1.0 - d) for key, d in row] for row in batch]
     return results, times, indexing
 
 
@@ -112,6 +158,7 @@ def main():
         ("tpu_lsh", bench_tpu_lsh, {"num_perm": num_perm}),
         ("lshforest", bench_forest, {"num_perm": num_perm}),
         ("hnsw", bench_hnsw, {"num_perm": num_perm, "m": 16, "ef": 100}),
+        ("hnsw_tpu", bench_hnsw_tpu, {"num_perm": num_perm, "m": 16, "ef": 100}),
     ]:
         results, times, indexing = fn(mhs, query_idx, k, num_perm)
         recalls = utils.compute_recalls(results, gt)
