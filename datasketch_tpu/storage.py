@@ -226,6 +226,34 @@ class RedisStorage:
         self._name = name if name is not None else os.urandom(8).hex().encode("ascii")
         if isinstance(self._name, str):
             self._name = self._name.encode("ascii")
+        # Write pipeline auto-executed at buffer_size — the reference's
+        # RedisBuffer (storage.py:821-844); used by insertion sessions.
+        self._buffer_size = 50000
+        self._pipe = self._redis.pipeline()
+        self._pipe_len = 0
+
+    @property
+    def buffer_size(self):
+        return self._buffer_size
+
+    @buffer_size.setter
+    def buffer_size(self, value):
+        self._buffer_size = value
+
+    def _target(self, buffer):
+        """The connection to write through: pipeline when buffering."""
+        return self._pipe if buffer else self._redis
+
+    def _after_write(self, buffer):
+        if buffer:
+            self._pipe_len += 1
+            if self._pipe_len >= self._buffer_size:
+                self.empty_buffer()
+
+    def empty_buffer(self):
+        if self._pipe_len:
+            self._pipe.execute()
+            self._pipe_len = 0
 
     def redis_key(self, key):
         return self._name + b"/" + (key if isinstance(key, bytes) else bytes(key))
@@ -233,13 +261,16 @@ class RedisStorage:
     def __getstate__(self):
         state = self.__dict__.copy()
         state.pop("_redis", None)
+        state.pop("_pipe", None)
         return state
 
     def __setstate__(self, state):
-        import redis
+        import redis  # reconnect on unpickle (storage.py:929-932)
 
         self.__dict__.update(state)
         self._redis = redis.Redis(**self._redis_params)
+        self._pipe = self._redis.pipeline()
+        self._pipe_len = 0
 
 
 class RedisListStorage(RedisStorage, OrderedStorage):
@@ -249,16 +280,19 @@ class RedisListStorage(RedisStorage, OrderedStorage):
     def get(self, key):
         return self._redis.lrange(self.redis_key(key), 0, -1)
 
-    def insert(self, key, *vals, **kwargs):
+    def insert(self, key, *vals, buffer=False, **kwargs):
         if vals:
-            self._redis.rpush(self.redis_key(key), *vals)
+            self._target(buffer).rpush(self.redis_key(key), *vals)
+            self._after_write(buffer)
 
-    def remove(self, *keys, **kwargs):
+    def remove(self, *keys, buffer=False, **kwargs):
         if keys:
-            self._redis.delete(*[self.redis_key(k) for k in keys])
+            self._target(buffer).delete(*[self.redis_key(k) for k in keys])
+            self._after_write(buffer)
 
-    def remove_val(self, key, val, **kwargs):
-        self._redis.lrem(self.redis_key(key), 1, val)
+    def remove_val(self, key, val, buffer=False, **kwargs):
+        self._target(buffer).lrem(self.redis_key(key), 1, val)
+        self._after_write(buffer)
 
     def size(self):
         return len(self.keys())
@@ -277,16 +311,19 @@ class RedisSetStorage(RedisStorage, UnorderedStorage):
     def get(self, key):
         return self._redis.smembers(self.redis_key(key))
 
-    def insert(self, key, *vals, **kwargs):
+    def insert(self, key, *vals, buffer=False, **kwargs):
         if vals:
-            self._redis.sadd(self.redis_key(key), *vals)
+            self._target(buffer).sadd(self.redis_key(key), *vals)
+            self._after_write(buffer)
 
-    def remove(self, *keys, **kwargs):
+    def remove(self, *keys, buffer=False, **kwargs):
         if keys:
-            self._redis.delete(*[self.redis_key(k) for k in keys])
+            self._target(buffer).delete(*[self.redis_key(k) for k in keys])
+            self._after_write(buffer)
 
-    def remove_val(self, key, val, **kwargs):
-        self._redis.srem(self.redis_key(key), val)
+    def remove_val(self, key, val, buffer=False, **kwargs):
+        self._target(buffer).srem(self.redis_key(key), val)
+        self._after_write(buffer)
 
     def size(self):
         return len(self.keys())
