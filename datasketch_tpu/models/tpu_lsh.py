@@ -79,6 +79,7 @@ class TpuMinHashLSH:
         self._sorted_fp = None  # [b, N]
         self._sorted_ids = None  # [b, N]
         self._pending_sigs: list = []  # host tail awaiting reindex
+        self._alive = None  # bool[N] tombstone mask (False = removed)
         self.last_truncated = 0
 
     # ------------------------------------------------------------------ build
@@ -104,9 +105,10 @@ class TpuMinHashLSH:
             self._key_to_pos[k] = base + i
         self._keys.extend(keys)
         if self._sigs_dev is None:
-            all_sigs = sigs
+            all_sigs = jnp.asarray(sigs)
         else:
-            all_sigs = np.concatenate([np.asarray(self._sigs_dev), sigs], axis=0)
+            # concat on device: no D2H round-trip of the existing corpus
+            all_sigs = jnp.concatenate([self._sigs_dev, jnp.asarray(sigs)], axis=0)
         self._rebuild(all_sigs)
 
     def insert(self, key: Hashable, minhash, check_duplication: bool = True) -> None:
@@ -128,23 +130,61 @@ class TpuMinHashLSH:
         tail = np.stack(self._pending_sigs)
         self._pending_sigs = []
         if self._sigs_dev is None:
-            all_sigs = tail
+            all_sigs = jnp.asarray(tail)
         else:
-            all_sigs = np.concatenate([np.asarray(self._sigs_dev), tail], axis=0)
+            all_sigs = jnp.concatenate([self._sigs_dev, jnp.asarray(tail)], axis=0)
         self._rebuild(all_sigs)
 
-    def _rebuild(self, all_sigs: np.ndarray) -> None:
+    def _rebuild(self, all_sigs) -> None:
         self._sigs_dev = jnp.asarray(all_sigs)
         fps = lsh_ops.band_fingerprints(self._sigs_dev, self.b, self.r)
         self._sorted_fp, self._sorted_ids = lsh_ops.build_tables(fps)
+        if self._alive is None or self._alive.shape[0] != self._sigs_dev.shape[0]:
+            old = self._alive
+            self._alive = np.ones(self._sigs_dev.shape[0], dtype=bool)
+            if old is not None:
+                self._alive[: old.shape[0]] = old
+
+    def remove(self, key: Hashable) -> None:
+        """Tombstone `key` (parity with MinHashLSH.remove, lsh.py:497-528).
+
+        The signature row stays in the band tables but is masked from every
+        query; call :meth:`compact` to reclaim space after many removals.
+        """
+        self._flush_pending()
+        if key not in self._key_to_pos:
+            raise ValueError("The given key does not exist")
+        pos = self._key_to_pos.pop(key)
+        self._alive[pos] = False
+        self._keys[pos] = None
+
+    def compact(self) -> None:
+        """Drop tombstoned rows and rebuild the band tables."""
+        self._flush_pending()
+        if self._sigs_dev is None or self._alive.all():
+            return
+        live = np.nonzero(self._alive)[0]
+        sigs = jnp.asarray(np.asarray(self._sigs_dev)[live])
+        self._keys = [self._keys[i] for i in live]
+        self._key_to_pos = {k: i for i, k in enumerate(self._keys)}
+        self._alive = None
+        self._rebuild(sigs)
 
     # ------------------------------------------------------------------ query
+
+    def _mask_dead(self, flat_ids):
+        """Replace tombstoned candidate ids with -1 (device where)."""
+        if self._alive is None or bool(self._alive.all()):
+            return flat_ids
+        alive_dev = jnp.asarray(self._alive)
+        safe = jnp.where(flat_ids >= 0, flat_ids, 0)
+        return jnp.where((flat_ids >= 0) & alive_dev[safe], flat_ids, -1)
 
     def __contains__(self, key: Hashable) -> bool:
         return key in self._key_to_pos
 
     def __len__(self) -> int:
-        return len(self._keys)
+        return len(self._key_to_pos)
 
     def is_empty(self) -> bool:
         return len(self._keys) == 0
@@ -180,6 +220,7 @@ class TpuMinHashLSH:
         self.last_truncated = int(truncated)
         q = q_sigs.shape[0]
         flat_ids = ids.reshape(q, -1)
+        flat_ids = self._mask_dead(flat_ids)
         if self.rerank or return_scores:
             scores = lsh_ops.rerank_jaccard(self._sigs_dev, q_dev, flat_ids)
             cutoff = self.threshold if threshold is None else threshold
@@ -228,7 +269,7 @@ class TpuMinHashLSH:
             self._sorted_fp, self._sorted_ids, q_fps, cap=self.bucket_cap
         )
         self.last_truncated = int(truncated)
-        flat_ids = ids.reshape(q_sigs.shape[0], -1)
+        flat_ids = self._mask_dead(ids.reshape(q_sigs.shape[0], -1))
         scores = lsh_ops.rerank_jaccard(self._sigs_dev, q_dev, flat_ids)
         top_ids, top_sc = lsh_ops.topk_candidates(scores, flat_ids, k)
         top_ids = np.asarray(top_ids)

@@ -123,3 +123,41 @@ class TestTpuMinHashLSH:
         ms, _ = _make_minhashes(n_docs=1)
         assert tpu.query(ms[0]) == []
         assert tpu.is_empty()
+
+
+def test_remove_and_compact():
+    import numpy as np
+
+    from datasketch_tpu import MinHash
+    from datasketch_tpu.models.tpu_lsh import TpuMinHashLSH
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 1 << 32, size=(128,), dtype=np.uint64)
+    sigs = []
+    for i in range(12):
+        hv = base.copy()
+        flip = rng.rand(128) < 0.1 * (i % 4)
+        hv[flip] = rng.randint(0, 1 << 32, size=int(flip.sum()), dtype=np.uint64)
+        sigs.append(hv)
+    mhs = [MinHash(num_perm=128, hashvalues=s) for s in sigs]
+    index = TpuMinHashLSH(threshold=0.5, num_perm=128)
+    index.index([f"k{i}" for i in range(12)], mhs)
+
+    assert "k1" in index.query(mhs[1])
+    index.remove("k1")
+    assert "k1" not in index
+    assert len(index) == 11
+    assert "k1" not in index.query(mhs[1])
+    assert all(k != "k1" for k, _ in index.top_k([mhs[1]], 5)[0])
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        index.remove("k1")
+
+    index.compact()
+    assert len(index) == 11
+    assert "k0" in index.query(mhs[0])
+    # re-inserting a removed key works after compaction
+    index.insert("k1", mhs[1])
+    assert "k1" in index.query(mhs[1])
