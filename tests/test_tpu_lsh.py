@@ -161,3 +161,15 @@ def test_remove_and_compact():
     # re-inserting a removed key works after compaction
     index.insert("k1", mhs[1])
     assert "k1" in index.query(mhs[1])
+
+
+def test_device_upload_roundtrip():
+    import numpy as np
+
+    from datasketch_tpu.ops.transfer import device_upload
+
+    rng = np.random.RandomState(0)
+    for n in (5, 1000, 4097):
+        x = rng.randint(0, 2**31, size=(n, 16), dtype=np.uint32)
+        d = device_upload(x, chunk_bytes=4096)
+        assert np.array_equal(np.asarray(d), x)
