@@ -73,11 +73,9 @@ def main():
     q_dev = sigs_dev[jnp.asarray(q_idx)]
 
     def run():
-        q_fps = lsh_ops.band_fingerprints(q_dev, b, r)
-        ids, trunc = lsh_ops.query_tables(sorted_fp, sorted_ids, q_fps, cap=64)
-        flat = ids.reshape(len(q_idx), -1)
-        scores = lsh_ops.rerank_jaccard(sigs_dev, q_dev, flat)
-        top_ids, top_sc = lsh_ops.topk_candidates(scores, flat, 10)
+        top_ids, top_sc, trunc = lsh_ops.topk_fused(
+            sorted_fp, sorted_ids, sigs_dev, q_dev, b, r, 64, 10
+        )
         return np.asarray(top_ids), np.asarray(top_sc), int(trunc)
 
     run()  # warm

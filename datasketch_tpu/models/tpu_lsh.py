@@ -264,14 +264,30 @@ class TpuMinHashLSH:
                 "Expecting minhash with length %d, got %d" % (self.h, q_sigs.shape[1])
             )
         q_dev = jnp.asarray(q_sigs)
-        q_fps = lsh_ops.band_fingerprints(q_dev, self.b, self.r)
-        ids, truncated = lsh_ops.query_tables(
-            self._sorted_fp, self._sorted_ids, q_fps, cap=self.bucket_cap
-        )
-        self.last_truncated = int(truncated)
-        flat_ids = self._mask_dead(ids.reshape(q_sigs.shape[0], -1))
-        scores = lsh_ops.rerank_jaccard(self._sigs_dev, q_dev, flat_ids)
-        top_ids, top_sc = lsh_ops.topk_candidates(scores, flat_ids, k)
+        if self._alive is None or bool(self._alive.all()):
+            # hot path: whole pipeline in one dispatch
+            top_ids, top_sc, truncated = lsh_ops.topk_fused(
+                self._sorted_fp,
+                self._sorted_ids,
+                self._sigs_dev,
+                q_dev,
+                self.b,
+                self.r,
+                self.bucket_cap,
+                k,
+            )
+            self.last_truncated = int(truncated)
+        else:
+            q_fps = lsh_ops.band_fingerprints(q_dev, self.b, self.r)
+            ids, truncated = lsh_ops.query_tables(
+                self._sorted_fp, self._sorted_ids, q_fps, cap=self.bucket_cap
+            )
+            self.last_truncated = int(truncated)
+            flat_ids = self._mask_dead(ids.reshape(q_sigs.shape[0], -1))
+            scores = lsh_ops.rerank_jaccard(self._sigs_dev, q_dev, flat_ids)
+            top_ids, top_sc = lsh_ops.topk_candidates(
+                scores, flat_ids, k, max_dup=self.b
+            )
         top_ids = np.asarray(top_ids)
         top_sc = np.asarray(top_sc)
         return [

@@ -31,9 +31,12 @@ from datasketch_tpu.ops.hashing import mix32
 __all__ = [
     "band_fingerprints",
     "build_tables",
+    "build_offsets",
     "query_tables",
+    "query_tables_direct",
     "rerank_jaccard",
     "topk_candidates",
+    "topk_fused",
 ]
 
 
@@ -66,6 +69,57 @@ def build_tables(fps):
         lambda f, i: jax.lax.sort((f, i), num_keys=1)
     )(fps_t, ids)
     return sorted_fp, sorted_ids
+
+
+def _bucket_shift(n_buckets: int) -> int:
+    return 32 - int(n_buckets).bit_length() + 1
+
+
+@functools.partial(jax.jit, static_argnames=("n_buckets",))
+def build_offsets(sorted_fp, n_buckets: int):
+    """Direct-address offsets over the sorted band tables.
+
+    Fingerprints are uniform uint32, so the top ``log2(n_buckets)`` bits
+    index a bucket; ``offsets[band, i]`` is the first table position whose
+    fingerprint falls in bucket i. Queries then locate their bucket with a
+    single gather instead of a ~20-step binary search over N.
+    """
+    shift = _bucket_shift(n_buckets)
+    bucket = (sorted_fp >> shift).astype(jnp.int32)  # [b, N] nondecreasing
+    bounds = jnp.arange(n_buckets + 1, dtype=jnp.int32)
+    return jax.vmap(
+        lambda bk: jnp.searchsorted(bk, bounds, side="left").astype(jnp.int32)
+    )(bucket)
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "n_buckets"))
+def query_tables_direct(sorted_fp, sorted_ids, offsets, q_fps,
+                        cap: int, n_buckets: int):
+    """Band-bucket lookup via direct addressing.
+
+    Same result contract as :func:`query_tables`, but ``cap`` bounds the
+    scanned *bucket* window (bucket spans include any fingerprints sharing
+    the top bits); non-matching entries in the window are filtered by an
+    exact fingerprint compare. ``truncated`` counts window overflow.
+    """
+    shift = _bucket_shift(n_buckets)
+
+    def per_band(fp_row, id_row, off_row, q_col):
+        bk = (q_col >> shift).astype(jnp.int32)
+        start = off_row[bk]
+        end = off_row[bk + 1]
+        pos = start[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
+        valid = pos < end[:, None]
+        safe = jnp.where(valid, pos, 0)
+        match = valid & (fp_row[safe] == q_col[:, None])
+        ids = jnp.where(match, id_row[safe], -1)
+        trunc = jnp.sum(jnp.maximum(end - start - cap, 0))
+        return ids, trunc
+
+    ids, trunc = jax.vmap(per_band, in_axes=(0, 0, 0, 1))(
+        sorted_fp, sorted_ids, offsets, q_fps
+    )
+    return jnp.transpose(ids, (1, 0, 2)), jnp.sum(trunc)
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))
@@ -136,8 +190,8 @@ def rerank_jaccard(db_sigs, q_sigs, cand_ids, chunk: int = 64):
     return out.reshape(-1, c)[:q_total]
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def topk_candidates(scores, ids, k: int):
+@functools.partial(jax.jit, static_argnames=("k", "max_dup"))
+def topk_candidates(scores, ids, k: int, max_dup: int = 0):
     """Device-side dedupe + top-k over gathered candidates.
 
     A band-collision candidate appears once per colliding band with an
@@ -146,10 +200,17 @@ def topk_candidates(scores, ids, k: int):
 
     Args:
         scores: float32[Q, C], ids: int32[Q, C] (-1 = invalid).
+        max_dup: if > 0, an id appears at most this many times per row
+            (= number of bands); a cheap ``top_k(k * max_dup)`` score
+            prefilter then shrinks the expensive per-row id sort.
     Returns:
         (top_ids int32[Q, k], top_scores float32[Q, k]); empty slots have
         id -1 and score -1.
     """
+    if max_dup and scores.shape[1] > k * max_dup:
+        pre = k * max_dup
+        scores, pos = jax.lax.top_k(scores, pre)
+        ids = jnp.take_along_axis(ids, pos, axis=1)
     order = jnp.argsort(ids, axis=1)
     ids_s = jnp.take_along_axis(ids, order, axis=1)
     sc_s = jnp.take_along_axis(scores, order, axis=1)
@@ -168,3 +229,28 @@ def topk_candidates(scores, ids, k: int):
         top_ids = jnp.pad(top_ids, ((0, 0), (0, pad)), constant_values=-1)
         top_sc = jnp.pad(top_sc, ((0, 0), (0, pad)), constant_values=-1.0)
     return top_ids, top_sc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("b", "r", "cap", "k", "n_buckets")
+)
+def topk_fused(sorted_fp, sorted_ids, db_sigs, q_sigs, b: int, r: int,
+               cap: int, k: int, offsets=None, n_buckets: int = 0):
+    """Whole top-k query pipeline in ONE dispatch.
+
+    fingerprints -> band probes (direct-addressed when ``offsets`` given,
+    binary search otherwise) -> Jaccard rerank -> dedupe top-k; at serving
+    scale each separate dispatch costs a host<->device round trip, which
+    dominates for sub-100ms batches.
+    """
+    q_fps = band_fingerprints(q_sigs, b, r)
+    if offsets is not None:
+        ids, trunc = query_tables_direct(
+            sorted_fp, sorted_ids, offsets, q_fps, cap, n_buckets
+        )
+    else:
+        ids, trunc = query_tables(sorted_fp, sorted_ids, q_fps, cap=cap)
+    flat = ids.reshape(q_sigs.shape[0], -1)
+    scores = rerank_jaccard(db_sigs, q_sigs, flat)
+    top_ids, top_sc = topk_candidates(scores, flat, k, max_dup=b)
+    return top_ids, top_sc, trunc

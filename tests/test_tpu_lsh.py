@@ -173,3 +173,50 @@ def test_device_upload_roundtrip():
         x = rng.randint(0, 2**31, size=(n, 16), dtype=np.uint32)
         d = device_upload(x, chunk_bytes=4096)
         assert np.array_equal(np.asarray(d), x)
+
+
+def test_direct_addressed_tables_match_binary_search():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from datasketch_tpu.ops import lsh_ops
+
+    rng = np.random.RandomState(8)
+    sigs = jnp.asarray(
+        rng.randint(0, 1 << 32, size=(500, 128), dtype=np.uint64).astype(np.uint32)
+    )
+    b, r, nb = 16, 8, 256
+    fps = lsh_ops.band_fingerprints(sigs, b, r)
+    sfp, sid = lsh_ops.build_tables(fps)
+    off = lsh_ops.build_offsets(sfp, nb)
+    q = fps[:32]
+    ids_a, tr_a = lsh_ops.query_tables(sfp, sid, q, cap=32)
+    ids_b, tr_b = lsh_ops.query_tables_direct(sfp, sid, off, q, 32, nb)
+    for ra, rb in zip(np.asarray(ids_a).reshape(32, -1),
+                      np.asarray(ids_b).reshape(32, -1)):
+        assert set(ra[ra >= 0]) == set(rb[rb >= 0])
+
+    t_a = lsh_ops.topk_fused(sfp, sid, sigs, sigs[:8], b, r, 32, 5)
+    t_b = lsh_ops.topk_fused(sfp, sid, sigs, sigs[:8], b, r, 32, 5,
+                             offsets=off, n_buckets=nb)
+    np.testing.assert_array_equal(np.asarray(t_a[0]), np.asarray(t_b[0]))
+
+
+def test_topk_prefilter_equivalent():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from datasketch_tpu.ops import lsh_ops
+
+    rng = np.random.RandomState(4)
+    ids_np = rng.randint(-1, 40, size=(16, 200)).astype(np.int32)
+    # LSH invariant: every occurrence of an id carries the same rerank score
+    per_id = rng.rand(16, 41).astype(np.float32)
+    scores_np = np.take_along_axis(per_id, (ids_np % 41), axis=1)
+    scores = jnp.asarray(scores_np)
+    ids = jnp.asarray(ids_np)
+    a_ids, a_sc = lsh_ops.topk_candidates(scores, ids, 5)
+    b_ids, b_sc = lsh_ops.topk_candidates(scores, ids, 5, max_dup=8)
+    # prefilter keeps top 40 scores; with <=8 dups per id the top-5 unique
+    # ids are preserved
+    np.testing.assert_allclose(np.asarray(a_sc), np.asarray(b_sc), atol=1e-6)
