@@ -80,6 +80,7 @@ class TpuMinHashLSH:
         self._sorted_ids = None  # [b, N]
         self._pending_sigs: list = []  # host tail awaiting reindex
         self._alive = None  # bool[N] tombstone mask (False = removed)
+        self._alive_dev = None  # cached (device_mask, all_alive) pair
         self.last_truncated = 0
 
     # ------------------------------------------------------------------ build
@@ -144,6 +145,7 @@ class TpuMinHashLSH:
             self._alive = np.ones(self._sigs_dev.shape[0], dtype=bool)
             if old is not None:
                 self._alive[: old.shape[0]] = old
+            self._alive_dev = None
 
     def remove(self, key: Hashable) -> None:
         """Tombstone `key` (parity with MinHashLSH.remove, lsh.py:497-528).
@@ -157,6 +159,7 @@ class TpuMinHashLSH:
         pos = self._key_to_pos.pop(key)
         self._alive[pos] = False
         self._keys[pos] = None
+        self._alive_dev = None  # invalidate cached device mask
 
     def compact(self) -> None:
         """Drop tombstoned rows and rebuild the band tables."""
@@ -164,19 +167,29 @@ class TpuMinHashLSH:
         if self._sigs_dev is None or self._alive.all():
             return
         live = np.nonzero(self._alive)[0]
-        sigs = jnp.asarray(np.asarray(self._sigs_dev)[live])
+        sigs = self._sigs_dev[jnp.asarray(live)]  # gather on device
         self._keys = [self._keys[i] for i in live]
         self._key_to_pos = {k: i for i, k in enumerate(self._keys)}
         self._alive = None
+        self._alive_dev = None
         self._rebuild(sigs)
 
     # ------------------------------------------------------------------ query
 
+    def _alive_state(self):
+        """(device mask or None-if-all-alive), cached until remove/compact."""
+        if self._alive_dev is None:
+            if self._alive is None or bool(self._alive.all()):
+                self._alive_dev = (None, True)
+            else:
+                self._alive_dev = (jnp.asarray(self._alive), False)
+        return self._alive_dev
+
     def _mask_dead(self, flat_ids):
         """Replace tombstoned candidate ids with -1 (device where)."""
-        if self._alive is None or bool(self._alive.all()):
+        alive_dev, all_alive = self._alive_state()
+        if all_alive:
             return flat_ids
-        alive_dev = jnp.asarray(self._alive)
         safe = jnp.where(flat_ids >= 0, flat_ids, 0)
         return jnp.where((flat_ids >= 0) & alive_dev[safe], flat_ids, -1)
 
@@ -187,7 +200,7 @@ class TpuMinHashLSH:
         return len(self._key_to_pos)
 
     def is_empty(self) -> bool:
-        return len(self._keys) == 0
+        return len(self._key_to_pos) == 0
 
     def query(self, minhash, threshold: Optional[float] = None) -> list:
         """Single query; returns candidate keys (reranked if enabled)."""
@@ -264,7 +277,7 @@ class TpuMinHashLSH:
                 "Expecting minhash with length %d, got %d" % (self.h, q_sigs.shape[1])
             )
         q_dev = jnp.asarray(q_sigs)
-        if self._alive is None or bool(self._alive.all()):
+        if self._alive_state()[1]:
             # hot path: whole pipeline in one dispatch
             top_ids, top_sc, truncated = lsh_ops.topk_fused(
                 self._sorted_fp,

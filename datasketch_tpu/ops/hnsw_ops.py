@@ -60,7 +60,12 @@ def _distance_fn(metric: Union[str, Callable]):
 
 @dataclass
 class DeviceGraph:
-    """HNSW graph exported to device arrays (query-only snapshot)."""
+    """HNSW graph exported to device arrays (query-only snapshot).
+
+    Device form of the dict-graph layers of
+    ``/root/reference/datasketch/hnsw.py:15-116`` (``_Layer``/``_Node``);
+    ``deleted`` carries the soft-delete tombstones of ``hnsw.py:933-936``.
+    """
 
     points: jax.Array  # [N, D]
     adj0: jax.Array  # int32[N, deg0], -1 padded
@@ -68,6 +73,7 @@ class DeviceGraph:
     upper_adj: list  # per level: int32[n_l, deg], LOCAL indices, -1 padded
     entry: int
     keys: list = field(default_factory=list)
+    deleted: jax.Array = None  # bool[N] soft-delete tombstones
 
     @property
     def n(self) -> int:
@@ -113,16 +119,15 @@ def export_graph(index, dtype=None) -> DeviceGraph:
         upper_nodes.append(jnp.asarray(nodes))
         upper_adj.append(jnp.asarray(adj))
 
-    g = DeviceGraph(
+    return DeviceGraph(
         points=jnp.asarray(pts),
         adj0=jnp.asarray(adj0),
         upper_nodes=upper_nodes,
         upper_adj=upper_adj,
         entry=key_pos[index._entry_point],
         keys=keys,
+        deleted=jnp.asarray(deleted),
     )
-    g.deleted = jnp.asarray(deleted)
-    return g
 
 
 def _greedy_level(points, nodes, adj, entry_local, queries, dist):
@@ -249,6 +254,9 @@ def batch_query(graph: DeviceGraph, queries, k: int = 10, ef: int = 64,
     dist = _distance_fn(metric)
     iters = ef if iters is None else iters
     q = jnp.asarray(queries)
+    deleted = graph.deleted
+    if deleted is None:
+        deleted = jnp.zeros((graph.n,), dtype=bool)
 
     # Upper-level descent: run levels sequentially outside jit boundaries
     # is simpler, but we keep everything in one jit for dispatch economy.
@@ -256,7 +264,7 @@ def batch_query(graph: DeviceGraph, queries, k: int = 10, ef: int = 64,
     ids, dists = _query_jit(
         graph.points,
         graph.adj0,
-        graph.deleted,
+        deleted,
         upper,
         graph.entry,
         q,

@@ -207,6 +207,10 @@ def topk_candidates(scores, ids, k: int, max_dup: int = 0):
         (top_ids int32[Q, k], top_scores float32[Q, k]); empty slots have
         id -1 and score -1.
     """
+    # Invalid (-1) slots carry score 0.0 from rerank_jaccard; push them to
+    # -1 BEFORE any score-based prefilter so they can't displace genuine
+    # zero-score candidates (fingerprint collisions).
+    scores = jnp.where(ids >= 0, scores, -1.0)
     if max_dup and scores.shape[1] > k * max_dup:
         pre = k * max_dup
         scores, pos = jax.lax.top_k(scores, pre)

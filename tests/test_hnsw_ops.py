@@ -66,8 +66,7 @@ def test_minhash_jaccard_metric():
         upper_adj=graph.upper_adj,
         entry=graph.entry,
         keys=graph.keys,
-    )
-    graph2.deleted = graph.deleted
+    )  # deleted defaults to None -> treated as all-alive
     res = hnsw_ops.batch_query(graph2, sigs[:2], k=3, ef=16,
                                metric="minhash_jaccard")
     assert res[0][0][0] == 0 and res[0][0][1] == 0.0  # identical sig, dist 0
