@@ -24,7 +24,8 @@ OUR_DOCS = 8192
 REF_DOCS = 192
 # Reference CPU rate measured locally (docs/sec at this exact config) —
 # used only when /root/reference is not importable on the bench host.
-FALLBACK_REF_RATE = None  # set after first local measurement
+# Measured 2026-08-16 on this host (1 core): 640-790 docs/s across runs.
+FALLBACK_REF_RATE = 660.0
 
 
 def make_corpus(n_docs: int, seed: int = 42):

@@ -212,8 +212,43 @@ class MinHashLSH:
                 raise ValueError(
                     "Expecting minhash with length %d, got %d" % (self.h, len(m))
                 )
-        for key, m in zip(keys, minhashes):
-            self._insert(key, m, check_duplication=check_duplication, buffer=False)
+        if not keys:
+            return
+        if self.hashfunc is not None:
+            # custom band-key compressor: fall back to the per-key path
+            for key, m in zip(keys, minhashes):
+                self._insert(key, m, check_duplication=check_duplication)
+            return
+        # One byteswap over the stacked signature matrix, then per-band
+        # byte-string views — identical bytes to per-key _H calls.
+        sigs = np.stack([np.asarray(m.hashvalues) for m in minhashes])
+        swapped = np.ascontiguousarray(sigs.byteswap())
+        item = swapped.dtype.itemsize
+        raw = swapped.tobytes()
+        row_bytes = swapped.shape[1] * item
+        stored_keys = keys
+        if self.prepickle:
+            stored_keys = [pickle.dumps(k) for k in keys]
+        elif self._require_bytes_keys:
+            for k in keys:
+                if not isinstance(k, bytes):
+                    raise TypeError(
+                        "prepickle=False requires bytes keys for non-dict "
+                        f"storage, got {type(k).__name__}."
+                    )
+        if check_duplication:
+            for sk in stored_keys:
+                if sk in self.keys:
+                    raise ValueError("The given key already exists")
+        for i, sk in enumerate(stored_keys):
+            base = i * row_bytes
+            Hs = [
+                raw[base + start * item : base + end * item]
+                for start, end in self.hashranges
+            ]
+            self.keys.insert(sk, *Hs, buffer=False)
+            for H, hashtable in zip(Hs, self.hashtables):
+                hashtable.insert(H, sk, buffer=False)
 
     def _insert(self, key, minhash, check_duplication=True, buffer=False) -> None:
         if len(minhash) != self.h:

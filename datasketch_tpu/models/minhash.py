@@ -246,32 +246,85 @@ class MinHash:
         )
 
     @classmethod
-    def bulk(cls, b: Iterable, **minhash_kwargs) -> list:
+    def bulk(cls, b: Iterable, scheme: str = "permutation", **minhash_kwargs) -> list:
         """Compute many MinHashes at once (minhash.py:464-489).
 
         Unlike the reference's sequential object reuse, all documents are
         hashed, padded into one ``uint32[batch, tokens]`` array, and pushed
         through a single device signature computation.
+
+        Args:
+            scheme: ``"permutation"`` (default — reference-compatible
+                signatures) or ``"oph"`` (densified one-permutation hashing,
+                :mod:`datasketch_tpu.ops.oph` — ~num_perm x less device
+                work; statistically equivalent Jaccard estimates but NOT
+                value-compatible with the reference).
         """
-        return list(cls.generator(b, **minhash_kwargs))
+        return list(cls.generator(b, scheme=scheme, **minhash_kwargs))
 
     @classmethod
-    def generator(cls, b: Iterable, **minhash_kwargs):
+    def generator(cls, b: Iterable, scheme: str = "permutation", **minhash_kwargs):
         """Generator form of :meth:`bulk`, computing in device-sized chunks."""
+        if scheme not in ("permutation", "oph"):
+            raise ValueError("unknown signature scheme: %r" % (scheme,))
         proto = cls(**minhash_kwargs)
         chunk: list = []
         chunk_docs = 1024
         for doc in b:
             chunk.append(doc)
             if len(chunk) >= chunk_docs:
-                yield from proto._bulk_chunk(chunk)
+                yield from proto._bulk_chunk(chunk, scheme=scheme)
                 chunk = []
         if chunk:
-            yield from proto._bulk_chunk(chunk)
+            yield from proto._bulk_chunk(chunk, scheme=scheme)
 
-    def _bulk_chunk(self, docs: list):
+    def _bulk_chunk_oph(self, docs: list):
+        """Densified one-permutation signatures for a chunk
+        (:mod:`datasketch_tpu.ops.oph`). Signatures are valid MinHash
+        state (uint32 values, MAX_HASH-initialized) but not
+        value-compatible with the permutation scheme."""
+        from datasketch_tpu.native import corpus
+        from datasketch_tpu.ops import oph
+
+        if self.hashfunc is sha1_hash32:
+            docs = [doc if isinstance(doc, list) else list(doc) for doc in docs]
+            max_len = max((len(d) for d in docs), default=1)
+            t_bucket = 128
+            while t_bucket < max_len:
+                t_bucket *= 2
+            padded, lengths = corpus.hash_corpus_padded(
+                docs, corpus.ALGO_SHA1_32, pad_multiple=t_bucket
+            )
+        else:
+            from datasketch_tpu.ops import minhash_ops as _mo
+
+            hashed = [self._hash_tokens(list(doc)) for doc in docs]
+            padded, lengths = _mo.pad_token_hashes(hashed)
+        b_bucket = 128
+        while b_bucket < padded.shape[0]:
+            b_bucket *= 2
+        n_real = padded.shape[0]
+        if n_real != b_bucket:
+            padded = np.pad(padded, ((0, b_bucket - n_real), (0, 0)))
+            lengths = np.pad(lengths, (0, b_bucket - n_real))
+        sigs = np.asarray(
+            oph.oph_signatures(padded, lengths, self.num_perm, seed=self.seed)
+        ).astype(np.uint64)[:n_real]
+        for row in sigs:
+            yield MinHash(
+                seed=self.seed,
+                hashfunc=self.hashfunc,
+                hashvalues=row,
+                permutations=self.permutations,
+                device_mode=self._device_mode,
+            )
+
+    def _bulk_chunk(self, docs: list, scheme: str = "permutation"):
         from datasketch_tpu.ops import minhash_ops
 
+        if scheme == "oph":
+            yield from self._bulk_chunk_oph(docs)
+            return
         if self._device_mode == "disable":
             for doc in docs:
                 m = self.copy()
