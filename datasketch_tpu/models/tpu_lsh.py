@@ -311,3 +311,58 @@ class TpuMinHashLSH:
             ]
             for row_ids, row_sc in zip(top_ids, top_sc)
         ]
+
+    # ------------------------------------------------------------ persistence
+
+    def save(self, path: str) -> None:
+        """Persist the index to an ``.npz`` (device state exported to host).
+
+        The TPU-native analogue of the reference's pickle/mmap persistence
+        (``/root/reference/docs/lsh.rst:174-192``, ``lsh_bloom.py:74-83``):
+        signatures, key list, and tombstones round-trip; band tables are
+        rebuilt on load (one device sort — cheaper than shipping them).
+        """
+        self._flush_pending()
+        import pickle as _pickle
+
+        np.savez_compressed(
+            path,
+            sigs=np.asarray(self._sigs_dev)
+            if self._sigs_dev is not None
+            else np.zeros((0, self.h), np.uint32),
+            alive=self._alive
+            if self._alive is not None
+            else np.ones(0, dtype=bool),
+            keys=np.frombuffer(_pickle.dumps(self._keys), dtype=np.uint8),
+            meta=np.array(
+                [self.h, self.b, self.r, self.bucket_cap, int(self.rerank)],
+                dtype=np.int64,
+            ),
+            threshold=np.float64(self.threshold),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "TpuMinHashLSH":
+        """Reconstruct an index saved by :meth:`save`."""
+        import pickle as _pickle
+
+        data = np.load(path, allow_pickle=False)
+        h, b, r, cap, rerank = (int(x) for x in data["meta"])
+        index = cls(
+            threshold=float(data["threshold"]),
+            num_perm=h,
+            params=(b, r),
+            bucket_cap=cap,
+            rerank=bool(rerank),
+        )
+        keys = _pickle.loads(data["keys"].tobytes())
+        sigs = data["sigs"]
+        if sigs.shape[0]:
+            index._keys = keys
+            index._key_to_pos = {
+                k: i for i, k in enumerate(keys) if k is not None
+            }
+            index._alive = data["alive"].copy()
+            index._alive_dev = None
+            index._rebuild(jnp.asarray(sigs))
+        return index

@@ -13,7 +13,7 @@ mergeable sketch state for MapReduce-style parallelism
   candidates return via ``all_gather``.
 """
 
-from datasketch_tpu.parallel.mesh import make_mesh
+from datasketch_tpu.parallel.mesh import init_distributed, make_mesh
 from datasketch_tpu.parallel.sharded_sketch import (
     sharded_compute_signatures,
     distributed_minhash_union,
@@ -23,6 +23,7 @@ from datasketch_tpu.parallel.sharded_lsh import ShardedMinHashLSH
 
 __all__ = [
     "make_mesh",
+    "init_distributed",
     "sharded_compute_signatures",
     "distributed_minhash_union",
     "distributed_hll_union",

@@ -41,3 +41,24 @@ def make_mesh(
     if int(np.prod(shape)) != n_devices:
         raise ValueError("mesh shape %r != n_devices %d" % (shape, n_devices))
     return Mesh(np.asarray(devs).reshape(shape), axis_names)
+
+
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None) -> None:
+    """Initialize multi-host JAX (DCN) before building cross-host meshes.
+
+    Thin wrapper over ``jax.distributed.initialize`` so multi-pod
+    deployments of :class:`~datasketch_tpu.parallel.ShardedMinHashLSH` use
+    one entry point; all arguments auto-detect on Cloud TPU pods. Call once
+    per process, before any device access.
+    """
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)

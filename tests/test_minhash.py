@@ -206,3 +206,17 @@ class TestLeanMinHash:
         np.testing.assert_array_equal(lu.hashvalues, mu.hashvalues)
         with pytest.raises(ValueError):
             LeanMinHash.union(LeanMinHash(m1))
+
+
+def test_profiling_utils():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from datasketch_tpu.utils import device_sync, time_op
+
+    def op(x):
+        return x * 2, x > 0
+
+    best, out = time_op(op, jnp.arange(16), warmup=1, iters=2)
+    assert best >= 0 and np.asarray(out[0])[1] == 2
+    device_sync(out)  # idempotent

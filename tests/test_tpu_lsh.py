@@ -220,3 +220,28 @@ def test_topk_prefilter_equivalent():
     # prefilter keeps top 40 scores; with <=8 dups per id the top-5 unique
     # ids are preserved
     np.testing.assert_allclose(np.asarray(a_sc), np.asarray(b_sc), atol=1e-6)
+
+
+def test_save_load_roundtrip(tmp_path):
+    import numpy as np
+
+    from datasketch_tpu import MinHash
+    from datasketch_tpu.models.tpu_lsh import TpuMinHashLSH
+
+    rng = np.random.RandomState(2)
+    sigs = rng.randint(0, 1 << 32, size=(10, 128), dtype=np.uint64)
+    mhs = [MinHash(num_perm=128, hashvalues=s) for s in sigs]
+    index = TpuMinHashLSH(threshold=0.7, num_perm=128)
+    index.index(["k%d" % i for i in range(10)], mhs)
+    index.remove("k3")
+
+    path = str(tmp_path / "idx.npz")
+    index.save(path)
+    loaded = TpuMinHashLSH.load(path)
+    assert loaded.b == index.b and loaded.r == index.r
+    assert len(loaded) == 9 and "k3" not in loaded
+    for i in (0, 5, 9):
+        if i == 3:
+            continue
+        assert "k%d" % i in loaded.query(mhs[i])
+    assert "k3" not in loaded.query(mhs[3])
