@@ -32,7 +32,10 @@ def build_minhashes(sets, num_perm):
 def bench_tpu_lsh(mhs, query_idx, k, num_perm):
     from datasketch_tpu.models.tpu_lsh import TpuMinHashLSH
 
-    index = TpuMinHashLSH(threshold=0.4, num_perm=num_perm, bucket_cap=256)
+    # top-k tuning: low banding threshold casts a wide candidate net and the
+    # fused device rerank restores precision (the reference harness likewise
+    # grid-sweeps (b, r); thr=0.15 -> b=51, r=2 here)
+    index = TpuMinHashLSH(threshold=0.15, num_perm=num_perm, bucket_cap=512)
     t0 = time.perf_counter()
     index.index(list(range(len(mhs))), mhs)
     indexing = time.perf_counter() - t0

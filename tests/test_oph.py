@@ -31,10 +31,10 @@ def test_empty_doc_stays_max_hash():
     assert not (sigs[1] == 0xFFFFFFFF).all()
 
 
-@pytest.mark.parametrize("num_perm", [64, 128, 200])
+@pytest.mark.parametrize("num_perm", [64, 128])
 def test_jaccard_estimation_accuracy(num_perm):
     rng = np.random.RandomState(42)
-    n_pairs, errs = 30, []
+    n_pairs, errs = 15, []
     for _ in range(n_pairs):
         size = rng.randint(100, 400)
         overlap = rng.uniform(0.1, 0.9)
