@@ -137,6 +137,30 @@ def bench_hnsw_tpu(mhs, query_idx, k, num_perm, m=16, ef=100):
     return results, times, indexing
 
 
+def bench_nsw_tpu(mhs, query_idx, k, num_perm, m=16, ef=100):
+    """Fully device-built index: exact kNN graph + NSW beam (no host loop)."""
+    from datasketch_tpu.ops import hnsw_ops, knn_graph
+
+    pts = np.stack([np.asarray(mh.hashvalues).astype(np.uint32) for mh in mhs])
+    t0 = time.perf_counter()
+    graph = knn_graph.build_nsw_graph(
+        pts, m=m, metric="minhash_jaccard", tile=256
+    )
+    graph.adj0.block_until_ready()
+    indexing = time.perf_counter() - t0
+
+    queries = pts[query_idx]
+    hnsw_ops.batch_query(graph, queries, k=k, ef=ef, metric="minhash_jaccard")
+    t0 = time.perf_counter()
+    batch = hnsw_ops.batch_query(
+        graph, queries, k=k, ef=ef, metric="minhash_jaccard"
+    )
+    total = time.perf_counter() - t0
+    times = [total / len(queries)] * len(queries)
+    results = [[(key, 1.0 - d) for key, d in row] for row in batch]
+    return results, times, indexing
+
+
 def main():
     n_sets = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     db_path = sys.argv[2] if len(sys.argv) > 2 else "topk_results.db"
@@ -162,6 +186,7 @@ def main():
         ("lshforest", bench_forest, {"num_perm": num_perm}),
         ("hnsw", bench_hnsw, {"num_perm": num_perm, "m": 16, "ef": 100}),
         ("hnsw_tpu", bench_hnsw_tpu, {"num_perm": num_perm, "m": 16, "ef": 100}),
+        ("nsw_tpu", bench_nsw_tpu, {"num_perm": num_perm, "m": 16, "ef": 100}),
     ]:
         results, times, indexing = fn(mhs, query_idx, k, num_perm)
         recalls = utils.compute_recalls(results, gt)
