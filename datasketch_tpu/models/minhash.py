@@ -259,8 +259,20 @@ class MinHash:
                 :mod:`datasketch_tpu.ops.oph` — ~num_perm x less device
                 work; statistically equivalent Jaccard estimates but NOT
                 value-compatible with the reference).
+
+        Docs are grouped by length before chunking (outputs keep input
+        order): ragged corpora otherwise spread token-length buckets across
+        every chunk, paying a jit compile per (batch, length) shape.
         """
-        return list(cls.generator(b, scheme=scheme, **minhash_kwargs))
+        docs = b if isinstance(b, list) else list(b)
+        order = sorted(range(len(docs)), key=lambda i: len(docs[i]))
+        out: list = [None] * len(docs)
+        gen = cls.generator(
+            (docs[i] for i in order), scheme=scheme, **minhash_kwargs
+        )
+        for pos, m in zip(order, gen):
+            out[pos] = m
+        return out
 
     @classmethod
     def generator(cls, b: Iterable, scheme: str = "permutation", **minhash_kwargs):
