@@ -26,11 +26,26 @@ __all__ = ["TpuMinHashLSH"]
 
 
 def _as_signature_matrix(minhashes) -> np.ndarray:
-    """Stack MinHash objects / arrays into uint32[N, P]."""
+    """Stack MinHash/WeightedMinHash objects or arrays into uint32[N, P].
+
+    WeightedMinHash state is ``(k, t)`` int pairs per sample
+    (``/root/reference/datasketch/weighted_minhash.py:147``); each pair is
+    mixed to one uint32 slot — slot equality iff pair equality (up to a
+    2^-32 mix collision), preserving the Jaccard-estimation semantics the
+    banding and rerank rely on.
+    """
     rows = []
     for m in minhashes:
-        hv = m.hashvalues if hasattr(m, "hashvalues") else m
-        rows.append(np.asarray(hv, dtype=np.uint64).astype(np.uint32))
+        hv = np.asarray(m.hashvalues if hasattr(m, "hashvalues") else m)
+        if hv.ndim == 2:  # WeightedMinHash (k, t) pairs
+            k = hv[:, 0].astype(np.uint64)
+            t = hv[:, 1].astype(np.int64).astype(np.uint64)  # t may be negative
+            mixed = (k * np.uint64(0x9E3779B97F4A7C15) + t) * np.uint64(
+                0xC2B2AE3D27D4EB4F
+            )
+            rows.append(((mixed >> np.uint64(32)) ^ mixed).astype(np.uint32))
+        else:
+            rows.append(hv.astype(np.uint64).astype(np.uint32))
     return np.stack(rows) if rows else np.zeros((0, 0), dtype=np.uint32)
 
 

@@ -218,3 +218,12 @@ class ShardedMinHashLSH:
             else:
                 out.append([self._keys[p] for p in seen])
         return out
+
+    def top_k(self, minhashes, k: int) -> list:
+        """Top-k (key, score) per query across all shards."""
+        saved, self.rerank = self.rerank, False
+        try:
+            rows = self.query_batch(minhashes, return_scores=True)
+        finally:
+            self.rerank = saved
+        return [row[:k] for row in rows]

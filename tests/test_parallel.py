@@ -97,3 +97,23 @@ def test_sharded_lsh_incremental_reindex(mesh):
     assert len(index) == 20
     res = index.query(mhs[15])
     assert "b5" in res
+
+
+def test_sharded_lsh_top_k(mesh):
+    rng = np.random.RandomState(9)
+    num_perm = 128
+    base = rng.randint(0, 1 << 32, size=(num_perm,), dtype=np.uint64)
+    sigs = []
+    for i in range(24):
+        hv = base.copy()
+        flip = rng.rand(num_perm) < (i % 6) / 10.0
+        hv[flip] = rng.randint(0, 1 << 32, size=int(flip.sum()), dtype=np.uint64)
+        sigs.append(hv.astype(np.uint32))
+    mhs = [MinHash(num_perm=num_perm, hashvalues=s) for s in sigs]
+    index = ShardedMinHashLSH(mesh, threshold=0.3, num_perm=num_perm,
+                              bucket_cap=64)
+    index.index(["k%d" % i for i in range(24)], mhs)
+    top = index.top_k([mhs[0]], k=5)[0]
+    assert top[0][0] == "k0" and abs(top[0][1] - 1.0) < 1e-6
+    scores = [s for _, s in top]
+    assert scores == sorted(scores, reverse=True) and len(top) <= 5

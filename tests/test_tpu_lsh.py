@@ -245,3 +245,27 @@ def test_save_load_roundtrip(tmp_path):
             continue
         assert "k%d" % i in loaded.query(mhs[i])
     assert "k3" not in loaded.query(mhs[3])
+
+
+def test_weighted_minhash_in_device_lsh():
+    import numpy as np
+
+    from datasketch_tpu import WeightedMinHashGenerator
+    from datasketch_tpu.models.tpu_lsh import TpuMinHashLSH
+
+    rng = np.random.RandomState(0)
+    gen = WeightedMinHashGenerator(50, sample_size=128, seed=1)
+    base = rng.uniform(0, 3, 50)
+    rows = [base * rng.uniform(0.8, 1.2, 50) for _ in range(6)]
+    rows += [rng.uniform(0, 3, 50) for _ in range(6)]  # unrelated
+    wms = [gen.minhash(r) for r in rows]
+
+    index = TpuMinHashLSH(threshold=0.5, num_perm=128, bucket_cap=64)
+    index.index(["w%d" % i for i in range(12)], wms)
+    res = index.query(wms[0])
+    assert "w0" in res  # self
+    # scores match host weighted-jaccard estimates
+    scored = dict(index.query_batch([wms[0]], return_scores=True)[0])
+    for key, score in scored.items():
+        j = int(key[1:])
+        assert abs(score - wms[0].jaccard(wms[j])) < 1e-6
