@@ -22,6 +22,7 @@ from datasketch_tpu.models.lshforest import MinHashLSHForest
 from datasketch_tpu.models.lshensemble import MinHashLSHEnsemble
 from datasketch_tpu.models.lsh_bloom import MinHashLSHBloom
 from datasketch_tpu.models.hnsw import HNSW
+from datasketch_tpu.models.tpu_lsh import TpuMinHashLSH
 from datasketch_tpu.aio import AsyncMinHashLSH  # instantiation gates optional deps
 from datasketch_tpu.storage import (
     ordered_storage,
@@ -52,6 +53,7 @@ __all__ = [
     "MinHashLSHEnsemble",
     "MinHashLSHBloom",
     "HNSW",
+    "TpuMinHashLSH",
     "AsyncMinHashLSH",
     "sha1_hash32",
     "sha1_hash64",
