@@ -221,11 +221,15 @@ class MinHashLSH:
             return
         # One byteswap over the stacked signature matrix, then per-band
         # byte-string views — identical bytes to per-key _H calls.
+        # WeightedMinHash state is [num_perm, 2] (k, t) pairs, so one
+        # "hash value" may span several array elements: val_bytes below.
         sigs = np.stack([np.asarray(m.hashvalues) for m in minhashes])
         swapped = np.ascontiguousarray(sigs.byteswap())
-        item = swapped.dtype.itemsize
         raw = swapped.tobytes()
-        row_bytes = swapped.shape[1] * item
+        val_bytes = swapped.dtype.itemsize * int(
+            np.prod(swapped.shape[2:], dtype=np.int64)
+        )
+        row_bytes = swapped.shape[1] * val_bytes
         stored_keys = keys
         if self.prepickle:
             stored_keys = [pickle.dumps(k) for k in keys]
@@ -237,13 +241,15 @@ class MinHashLSH:
                         f"storage, got {type(k).__name__}."
                     )
         if check_duplication:
+            seen = set()
             for sk in stored_keys:
-                if sk in self.keys:
+                if sk in self.keys or sk in seen:
                     raise ValueError("The given key already exists")
+                seen.add(sk)
         for i, sk in enumerate(stored_keys):
             base = i * row_bytes
             Hs = [
-                raw[base + start * item : base + end * item]
+                raw[base + start * val_bytes : base + end * val_bytes]
                 for start, end in self.hashranges
             ]
             self.keys.insert(sk, *Hs, buffer=False)

@@ -265,6 +265,8 @@ class MinHash:
         every chunk, paying a jit compile per (batch, length) shape.
         """
         docs = b if isinstance(b, list) else list(b)
+        # materialize iterator docs (len() below; downstream list()s anyway)
+        docs = [d if hasattr(d, "__len__") else list(d) for d in docs]
         order = sorted(range(len(docs)), key=lambda i: len(docs[i]))
         out: list = [None] * len(docs)
         gen = cls.generator(
@@ -290,15 +292,18 @@ class MinHash:
         if chunk:
             yield from proto._bulk_chunk(chunk, scheme=scheme)
 
-    def _bulk_chunk_oph(self, docs: list):
-        """Densified one-permutation signatures for a chunk
-        (:mod:`datasketch_tpu.ops.oph`). Signatures are valid MinHash
-        state (uint32 values, MAX_HASH-initialized) but not
-        value-compatible with the permutation scheme."""
-        from datasketch_tpu.native import corpus
-        from datasketch_tpu.ops import oph
+    def _pad_corpus_for_device(self, docs: list):
+        """Hash + pad a doc chunk into the device input layout.
+
+        Shared by both bulk schemes. T and B are bucketed to powers of two
+        (ragged corpora otherwise pay a jit compile per (B, T) shape).
+        Returns (padded uint32[B_pad, T_pad], lengths int32[B_pad], n_real).
+        """
+        from datasketch_tpu.ops import minhash_ops
 
         if self.hashfunc is sha1_hash32:
+            from datasketch_tpu.native import corpus
+
             docs = [doc if isinstance(doc, list) else list(doc) for doc in docs]
             max_len = max((len(d) for d in docs), default=1)
             t_bucket = 128
@@ -308,20 +313,18 @@ class MinHash:
                 docs, corpus.ALGO_SHA1_32, pad_multiple=t_bucket
             )
         else:
-            from datasketch_tpu.ops import minhash_ops as _mo
-
             hashed = [self._hash_tokens(list(doc)) for doc in docs]
-            padded, lengths = _mo.pad_token_hashes(hashed)
-        b_bucket = 128
-        while b_bucket < padded.shape[0]:
-            b_bucket *= 2
+            padded, lengths = minhash_ops.pad_token_hashes(hashed)
         n_real = padded.shape[0]
+        b_bucket = 128
+        while b_bucket < n_real:
+            b_bucket *= 2
         if n_real != b_bucket:
             padded = np.pad(padded, ((0, b_bucket - n_real), (0, 0)))
             lengths = np.pad(lengths, (0, b_bucket - n_real))
-        sigs = np.asarray(
-            oph.oph_signatures(padded, lengths, self.num_perm, seed=self.seed)
-        ).astype(np.uint64)[:n_real]
+        return padded, lengths, n_real
+
+    def _yield_rows(self, sigs):
         for row in sigs:
             yield MinHash(
                 seed=self.seed,
@@ -330,6 +333,19 @@ class MinHash:
                 permutations=self.permutations,
                 device_mode=self._device_mode,
             )
+
+    def _bulk_chunk_oph(self, docs: list):
+        """Densified one-permutation signatures for a chunk
+        (:mod:`datasketch_tpu.ops.oph`). Signatures are valid MinHash
+        state (uint32 values, MAX_HASH-initialized) but not
+        value-compatible with the permutation scheme."""
+        from datasketch_tpu.ops import oph
+
+        padded, lengths, n_real = self._pad_corpus_for_device(docs)
+        sigs = np.asarray(
+            oph.oph_signatures(padded, lengths, self.num_perm, seed=self.seed)
+        ).astype(np.uint64)[:n_real]
+        yield from self._yield_rows(sigs)
 
     def _bulk_chunk(self, docs: list, scheme: str = "permutation"):
         from datasketch_tpu.ops import minhash_ops
@@ -343,31 +359,13 @@ class MinHash:
                 m.update_batch(doc)
                 yield m
             return
-        if self.hashfunc is sha1_hash32:
-            # One native call walks the whole corpus (C-level list iteration,
-            # SHA-NI, parallel) straight into the padded device input.
-            from datasketch_tpu.native import corpus
-
-            docs = [doc if isinstance(doc, list) else list(doc) for doc in docs]
-            # Bucket T to powers of two: ragged corpora otherwise produce a
-            # new (B, T) shape per chunk, each costing a fresh jit compile.
-            max_len = max((len(d) for d in docs), default=1)
-            t_bucket = 128
-            while t_bucket < max_len:
-                t_bucket *= 2
-            padded, lengths = corpus.hash_corpus_padded(
-                docs, corpus.ALGO_SHA1_32, pad_multiple=t_bucket
-            )
-            total = int(lengths.sum())
-            hashed = None
-        else:
-            hashed = [self._hash_tokens(list(doc)) for doc in docs]
-            total = sum(h.size for h in hashed)
+        padded, lengths, n_real = self._pad_corpus_for_device(docs)
+        total = int(np.asarray(lengths).sum())
         if total < _DEVICE_BATCH_THRESHOLD and self._device_mode != "always":
-            if hashed is None:
-                hashed = [padded[i, :n] for i, n in enumerate(lengths)]
-            for doc_hashes in hashed:
+            # tiny chunk: reference NumPy formula beats a device dispatch
+            for i in range(n_real):
                 m = self.copy()
+                doc_hashes = padded[i, : lengths[i]]
                 if doc_hashes.size:
                     a, bb = self.permutations
                     hv64 = doc_hashes.astype(np.uint64)[:, None]
@@ -375,30 +373,10 @@ class MinHash:
                     m.hashvalues = np.minimum(m.hashvalues, phv.min(axis=0))
                 yield m
             return
-        if hashed is not None:
-            padded, lengths = minhash_ops.pad_token_hashes(hashed)
-        # Pad the batch axis to the generator chunk size so every full-rate
-        # chunk reuses one compiled (B, T) program.
-        b_bucket = 128
-        while b_bucket < padded.shape[0]:
-            b_bucket *= 2
-        if padded.shape[0] != b_bucket:
-            n_real = padded.shape[0]
-            padded = np.pad(padded, ((0, b_bucket - n_real), (0, 0)))
-            lengths = np.pad(lengths, (0, b_bucket - n_real))
-        else:
-            n_real = padded.shape[0]
         sigs = np.asarray(
             minhash_ops.compute_signatures(padded, lengths, self.seed, self.num_perm)
         ).astype(np.uint64)[:n_real]
-        for row in sigs:
-            yield MinHash(
-                seed=self.seed,
-                hashfunc=self.hashfunc,
-                hashvalues=row,
-                permutations=self.permutations,
-                device_mode=self._device_mode,
-            )
+        yield from self._yield_rows(sigs)
 
     def __getstate__(self):
         state = self.__dict__.copy()

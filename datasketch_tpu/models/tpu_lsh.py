@@ -131,7 +131,7 @@ class TpuMinHashLSH:
         """Insert one (key, minhash); buffers and reindexes lazily."""
         if check_duplication and key in self._key_to_pos:
             raise ValueError("The given key already exists")
-        hv = np.asarray(minhash.hashvalues, dtype=np.uint64).astype(np.uint32)
+        hv = _as_signature_matrix([minhash])[0]  # handles WeightedMinHash too
         if hv.shape[0] != self.h:
             raise ValueError(
                 "Expecting minhash with length %d, got %d" % (self.h, hv.shape[0])
@@ -336,10 +336,13 @@ class TpuMinHashLSH:
         (``/root/reference/docs/lsh.rst:174-192``, ``lsh_bloom.py:74-83``):
         signatures, key list, and tombstones round-trip; band tables are
         rebuilt on load (one device sort — cheaper than shipping them).
+        ``.npz`` is appended when missing (numpy does so on write anyway).
         """
         self._flush_pending()
         import pickle as _pickle
 
+        if not str(path).endswith(".npz"):
+            path = str(path) + ".npz"
         np.savez_compressed(
             path,
             sigs=np.asarray(self._sigs_dev)
@@ -358,9 +361,16 @@ class TpuMinHashLSH:
 
     @classmethod
     def load(cls, path: str) -> "TpuMinHashLSH":
-        """Reconstruct an index saved by :meth:`save`."""
+        """Reconstruct an index saved by :meth:`save`.
+
+        SECURITY: the key list inside the file is a pickle payload — only
+        load index files you created or trust (same caveat as the
+        reference's pickled indexes).
+        """
         import pickle as _pickle
 
+        if not str(path).endswith(".npz"):
+            path = str(path) + ".npz"
         data = np.load(path, allow_pickle=False)
         h, b, r, cap, rerank = (int(x) for x in data["meta"])
         index = cls(

@@ -127,17 +127,28 @@ def build_nsw_graph(points, keys=None, m: int = 16, metric="l2",
     cands = knn_adjacency(points, k=kc, metric=metric, tile=tile)
     adj = np.asarray(_prune_diverse(points, cands, m, tile, dist))
 
-    # symmetrize on host (irregular reverse-degree), cap at 2m
+    # symmetrize (vectorized — this host has one core; a Python loop over
+    # N*m edges costs seconds at 50k points): append src as a reverse edge
+    # of dst unless the forward edge already exists, capped at 2m per node
     deg_cap = 2 * m
     full = np.full((n, deg_cap), -1, dtype=np.int32)
     full[:, : adj.shape[1]] = adj
-    fill = (adj >= 0).sum(axis=1).astype(np.int32)
-    for src in range(n):
-        for dst in adj[src]:
-            d = int(dst)
-            if d >= 0 and fill[d] < deg_cap and src not in adj[d]:
-                full[d, fill[d]] = src
-                fill[d] += 1
+    fill = (adj >= 0).sum(axis=1).astype(np.int64)
+    src = np.repeat(np.arange(n, dtype=np.int32), adj.shape[1])
+    dst = adj.ravel()
+    ok = dst >= 0
+    src, dst = src[ok], dst[ok]
+    # drop pairs where dst already points back at src
+    already = (adj[dst] == src[:, None]).any(axis=1)
+    src, dst = src[~already], dst[~already]
+    # stable group by dst; rank within group = arange - first occurrence
+    order = np.argsort(dst, kind="stable")
+    src, dst = src[order], dst[order]
+    first = np.searchsorted(dst, dst, side="left")
+    rank = np.arange(dst.shape[0]) - first
+    slot = fill[dst] + rank
+    keep = slot < deg_cap
+    full[dst[keep], slot[keep]] = src[keep]
 
     # Upper levels: NESTED random subsets (one shared permutation), kNN
     # within each on device. Nesting preserves the HNSW invariant the

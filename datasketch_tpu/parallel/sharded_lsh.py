@@ -176,8 +176,10 @@ class ShardedMinHashLSH:
         minhashes,
         threshold: Optional[float] = None,
         return_scores: bool = False,
+        rerank: Optional[bool] = None,
     ) -> list:
         """Batched query across all shards; one all_gather per call."""
+        do_rerank = self.rerank if rerank is None else rerank
         if self._sigs is None or not self._n_real:
             return [[] for _ in minhashes]
         q_sigs = _as_signature_matrix(minhashes)
@@ -206,7 +208,7 @@ class ShardedMinHashLSH:
                 pos = int(row_ids[j])
                 if pos not in seen:
                     seen[pos] = float(row_sc[j])
-            if self.rerank:
+            if do_rerank:
                 seen = {p: s for p, s in seen.items() if s >= cutoff}
             if return_scores:
                 out.append(
@@ -221,9 +223,5 @@ class ShardedMinHashLSH:
 
     def top_k(self, minhashes, k: int) -> list:
         """Top-k (key, score) per query across all shards."""
-        saved, self.rerank = self.rerank, False
-        try:
-            rows = self.query_batch(minhashes, return_scores=True)
-        finally:
-            self.rerank = saved
+        rows = self.query_batch(minhashes, return_scores=True, rerank=False)
         return [row[:k] for row in rows]

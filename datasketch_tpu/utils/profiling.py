@@ -44,10 +44,11 @@ def device_sync(out) -> None:
     """
     for leaf in jax.tree_util.tree_leaves(out):
         if hasattr(leaf, "dtype"):
+            # sum/any have identities for empty arrays (max does not)
             if leaf.dtype == bool:
                 np.asarray(jnp.any(leaf))
             else:
-                np.asarray(jnp.max(leaf))
+                np.asarray(jnp.sum(leaf))
 
 
 def time_op(fn: Callable, *args, warmup: int = 1, iters: int = 3, **kwargs):

@@ -196,3 +196,28 @@ class TestMinHashLSH:
         m1 = _mh(range(0, 40), 16)
         lsh.insert(("tuple", "key"), m1)
         assert ("tuple", "key") in lsh.query(m1)
+
+
+def test_insert_batch_weighted_minhash_and_in_batch_dups():
+    import numpy as np
+    import pytest
+
+    from datasketch_tpu import MinHashLSH, WeightedMinHashGenerator
+
+    rng = np.random.RandomState(0)
+    gen = WeightedMinHashGenerator(30, sample_size=64, seed=1)
+    wms = [gen.minhash(rng.uniform(0, 3, 30)) for _ in range(4)]
+
+    a = MinHashLSH(threshold=0.1, num_perm=64)
+    for i, wm in enumerate(wms):
+        a.insert("w%d" % i, wm)
+    b = MinHashLSH(threshold=0.1, num_perm=64)
+    b.insert_batch(["w%d" % i for i in range(4)], wms)
+    # identical band keys -> identical query results (the 2-D hashvalues
+    # stride bug made batch-inserted weighted entries unqueryable)
+    for wm in wms:
+        assert set(a.query(wm)) == set(b.query(wm))
+    assert "w0" in b.query(wms[0])
+
+    with pytest.raises(ValueError):
+        b.insert_batch(["dup", "dup"], wms[:2])  # in-batch duplicate
