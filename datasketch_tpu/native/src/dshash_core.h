@@ -633,6 +633,107 @@ inline uint32_t xxh32(const uint8_t* p, size_t len, uint32_t seed) {
   return h;
 }
 
+// ------------------------------------------------------------------ xxHash64
+
+inline uint64_t rotl64(uint64_t x, int c) { return (x << c) | (x >> (64 - c)); }
+
+inline uint64_t xxh64(const uint8_t* p, size_t len, uint64_t seed) {
+  const uint64_t P1 = 11400714785074694791ULL, P2 = 14029467366897019727ULL,
+                 P3 = 1609587929392839161ULL, P4 = 9650029242287828579ULL,
+                 P5 = 2870177450012600261ULL;
+  const uint8_t* end = p + len;
+  uint64_t h;
+  if (len >= 32) {
+    const uint8_t* limit = end - 32;
+    uint64_t v1 = seed + P1 + P2, v2 = seed + P2, v3 = seed, v4 = seed - P1;
+    do {
+      uint64_t x;
+      std::memcpy(&x, p, 8); v1 = rotl64(v1 + x * P2, 31) * P1; p += 8;
+      std::memcpy(&x, p, 8); v2 = rotl64(v2 + x * P2, 31) * P1; p += 8;
+      std::memcpy(&x, p, 8); v3 = rotl64(v3 + x * P2, 31) * P1; p += 8;
+      std::memcpy(&x, p, 8); v4 = rotl64(v4 + x * P2, 31) * P1; p += 8;
+    } while (p <= limit);
+    h = rotl64(v1, 1) + rotl64(v2, 7) + rotl64(v3, 12) + rotl64(v4, 18);
+    for (uint64_t v : {v1, v2, v3, v4}) {
+      h ^= rotl64(v * P2, 31) * P1;
+      h = h * P1 + P4;
+    }
+  } else {
+    h = seed + P5;
+  }
+  h += static_cast<uint64_t>(len);
+  while (p + 8 <= end) {
+    uint64_t x;
+    std::memcpy(&x, p, 8);
+    h ^= rotl64(x * P2, 31) * P1;
+    h = rotl64(h, 27) * P1 + P4;
+    p += 8;
+  }
+  if (p + 4 <= end) {
+    uint32_t x;
+    std::memcpy(&x, p, 4);
+    h ^= static_cast<uint64_t>(x) * P1;
+    h = rotl64(h, 23) * P2 + P3;
+    p += 4;
+  }
+  while (p < end) {
+    h ^= (*p) * P5;
+    h = rotl64(h, 11) * P1;
+    p++;
+  }
+  h ^= h >> 33; h *= P2; h ^= h >> 29; h *= P3; h ^= h >> 32;
+  return h;
+}
+
+// ------------------------------------------------- token memoization cache
+
+// Direct-mapped content-addressed cache: Zipfian token streams re-hash the
+// same byte strings constantly; memoizing sha1-low-32 by xxh64(content)
+// makes repeats ~free while producing identical outputs. False-hit odds
+// per lookup ~ n / 2^64 (key is the full 64-bit content hash; slot
+// collisions just evict).
+struct TokenCache {
+  // 2-way set-associative (direct-mapped thrashes on vocab-sized key sets:
+  // pairwise slot conflicts evict each other forever); 2^17 sets x 2 ways
+  // = 3 MB, L2/L3 resident.
+  static constexpr size_t kBits = 17;
+  static constexpr size_t kSets = 1ULL << kBits;
+  struct Set {  // both ways of a set inside one 32-byte span (one line)
+    uint64_t k0, k1;
+    uint32_t v0, v1;
+    uint32_t pad0, pad1;
+  };
+  std::vector<Set> sets;
+  TokenCache() : sets(kSets, Set{0, 0, 0, 0, 0, 0}) {}
+
+  static uint64_t content_key(const uint8_t* p, size_t len) {
+    uint64_t k = xxh64(p, len, 0x5bd1e995ULL);
+    return k ? k : 1;  // 0 marks empty slots
+  }
+
+  inline bool lookup(uint64_t k, uint32_t* out) const {
+    const Set& s = sets[static_cast<size_t>(k) & (kSets - 1)];
+    if (s.k0 == k) {
+      *out = s.v0;
+      return true;
+    }
+    if (s.k1 == k) {
+      *out = s.v1;
+      return true;
+    }
+    return false;
+  }
+
+  inline void insert(uint64_t k, uint32_t v) {
+    Set& s = sets[static_cast<size_t>(k) & (kSets - 1)];
+    // insert into way 0, demote previous occupant to way 1 (LRU-of-2)
+    s.k1 = s.k0;
+    s.v1 = s.v0;
+    s.k0 = k;
+    s.v0 = v;
+  }
+};
+
 // --------------------------------------------------------------- parallelism
 
 template <typename Fn>

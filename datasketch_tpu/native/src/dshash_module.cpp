@@ -14,6 +14,8 @@
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
+#include <memory>
+
 #include "dshash_core.h"
 
 namespace {
@@ -46,7 +48,9 @@ struct TokenSink {
   uint32_t seed = 0;
   dshash::compress_fn compress = nullptr;
   bool use_x2 = false;
+  dshash::TokenCache* cache = nullptr;  // sha1_32 memoization (optional)
   TokenRef pending{nullptr, 0, 0};
+  uint64_t pending_key = 0;
   bool has_pending = false;
 
   inline void consume(const uint8_t* ptr, uint32_t len, int64_t pos) {
@@ -55,22 +59,38 @@ struct TokenSink {
       return;
     }
     switch (algo) {
-      case 0:
+      case 0: {
+        uint64_t ck = 0;
+        if (cache) {
+          ck = dshash::TokenCache::content_key(ptr, len);
+          uint32_t v;
+          if (cache->lookup(ck, &v)) {
+            out32[pos] = v;
+            return;
+          }
+        }
 #ifdef DSHASH_X86
         if (use_x2 && len <= 55) {
           if (!has_pending) {
             pending = TokenRef{ptr, len, pos};
+            pending_key = ck;
             has_pending = true;
           } else {
             dshash::sha1_32_short_x2(pending.ptr, pending.len, ptr, len,
                                      &out32[pending.out_pos], &out32[pos]);
             has_pending = false;
+            if (cache) {
+              if (pending_key) cache->insert(pending_key, out32[pending.out_pos]);
+              if (ck) cache->insert(ck, out32[pos]);
+            }
           }
           return;
         }
 #endif
         out32[pos] = dshash::sha1_32(ptr, len, compress);
+        if (cache && ck) cache->insert(ck, out32[pos]);
         return;
+      }
       case 1:
         out32[pos] = dshash::xxh32(ptr, len, seed);
         return;
@@ -83,6 +103,8 @@ struct TokenSink {
     if (has_pending) {
       out32[pending.out_pos] =
           dshash::sha1_32(pending.ptr, pending.len, compress);
+      if (cache && pending_key)
+        cache->insert(pending_key, out32[pending.out_pos]);
       has_pending = false;
     }
   }
@@ -128,7 +150,8 @@ Py_ssize_t collect_tokens(PyObject* seq, int64_t out_base, Py_ssize_t max_count,
 // during collection — lowest latency), 2 = force buffered (GIL-released
 // deferred pass — lets hashing overlap other Python threads).
 void init_sink(TokenSink& sink, std::vector<TokenRef>* refs, int algo,
-               uint32_t seed, uint32_t* out32, uint64_t* out64, int mode) {
+               uint32_t seed, uint32_t* out32, uint64_t* out64, int mode,
+               dshash::TokenCache* cache) {
   sink.algo = algo;
   sink.seed = seed;
   sink.out32 = out32;
@@ -138,6 +161,7 @@ void init_sink(TokenSink& sink, std::vector<TokenRef>* refs, int algo,
   static const bool single_core = std::thread::hardware_concurrency() <= 1;
   const bool inline_mode = (mode == 1) || (mode == 0 && single_core);
   sink.refs = inline_mode ? nullptr : refs;
+  sink.cache = (algo == 0 && inline_mode) ? cache : nullptr;
 }
 
 // Hash all collected tokens into `out32`/`out64` (one of them), GIL released.
@@ -147,27 +171,48 @@ void hash_refs(const std::vector<TokenRef>& refs, int algo, uint32_t seed,
   const int64_t n = static_cast<int64_t>(refs.size());
 #ifdef DSHASH_X86
   if (algo == 0 && dshash::sha_ni_available()) {
-    // Pair single-block tokens through the 2-way interleaved compressor.
+    // Pair single-block tokens through the 2-way interleaved compressor,
+    // with a per-thread content cache (Zipfian streams repeat tokens).
+    const bool use_cache = n >= 4096;
     dshash::parallel_for(n, [&](int64_t lo, int64_t hi) {
+      std::unique_ptr<dshash::TokenCache> cache(
+          use_cache ? new dshash::TokenCache() : nullptr);
       int64_t pending = -1;
+      uint64_t pending_key = 0;
       for (int64_t i = lo; i < hi; i++) {
         const TokenRef& r = refs[i];
+        uint64_t ck = 0;
+        if (cache) {
+          ck = dshash::TokenCache::content_key(r.ptr, r.len);
+          uint32_t v;
+          if (cache->lookup(ck, &v)) {
+            out32[r.out_pos] = v;
+            continue;
+          }
+        }
         if (r.len <= 55) {
           if (pending < 0) {
             pending = i;
+            pending_key = ck;
           } else {
             const TokenRef& p = refs[pending];
             dshash::sha1_32_short_x2(p.ptr, p.len, r.ptr, r.len,
                                      &out32[p.out_pos], &out32[r.out_pos]);
+            if (cache) {
+              if (pending_key) cache->insert(pending_key, out32[p.out_pos]);
+              if (ck) cache->insert(ck, out32[r.out_pos]);
+            }
             pending = -1;
           }
         } else {
           out32[r.out_pos] = dshash::sha1_32(r.ptr, r.len, c);
+          if (cache && ck) cache->insert(ck, out32[r.out_pos]);
         }
       }
       if (pending >= 0) {
         const TokenRef& p = refs[pending];
         out32[p.out_pos] = dshash::sha1_32(p.ptr, p.len, c);
+        if (cache && pending_key) cache->insert(pending_key, out32[p.out_pos]);
       }
     });
     return;
@@ -221,8 +266,11 @@ PyObject* hash_flat(PyObject*, PyObject* args) {
   std::vector<TokenRef> refs;
   Keepalive keep;
   TokenSink sink;
+  Py_ssize_t size_hint = PySequence_Check(tokens) ? PySequence_Size(tokens) : 0;
+  std::unique_ptr<dshash::TokenCache> cache(
+      (algo == 0 && size_hint >= 4096) ? new dshash::TokenCache() : nullptr);
   init_sink(sink, &refs, algo, seed, static_cast<uint32_t*>(view.buf),
-            static_cast<uint64_t*>(view.buf), mode);
+            static_cast<uint64_t*>(view.buf), mode, cache.get());
   if (sink.refs && PySequence_Check(tokens)) {
     Py_ssize_t hint = PySequence_Size(tokens);
     if (hint > 0) refs.reserve(static_cast<size_t>(hint));
@@ -277,8 +325,10 @@ PyObject* hash_padded(PyObject*, PyObject* args) {
   std::vector<TokenRef> refs;
   Keepalive token_keep;
   TokenSink sink;
+  std::unique_ptr<dshash::TokenCache> cache(
+      (algo == 0 && n_docs >= 16) ? new dshash::TokenCache() : nullptr);
   init_sink(sink, &refs, algo, seed, static_cast<uint32_t*>(view.buf),
-            static_cast<uint64_t*>(view.buf), mode);
+            static_cast<uint64_t*>(view.buf), mode, cache.get());
   if (sink.refs) refs.reserve(static_cast<size_t>(n_docs) * 8);
 
   int64_t total = 0;
