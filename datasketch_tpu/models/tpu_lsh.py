@@ -391,3 +391,36 @@ class TpuMinHashLSH:
             index._alive_dev = None
             index._rebuild(jnp.asarray(sigs))
         return index
+
+    # ----------------------------------------------------------- band-limited
+
+    def query_b(self, minhashes, b: int) -> list:
+        """Candidates probing only the FIRST ``b`` bands (no rerank).
+
+        The device form of ``MinHashLSH._query_b``
+        (``/root/reference/datasketch/lsh.py:545-558``), used by the
+        containment ensemble where different partitions probe different
+        band counts of the same r-index.
+        """
+        if b > self.b:
+            raise ValueError("b must be less or equal to the number of bands")
+        self._flush_pending()
+        if self._sigs_dev is None or not len(self._key_to_pos):
+            return [set() for _ in minhashes]
+        q_sigs = _as_signature_matrix(minhashes)
+        if q_sigs.shape[1] != self.h:
+            raise ValueError(
+                "Expecting minhash with length %d, got %d" % (self.h, q_sigs.shape[1])
+            )
+        q_dev = jnp.asarray(q_sigs)
+        q_fps = lsh_ops.band_fingerprints(q_dev, self.b, self.r)[:, :b]
+        ids, truncated = lsh_ops.query_tables(
+            self._sorted_fp[:b], self._sorted_ids[:b], q_fps, cap=self.bucket_cap
+        )
+        self.last_truncated = int(truncated)
+        flat = self._mask_dead(ids.reshape(q_sigs.shape[0], -1))
+        ids_host = np.asarray(flat)
+        out = []
+        for row in ids_host:
+            out.append({self._keys[int(p)] for p in np.unique(row[row >= 0])})
+        return out

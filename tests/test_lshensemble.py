@@ -116,3 +116,45 @@ class TestMinHashLSHEnsemble:
         assert "big" in set(ens.query(ms, len(set(sub))))
         assert "big" in ens
         assert "nope" not in ens
+
+
+def test_tpu_ensemble_matches_host_candidates():
+    import numpy as np
+
+    from datasketch_tpu import MinHash, MinHashLSHEnsemble
+    from datasketch_tpu.models.tpu_ensemble import TpuMinHashLSHEnsemble
+
+    rng = np.random.RandomState(0)
+    universe = rng.randint(0, 2**31, size=2000)
+    entries, sets = [], []
+    for i in range(60):
+        size = rng.randint(10, 200)
+        items = rng.choice(universe, size=size, replace=False)
+        m = MinHash(num_perm=128)
+        m.update_batch([int(v).to_bytes(8, "little") for v in items])
+        entries.append(("k%d" % i, m, len(items)))
+        sets.append(set(int(v) for v in items))
+
+    host = MinHashLSHEnsemble(threshold=0.6, num_perm=128, num_part=8)
+    host.index(entries)
+    tpu = TpuMinHashLSHEnsemble(threshold=0.6, num_perm=128, num_part=8,
+                                bucket_cap=64)
+    tpu.index(entries)
+    assert "k0" in tpu and not tpu.is_empty()
+
+    for i in (0, 7, 23):
+        key, mh, size = entries[i]
+        host_res = set(host.query(mh, size))
+        tpu_res = set(tpu.query(mh, size))
+        assert key in tpu_res  # self containment = 1
+        # fingerprint collisions can only ADD candidates vs byte-key tables
+        assert host_res <= tpu_res
+
+    # batch form agrees with the generator form
+    batch = tpu.query_batch([(entries[0][1], entries[0][2])])
+    assert set(batch[0]) == set(tpu.query(entries[0][1], entries[0][2]))
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        tpu.index(entries)  # one-shot
