@@ -28,7 +28,7 @@ logger = logging.getLogger(__name__)
 
 _mersenne_prime = np.uint64((1 << 61) - 1)
 
-__all__ = ["MinHashLSHBloom", "BloomTable"]
+__all__ = ["MinHashLSHBloom", "BloomTable", "TpuMinHashLSHBloom"]
 
 
 class BloomTable:
@@ -283,3 +283,95 @@ class MinHashLSHBloom:
         logger.info("Saving Bloom Index...")
         for table in self.hashtables:
             table.sync()
+
+
+class TpuMinHashLSHBloom:
+    """Device-resident LSHBloom: all bands' bitmaps live in device memory.
+
+    Same banding, ``sum(band) % (2^61-1)`` key, and double-hashed probe
+    scheme as :class:`MinHashLSHBloom`, but the per-band bitmaps are one
+    ``bool[b, num_bits]`` device array and insert/query are single batched
+    scatter/gather dispatches — the form that scales membership dedup to
+    bitmap sizes where host bit-twiddling becomes the bottleneck.
+    """
+
+    def __init__(
+        self,
+        threshold: float = 0.9,
+        num_perm: int = 128,
+        weights: tuple = (0.5, 0.5),
+        params: Optional[tuple] = None,
+        n: int = 1_000_000,
+        fp: float = 0.01,
+    ) -> None:
+        import jax.numpy as jnp
+
+        if threshold > 1.0 or threshold < 0.0:
+            raise ValueError("threshold must be in [0.0, 1.0]")
+        self.h = num_perm
+        if params is not None:
+            self.b, self.r = params
+            if self.b * self.r > num_perm:
+                raise ValueError("b*r must be <= num_perm")
+        else:
+            self.b, self.r = _optimal_param(threshold, num_perm, *weights)
+        m = int(np.ceil(-max(1, n) * np.log(fp) / (np.log(2.0) ** 2)))
+        self.num_bits = max(64, m)
+        self.num_hashes = max(1, int(round(self.num_bits / max(1, n) * np.log(2.0))))
+        self._bits = jnp.zeros((self.b, self.num_bits), dtype=bool)
+        self.hashranges = [(i * self.r, (i + 1) * self.r) for i in range(self.b)]
+
+    def _band_keys(self, minhashes) -> np.ndarray:
+        """uint64[N, b] band keys: sum of the band's hashvalues mod p."""
+        sigs = np.stack(
+            [np.asarray(m.hashvalues, dtype=np.uint64) for m in minhashes]
+        )
+        n = sigs.shape[0]
+        bands = sigs[:, : self.b * self.r].reshape(n, self.b, self.r)
+        return (bands.sum(axis=2, dtype=np.uint64)) % _mersenne_prime
+
+    def _positions(self, keys: np.ndarray) -> np.ndarray:
+        """Probe positions int32[N, b, k] by double hashing (BloomTable
+        scheme)."""
+        x = keys.astype(np.uint64)
+        h1 = x * np.uint64(0x9E3779B97F4A7C15)
+        h1 ^= h1 >> np.uint64(29)
+        h1 *= np.uint64(0xBF58476D1CE4E5B9)
+        h1 ^= h1 >> np.uint64(32)
+        h2 = (x * np.uint64(0xC2B2AE3D27D4EB4F)) | np.uint64(1)
+        i = np.arange(self.num_hashes, dtype=np.uint64)
+        pos = (h1[..., None] + i * h2[..., None]) % np.uint64(self.num_bits)
+        return pos.astype(np.int64)
+
+    def insert(self, minhash) -> None:
+        self.insert_batch([minhash])
+
+    def insert_batch(self, minhashes) -> None:
+        """One device scatter for the whole batch."""
+        import jax.numpy as jnp
+
+        if not minhashes:
+            return
+        pos = self._positions(self._band_keys(minhashes))  # [N, b, k]
+        band = np.broadcast_to(
+            np.arange(self.b, dtype=np.int64)[None, :, None], pos.shape
+        )
+        self._bits = self._bits.at[
+            jnp.asarray(band.ravel()), jnp.asarray(pos.ravel())
+        ].set(True)
+
+    def query(self, minhash) -> bool:
+        return bool(self.query_batch([minhash])[0])
+
+    def query_batch(self, minhashes) -> np.ndarray:
+        """bool[N]: True where ANY band's filter hits (duplicate likely)."""
+        import jax.numpy as jnp
+
+        if not minhashes:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(self._band_keys(minhashes))  # [N, b, k]
+        band = np.broadcast_to(
+            np.arange(self.b, dtype=np.int64)[None, :, None], pos.shape
+        )
+        hits = self._bits[jnp.asarray(band), jnp.asarray(pos)]  # [N, b, k]
+        return np.asarray(hits.all(axis=2).any(axis=1))

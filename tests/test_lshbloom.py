@@ -126,3 +126,32 @@ class TestMinHashLSHBloom:
             threshold=0.5, num_perm=64, n=100, fp=0.001, save_dir=d
         )
         assert lsh2.query(m)
+
+
+def test_tpu_bloom_matches_host_semantics():
+    import numpy as np
+
+    from datasketch_tpu import MinHash
+    from datasketch_tpu.models.lsh_bloom import MinHashLSHBloom, TpuMinHashLSHBloom
+
+    rng = np.random.RandomState(0)
+
+    def mh(tokens):
+        m = MinHash(num_perm=128)
+        m.update_batch([t.encode() for t in tokens])
+        return m
+
+    docs = [["t%d" % (i * 3 + j) for j in range(30)] for i in range(20)]
+    mhs = [mh(d) for d in docs]
+    fresh = [mh(["x%d" % (i + 999)] * 5 + ["y%d" % i for i in range(25)])
+             for i in range(5)]
+
+    host = MinHashLSHBloom(threshold=0.5, num_perm=128, n=1000, fp=0.01)
+    tpu = TpuMinHashLSHBloom(threshold=0.5, num_perm=128, n=1000, fp=0.01)
+    host.insert_batch(mhs)
+    tpu.insert_batch(mhs)
+    assert all(tpu.query_batch(mhs))        # all indexed found
+    assert all(host.query(m) for m in mhs)
+    # unseen docs: overwhelmingly negative on both
+    assert tpu.query_batch(fresh).sum() <= 1
+    assert tpu.query(mhs[0]) is True and tpu.query(fresh[0]) in (False, True)
