@@ -20,7 +20,7 @@ import numpy as np
 
 NUM_PERM = 128
 TOKENS_PER_DOC = 200
-OUR_DOCS = 8192
+OUR_DOCS = 16384
 REF_DOCS = 192
 # Reference CPU rate measured locally (docs/sec at this exact config) —
 # used only when /root/reference is not importable on the bench host.

@@ -23,6 +23,8 @@ from datasketch_tpu.models.lshensemble import MinHashLSHEnsemble
 from datasketch_tpu.models.lsh_bloom import MinHashLSHBloom
 from datasketch_tpu.models.hnsw import HNSW
 from datasketch_tpu.models.tpu_lsh import TpuMinHashLSH
+from datasketch_tpu.models.tpu_ensemble import TpuMinHashLSHEnsemble
+from datasketch_tpu.models.lsh_bloom import TpuMinHashLSHBloom
 from datasketch_tpu.aio import AsyncMinHashLSH  # instantiation gates optional deps
 from datasketch_tpu.storage import (
     ordered_storage,
@@ -54,6 +56,8 @@ __all__ = [
     "MinHashLSHBloom",
     "HNSW",
     "TpuMinHashLSH",
+    "TpuMinHashLSHEnsemble",
+    "TpuMinHashLSHBloom",
     "AsyncMinHashLSH",
     "sha1_hash32",
     "sha1_hash64",
