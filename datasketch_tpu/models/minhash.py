@@ -107,6 +107,13 @@ class MinHash:
         if len(self) != len(self.permutations[0]):
             raise ValueError("Numbers of hash values and permutations mismatch")
 
+    @property
+    def _gpu_mode(self) -> str:
+        """Reference-compat view of device_mode (minhash.py:156 spelling)."""
+        return {"disable": "disable", "auto": "detect", "always": "always"}[
+            self._device_mode
+        ]
+
     def _init_hashvalues(self, num_perm: int) -> np.ndarray:
         return np.ones(num_perm, dtype=np.uint64) * _max_hash
 

@@ -31,7 +31,9 @@ struct TokenRef {
 // lazy sequences).
 struct Keepalive {
   std::vector<PyObject*> objs;
+  std::vector<Py_buffer> views;  // buffer-protocol tokens (numpy ints, ...)
   ~Keepalive() {
+    for (Py_buffer& v : views) PyBuffer_Release(&v);
     for (PyObject* o : objs) Py_DECREF(o);
   }
 };
@@ -136,10 +138,20 @@ Py_ssize_t collect_tokens(PyObject* seq, int64_t out_base, Py_ssize_t max_count,
           reinterpret_cast<const uint8_t*>(PyByteArray_AS_STRING(tok)),
           static_cast<uint32_t>(PyByteArray_GET_SIZE(tok)), out_base + i);
     } else {
-      PyErr_Format(PyExc_TypeError,
-                   "token %zd is %.80s, expected bytes/bytearray", i,
-                   Py_TYPE(tok)->tp_name);
-      return -1;
+      // buffer-protocol fallback (numpy scalars/arrays hash their native
+      // byte representation, matching hashlib.sha1's behavior on them)
+      Py_buffer view;
+      if (PyObject_GetBuffer(tok, &view, PyBUF_SIMPLE) == 0) {
+        keep.views.push_back(view);  // released after hashing completes
+        sink.consume(reinterpret_cast<const uint8_t*>(view.buf),
+                     static_cast<uint32_t>(view.len), out_base + i);
+      } else {
+        PyErr_Format(
+            PyExc_TypeError,
+            "token %zd is %.80s, expected bytes/bytearray/buffer", i,
+            Py_TYPE(tok)->tp_name);
+        return -1;
+      }
     }
   }
   return n;
