@@ -83,9 +83,12 @@ def _prune_diverse(points, cand_ids, m: int, tile: int, dist):
 
         def step(state, j):
             kept_mask, kept_count = state  # [tile, kc], [tile]
-            # min distance from candidate j to any kept candidate
+            # min distance from candidate j to any kept candidate; <= (not
+            # hnswlib's strict <) so metrics with pervasive ties — e.g.
+            # equality-count Jaccard, where random pairs all sit at exactly
+            # 1.0 — degrade to the kNN graph instead of pruning everything
             dj = jnp.where(kept_mask, cc[:, j, :], big).min(axis=-1)
-            ok = (d_node[:, j] < dj) & (kept_count < m)
+            ok = (d_node[:, j] <= dj) & (kept_count < m)
             kept_mask = kept_mask.at[:, j].set(ok)
             return (kept_mask, kept_count + ok.astype(jnp.int32)), None
 
