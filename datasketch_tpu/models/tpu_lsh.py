@@ -94,6 +94,7 @@ class TpuMinHashLSH:
         self._sorted_fp = None  # [b, N]
         self._sorted_ids = None  # [b, N]
         self._pending_sigs: list = []  # host tail awaiting reindex
+        self._n_real = 0  # live+tombstoned rows; the rest is shape padding
         self._alive = None  # bool[N] tombstone mask (False = removed)
         self._alive_dev = None  # cached (device_mask, all_alive) pair
         self.last_truncated = 0
@@ -124,7 +125,9 @@ class TpuMinHashLSH:
             all_sigs = jnp.asarray(sigs)
         else:
             # concat on device: no D2H round-trip of the existing corpus
-            all_sigs = jnp.concatenate([self._sigs_dev, jnp.asarray(sigs)], axis=0)
+            all_sigs = jnp.concatenate(
+                [self._sigs_dev[: self._n_real], jnp.asarray(sigs)], axis=0
+            )
         self._rebuild(all_sigs)
 
     def insert(self, key: Hashable, minhash, check_duplication: bool = True) -> None:
@@ -148,16 +151,36 @@ class TpuMinHashLSH:
         if self._sigs_dev is None:
             all_sigs = jnp.asarray(tail)
         else:
-            all_sigs = jnp.concatenate([self._sigs_dev, jnp.asarray(tail)], axis=0)
+            all_sigs = jnp.concatenate(
+                [self._sigs_dev[: self._n_real], jnp.asarray(tail)], axis=0
+            )
         self._rebuild(all_sigs)
 
     def _rebuild(self, all_sigs) -> None:
-        self._sigs_dev = jnp.asarray(all_sigs)
+        # Pad N up to a power of two (>=128): arbitrary corpus sizes would
+        # otherwise compile a fresh sort/probe program per size, and XLA
+        # compiles through remote-TPU paths can take minutes for unlucky
+        # shapes. Padded rows get pseudo-random signatures (so they spread
+        # across buckets instead of forming one mega-run) and their ids are
+        # masked out of every query via n_valid / the alive mask.
+        all_sigs = jnp.asarray(all_sigs)
+        n_real = all_sigs.shape[0]
+        n_pad = 128
+        while n_pad < n_real:
+            n_pad *= 2
+        if n_pad != n_real:
+            rng = np.random.RandomState(n_pad & 0x7FFFFFFF)
+            filler = rng.randint(
+                0, 1 << 32, size=(n_pad - n_real, self.h), dtype=np.uint64
+            ).astype(np.uint32)
+            all_sigs = jnp.concatenate([all_sigs, jnp.asarray(filler)], axis=0)
+        self._n_real = n_real
+        self._sigs_dev = all_sigs
         fps = lsh_ops.band_fingerprints(self._sigs_dev, self.b, self.r)
         self._sorted_fp, self._sorted_ids = lsh_ops.build_tables(fps)
-        if self._alive is None or self._alive.shape[0] != self._sigs_dev.shape[0]:
+        if self._alive is None or self._alive.shape[0] != n_real:
             old = self._alive
-            self._alive = np.ones(self._sigs_dev.shape[0], dtype=bool)
+            self._alive = np.ones(n_real, dtype=bool)
             if old is not None:
                 self._alive[: old.shape[0]] = old
             self._alive_dev = None
@@ -182,7 +205,7 @@ class TpuMinHashLSH:
         if self._sigs_dev is None or self._alive.all():
             return
         live = np.nonzero(self._alive)[0]
-        sigs = self._sigs_dev[jnp.asarray(live)]  # gather on device
+        sigs = self._sigs_dev[jnp.asarray(live)]  # gather on device (live < n_real)
         self._keys = [self._keys[i] for i in live]
         self._key_to_pos = {k: i for i, k in enumerate(self._keys)}
         self._alive = None
@@ -201,7 +224,8 @@ class TpuMinHashLSH:
         return self._alive_dev
 
     def _mask_dead(self, flat_ids):
-        """Replace tombstoned candidate ids with -1 (device where)."""
+        """Replace padded and tombstoned candidate ids with -1."""
+        flat_ids = jnp.where(flat_ids < self._n_real, flat_ids, -1)
         alive_dev, all_alive = self._alive_state()
         if all_alive:
             return flat_ids
@@ -303,6 +327,7 @@ class TpuMinHashLSH:
                 self.r,
                 self.bucket_cap,
                 k,
+                n_valid=jnp.int32(self._n_real),
             )
             self.last_truncated = int(truncated)
         else:
@@ -345,7 +370,7 @@ class TpuMinHashLSH:
             path = str(path) + ".npz"
         np.savez_compressed(
             path,
-            sigs=np.asarray(self._sigs_dev)
+            sigs=np.asarray(self._sigs_dev)[: self._n_real]
             if self._sigs_dev is not None
             else np.zeros((0, self.h), np.uint32),
             alive=self._alive

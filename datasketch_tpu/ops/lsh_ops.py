@@ -239,7 +239,8 @@ def topk_candidates(scores, ids, k: int, max_dup: int = 0):
     jax.jit, static_argnames=("b", "r", "cap", "k", "n_buckets")
 )
 def topk_fused(sorted_fp, sorted_ids, db_sigs, q_sigs, b: int, r: int,
-               cap: int, k: int, offsets=None, n_buckets: int = 0):
+               cap: int, k: int, offsets=None, n_buckets: int = 0,
+               n_valid=None):
     """Whole top-k query pipeline in ONE dispatch.
 
     fingerprints -> band probes (direct-addressed when ``offsets`` given,
@@ -255,6 +256,10 @@ def topk_fused(sorted_fp, sorted_ids, db_sigs, q_sigs, b: int, r: int,
     else:
         ids, trunc = query_tables(sorted_fp, sorted_ids, q_fps, cap=cap)
     flat = ids.reshape(q_sigs.shape[0], -1)
+    if n_valid is not None:
+        # tables may be padded to a power-of-two row count (bounds the set
+        # of XLA compile shapes); padded ids are masked out here
+        flat = jnp.where(flat < n_valid, flat, -1)
     scores = rerank_jaccard(db_sigs, q_sigs, flat)
     top_ids, top_sc = topk_candidates(scores, flat, k, max_dup=b)
     return top_ids, top_sc, trunc
