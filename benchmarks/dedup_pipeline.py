@@ -1,0 +1,117 @@
+"""End-to-end near-duplicate detection: full pipeline, ours vs reference.
+
+The workload LSH exists for (and the reference's
+``compare_lsh_vs_lshbloom.py`` models): tokenized documents in, duplicate
+pairs out. Measures the COMPLETE pipeline — SHA1 token hashing, signature
+construction, index build, querying every document against the index —
+for this library's device path vs the reference's MinHash+MinHashLSH on
+CPU (imported from /root/reference).
+
+Usage: python benchmarks/dedup_pipeline.py [n_docs] [ref_docs]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from benchmarks import utils  # noqa: E402  (jit cache config)
+
+
+def make_docs(n, seed=3):
+    sets, keys, _, _ = utils.generate_sets(n_sets=n, n_queries=1, seed=seed)
+    return [[int(t).to_bytes(8, "little") for t in s] for s in sets]
+
+
+def ours(docs, threshold=0.8, num_perm=128):
+    from datasketch_tpu import MinHash, TpuMinHashLSH
+
+    t0 = time.perf_counter()
+    sigs = MinHash.bulk_signatures(docs, num_perm=num_perm)
+    index = TpuMinHashLSH(threshold=threshold, num_perm=num_perm,
+                          bucket_cap=128)
+    index.index(list(range(len(docs))), sigs)
+    import jax.numpy as jnp
+
+    from datasketch_tpu.ops import lsh_ops
+
+    pairs = set()
+    chunk = 8192
+    max_dups = 64  # per-doc duplicate budget; raise for heavier clustering
+    n = len(sigs)
+    sigs_dev = index._sigs_dev
+    for i in range(0, n, chunk):
+        q = sigs[i : i + chunk]
+        if q.shape[0] != chunk:  # keep one compiled shape
+            q = np.pad(q, ((0, chunk - q.shape[0]), (0, 0)))
+        ids, sc, _ = lsh_ops.topk_fused(
+            index._sorted_fp, index._sorted_ids, sigs_dev, jnp.asarray(q),
+            index.b, index.r, index.bucket_cap, max_dups,
+            n_valid=jnp.int32(index._n_real),
+        )
+        ids = np.asarray(ids)[: min(chunk, n - i)]
+        sc = np.asarray(sc)[: min(chunk, n - i)]
+        qi = np.arange(i, i + ids.shape[0])[:, None]
+        mask = (ids >= 0) & (sc >= threshold) & (ids != qi)
+        a = np.minimum(ids[mask], np.broadcast_to(qi, ids.shape)[mask])
+        b = np.maximum(ids[mask], np.broadcast_to(qi, ids.shape)[mask])
+        pairs.update(zip(a.tolist(), b.tolist()))
+    return time.perf_counter() - t0, pairs
+
+
+def reference(docs, threshold=0.8, num_perm=128):
+    sys.path.insert(0, "/root/reference")
+    import importlib
+
+    ds = importlib.import_module("datasketch")
+    sys.path.pop(0)
+    t0 = time.perf_counter()
+    mhs = []
+    for doc in docs:
+        m = ds.MinHash(num_perm=num_perm, seed=1)
+        m.update_batch(doc)
+        mhs.append(m)
+    lsh = ds.MinHashLSH(threshold=threshold, num_perm=num_perm)
+    for i, m in enumerate(mhs):
+        lsh.insert(i, m)
+    pairs = set()
+    for i, m in enumerate(mhs):
+        for key in lsh.query(m):
+            if key != i:
+                pairs.add((min(i, key), max(i, key)))
+    return time.perf_counter() - t0, pairs
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    n_ref = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+    docs = make_docs(n)
+
+    # first pass pays one-time jit compiles for this corpus' shapes;
+    # report the steady-state (second) pass
+    ours(docs)
+    t_ours, pairs_ours = ours(docs)
+    rate_ours = n / t_ours
+    print(f"ours      {n} docs: {t_ours:.2f}s ({rate_ours:,.0f} docs/s), "
+          f"{len(pairs_ours)} duplicate pairs")
+
+    t_ref, pairs_ref = reference(docs[:n_ref])
+    rate_ref = n_ref / t_ref
+    print(f"reference {n_ref} docs: {t_ref:.2f}s ({rate_ref:,.0f} docs/s)")
+    print(f"pipeline speedup: {rate_ours / rate_ref:.1f}x")
+
+    # agreement on the slice both processed: candidate sets at equal
+    # banding differ only by our fused rerank (which REMOVES sub-threshold
+    # false positives)
+    sub_ours = {p for p in pairs_ours if p[0] < n_ref and p[1] < n_ref}
+    sub_ref = {p for p in pairs_ref}
+    print(f"pairs on shared slice: ours={len(sub_ours)} ref={len(sub_ref)} "
+          f"ours<=ref(candidates): {sub_ours <= sub_ref}")
+
+
+if __name__ == "__main__":
+    main()

@@ -284,6 +284,48 @@ class MinHash:
         return out
 
     @classmethod
+    def bulk_signatures(cls, b: Iterable, scheme: str = "permutation",
+                        **minhash_kwargs) -> np.ndarray:
+        """Signature MATRIX for a corpus: uint32[N, num_perm], no objects.
+
+        The pipeline form of :meth:`bulk` — at serving scale the per-doc
+        ``MinHash`` object construction dominates; the matrix feeds
+        :class:`~datasketch_tpu.models.tpu_lsh.TpuMinHashLSH` (and every
+        ``ops``-level API) directly.
+        """
+        proto = cls(**minhash_kwargs)
+        docs = b if isinstance(b, list) else list(b)
+        docs = [d if hasattr(d, "__len__") else list(d) for d in docs]
+        if not docs:
+            return np.zeros((0, proto.num_perm), dtype=np.uint32)
+        order = sorted(range(len(docs)), key=lambda i: len(docs[i]))
+        out = np.empty((len(docs), proto.num_perm), dtype=np.uint32)
+        chunk_docs = 1024
+        pos = 0
+        for start in range(0, len(order), chunk_docs):
+            idx = order[start : start + chunk_docs]
+            chunk = [docs[i] for i in idx]
+            padded, lengths, n_real = proto._pad_corpus_for_device(chunk)
+            if scheme == "oph":
+                from datasketch_tpu.ops import oph
+
+                sigs = np.asarray(
+                    oph.oph_signatures(padded, lengths, proto.num_perm,
+                                       seed=proto.seed)
+                )[:n_real]
+            else:
+                from datasketch_tpu.ops import minhash_ops
+
+                sigs = np.asarray(
+                    minhash_ops.compute_signatures(
+                        padded, lengths, proto.seed, proto.num_perm
+                    )
+                )[:n_real]
+            out[np.asarray(idx)] = sigs
+            pos += n_real
+        return out
+
+    @classmethod
     def generator(cls, b: Iterable, scheme: str = "permutation", **minhash_kwargs):
         """Generator form of :meth:`bulk`, computing in device-sized chunks."""
         if scheme not in ("permutation", "oph"):

@@ -34,6 +34,9 @@ def _as_signature_matrix(minhashes) -> np.ndarray:
     2^-32 mix collision), preserving the Jaccard-estimation semantics the
     banding and rerank rely on.
     """
+    if isinstance(minhashes, np.ndarray) and minhashes.ndim == 2:
+        # matrix fast path (MinHash.bulk_signatures output)
+        return np.ascontiguousarray(minhashes, dtype=np.uint32)
     rows = []
     for m in minhashes:
         hv = np.asarray(m.hashvalues if hasattr(m, "hashvalues") else m)

@@ -220,3 +220,20 @@ def test_profiling_utils():
     best, out = time_op(op, jnp.arange(16), warmup=1, iters=2)
     assert best >= 0 and np.asarray(out[0])[1] == 2
     device_sync(out)  # idempotent
+
+
+def test_bulk_signatures_matrix():
+    import numpy as np
+
+    from datasketch_tpu import MinHash
+
+    docs = [[b"t%d" % (i * 5 + j) for j in range(20 + i)] for i in range(9)]
+    sigs = MinHash.bulk_signatures(docs, num_perm=128)
+    assert sigs.shape == (9, 128) and sigs.dtype == np.uint32
+    objs = MinHash.bulk(docs, num_perm=128)
+    for row, m in zip(sigs, objs):
+        assert np.array_equal(row.astype(np.uint64), np.asarray(m.hashvalues))
+    # oph scheme + empty corpus
+    s2 = MinHash.bulk_signatures(docs, num_perm=128, scheme="oph")
+    assert s2.shape == (9, 128)
+    assert MinHash.bulk_signatures([], num_perm=64).shape == (0, 64)
