@@ -301,28 +301,47 @@ class MinHash:
         order = sorted(range(len(docs)), key=lambda i: len(docs[i]))
         out = np.empty((len(docs), proto.num_perm), dtype=np.uint32)
         chunk_docs = 1024
-        pos = 0
+        import itertools
+
+        from datasketch_tpu.ops import minhash_ops
+
+        use_flat = proto.hashfunc is sha1_hash32 and scheme == "permutation"
         for start in range(0, len(order), chunk_docs):
             idx = order[start : start + chunk_docs]
             chunk = [docs[i] for i in idx]
-            padded, lengths, n_real = proto._pad_corpus_for_device(chunk)
-            if scheme == "oph":
-                from datasketch_tpu.ops import oph
+            if use_flat:
+                # flat hashing + device-side padding: ships no padding bytes
+                from datasketch_tpu.native import corpus
 
+                chunk = [d if isinstance(d, list) else list(d) for d in chunk]
+                lengths = np.fromiter(
+                    map(len, chunk), np.int32, count=len(chunk)
+                )
+                flat = corpus.hash_tokens(
+                    list(itertools.chain.from_iterable(chunk)),
+                    corpus.ALGO_SHA1_32,
+                )
                 sigs = np.asarray(
-                    oph.oph_signatures(padded, lengths, proto.num_perm,
-                                       seed=proto.seed)
-                )[:n_real]
-            else:
-                from datasketch_tpu.ops import minhash_ops
-
-                sigs = np.asarray(
-                    minhash_ops.compute_signatures(
-                        padded, lengths, proto.seed, proto.num_perm
+                    minhash_ops.compute_signatures_ragged(
+                        flat, lengths, proto.seed, proto.num_perm
                     )
-                )[:n_real]
+                )
+            else:
+                padded, lengths, n_real = proto._pad_corpus_for_device(chunk)
+                if scheme == "oph":
+                    from datasketch_tpu.ops import oph
+
+                    sigs = np.asarray(
+                        oph.oph_signatures(padded, lengths, proto.num_perm,
+                                           seed=proto.seed)
+                    )[:n_real]
+                else:
+                    sigs = np.asarray(
+                        minhash_ops.compute_signatures(
+                            padded, lengths, proto.seed, proto.num_perm
+                        )
+                    )[:n_real]
             out[np.asarray(idx)] = sigs
-            pos += n_real
         return out
 
     @classmethod

@@ -26,6 +26,7 @@ __all__ = [
     "empty_signatures",
     "update_signatures",
     "compute_signatures",
+    "compute_signatures_ragged",
     "jaccard_pairwise",
     "jaccard_matrix",
     "merge_signatures",
@@ -187,6 +188,42 @@ def compute_signatures(hashes, lengths, seed: int, num_perm: int) -> jax.Array:
             jnp.asarray(hashes), jnp.asarray(lengths), *limbs
         )
     return _sign_batch(hashes, jnp.asarray(lengths), *limbs)
+
+
+@functools.partial(jax.jit, static_argnames=("t",))
+def _gather_rows(flat, starts, t: int):
+    """Expand flat concatenated tokens to a padded [B, t] matrix ON DEVICE
+    (ragged corpora otherwise ship up to ~2x padding bytes over the
+    host->device link). Out-of-range slots read clamped garbage — callers
+    mask by lengths."""
+    b = starts.shape[0]
+    idx = starts[:, None] + jax.lax.broadcasted_iota(jnp.int32, (b, t), 1)
+    idx = jnp.clip(idx, 0, flat.shape[0] - 1)
+    return flat[idx]
+
+
+def compute_signatures_ragged(flat, lengths, seed: int, num_perm: int):
+    """Fresh signatures from flat concatenated token hashes.
+
+    Args:
+        flat: uint32[total] all docs' hashes back to back.
+        lengths: int32[B] tokens per doc.
+    Returns:
+        uint32[B, num_perm].
+    """
+    lengths = np.asarray(lengths, dtype=np.int32)
+    starts = np.zeros_like(lengths)
+    if lengths.size:
+        np.cumsum(lengths[:-1], out=starts[1:])
+    max_len = int(lengths.max()) if lengths.size else 1
+    t = 128
+    while t < max_len:
+        t *= 2
+    flat = np.asarray(flat)
+    if flat.shape[0] == 0:
+        flat = np.zeros(1, dtype=np.uint32)
+    hashes = _gather_rows(jnp.asarray(flat), jnp.asarray(starts), t)
+    return compute_signatures(hashes, lengths, seed, num_perm)
 
 
 @jax.jit
