@@ -1,5 +1,10 @@
 """HyperLogLog examples (parity with /root/reference/examples/hyperloglog_examples.py)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 from datasketch_tpu import HyperLogLog, HyperLogLogPlusPlus
 
 data1 = ["hyperloglog", "is", "a", "probabilistic", "data", "structure",

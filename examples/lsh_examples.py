@@ -1,6 +1,11 @@
 """LSH examples (parity with /root/reference/examples/lsh_examples.py),
 plus the TPU-native device-resident index."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 import numpy as np
 
 from datasketch_tpu import MinHash, MinHashLSH, WeightedMinHashGenerator

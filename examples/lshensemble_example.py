@@ -1,5 +1,10 @@
 """LSH Ensemble example (parity with /root/reference/examples/lshensemble_example.py)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 from datasketch_tpu import MinHash, MinHashLSHEnsemble
 
 set1 = set("cat dog fish cow".split())

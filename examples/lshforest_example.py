@@ -1,5 +1,10 @@
 """LSH Forest example (parity with /root/reference/examples/lshforest_example.py)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 from datasketch_tpu import MinHash, MinHashLSHForest
 
 data1 = "minhash is a probabilistic data structure for estimating the similarity between datasets".split()

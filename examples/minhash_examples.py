@@ -1,5 +1,10 @@
 """MinHash examples (parity with /root/reference/examples/minhash_examples.py)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 from datasketch_tpu import MinHash
 
 data1 = [

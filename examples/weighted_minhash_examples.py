@@ -1,5 +1,10 @@
 """Weighted MinHash examples (parity with /root/reference/examples/weighted_minhash_examples.py)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 import numpy as np
 
 from datasketch_tpu import WeightedMinHashGenerator
