@@ -298,6 +298,23 @@ class MinHash:
         docs = [d if hasattr(d, "__len__") else list(d) for d in docs]
         if not docs:
             return np.zeros((0, proto.num_perm), dtype=np.uint32)
+        if proto._device_mode == "disable":
+            # honor the host-only mode via the object path
+            objs = cls.bulk(docs, scheme=scheme, **minhash_kwargs)
+            return np.stack(
+                [np.asarray(m.hashvalues, dtype=np.uint64).astype(np.uint32)
+                 for m in objs]
+            )
+        from datasketch_tpu.ops.minhash_ops import init_permutations
+
+        custom_perms = (
+            proto.permutations
+            if proto.permutations
+            is not init_permutations(proto.seed, proto.num_perm)
+            else None
+        )
+        if custom_perms is not None and scheme == "oph":
+            raise ValueError("custom permutations are meaningless for oph")
         order = sorted(range(len(docs)), key=lambda i: len(docs[i]))
         out = np.empty((len(docs), proto.num_perm), dtype=np.uint32)
         chunk_docs = 1024
@@ -323,7 +340,8 @@ class MinHash:
                 )
                 sigs = np.asarray(
                     minhash_ops.compute_signatures_ragged(
-                        flat, lengths, proto.seed, proto.num_perm
+                        flat, lengths, proto.seed, proto.num_perm,
+                        permutations=custom_perms,
                     )
                 )
             else:
@@ -338,7 +356,8 @@ class MinHash:
                 else:
                     sigs = np.asarray(
                         minhash_ops.compute_signatures(
-                            padded, lengths, proto.seed, proto.num_perm
+                            padded, lengths, proto.seed, proto.num_perm,
+                            permutations=custom_perms,
                         )
                     )[:n_real]
             out[np.asarray(idx)] = sigs

@@ -61,9 +61,11 @@ def _prune_diverse(points, cand_ids, m: int, tile: int, dist):
     """hnswlib-style heuristic pruning, vectorized over nodes.
 
     From each node's distance-sorted candidates keep c only if
-    ``d(node, c) < min_u d(c, u)`` over already-kept u — the diversity rule
-    that makes graphs *navigable* (raw kNN graphs strand greedy search in
-    mutual-neighbor clusters). Returns int32[N, m], -1 padded.
+    ``d(node, c) <= min_u d(c, u)`` over already-kept u — the diversity
+    rule that makes graphs *navigable* (raw kNN graphs strand greedy
+    search in mutual-neighbor clusters). Tie-tolerant (<=, not hnswlib's
+    strict <): metrics with pervasive ties degrade to the kNN graph
+    instead of pruning everything. Returns int32[N, m], -1 padded.
     """
     n, kc = cand_ids.shape
     pad = (-n) % tile

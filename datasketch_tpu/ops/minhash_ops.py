@@ -161,7 +161,23 @@ def _sign_batch(hashes, lengths, a_hi, a_lo, b_hi, b_lo):
     return _scan_min(state, hashes, lengths, a_hi, a_lo, b_hi, b_lo)
 
 
-def compute_signatures(hashes, lengths, seed: int, num_perm: int) -> jax.Array:
+def _limbs_for(seed: int, num_perm: int, permutations=None):
+    """Device limb arrays for either seed-derived or explicit (a, b)."""
+    if permutations is None:
+        return perm_limbs(seed, num_perm)
+    a, b = permutations
+    a_hi, a_lo = u64.split_u64(np.asarray(a, dtype=np.uint64))
+    b_hi, b_lo = u64.split_u64(np.asarray(b, dtype=np.uint64))
+    return (
+        jnp.asarray(a_hi),
+        jnp.asarray(a_lo),
+        jnp.asarray(b_hi),
+        jnp.asarray(b_lo),
+    )
+
+
+def compute_signatures(hashes, lengths, seed: int, num_perm: int,
+                       permutations=None) -> jax.Array:
     """Fresh signatures for a padded batch of token hashes.
 
     On TPU (when shapes tile), dispatches to the Pallas kernel
@@ -171,10 +187,12 @@ def compute_signatures(hashes, lengths, seed: int, num_perm: int) -> jax.Array:
 
     Args:
         hashes: uint32[B, T] (numpy or jax), lengths: int32[B].
+        permutations: optional explicit (a, b) uint64 arrays overriding the
+            seed-derived family.
     Returns:
         uint32[B, P] device array.
     """
-    limbs = perm_limbs(seed, num_perm)
+    limbs = _limbs_for(seed, num_perm, permutations)
     b, t = hashes.shape
     from datasketch_tpu.ops import pallas_kernels as pk
 
@@ -202,16 +220,25 @@ def _gather_rows(flat, starts, t: int):
     return flat[idx]
 
 
-def compute_signatures_ragged(flat, lengths, seed: int, num_perm: int):
+def compute_signatures_ragged(flat, lengths, seed: int, num_perm: int,
+                              permutations=None):
     """Fresh signatures from flat concatenated token hashes.
 
     Args:
         flat: uint32[total] all docs' hashes back to back.
         lengths: int32[B] tokens per doc.
     Returns:
-        uint32[B, num_perm].
+        uint32[B, num_perm] (only the first len(lengths) rows are real).
     """
     lengths = np.asarray(lengths, dtype=np.int32)
+    n_real = lengths.shape[0]
+    # bucket B to a power of two: every distinct partial-chunk size would
+    # otherwise compile a fresh program (and can miss the Pallas tiling)
+    b_pad = 128
+    while b_pad < n_real:
+        b_pad *= 2
+    if b_pad != n_real:
+        lengths = np.pad(lengths, (0, b_pad - n_real))
     starts = np.zeros_like(lengths)
     if lengths.size:
         np.cumsum(lengths[:-1], out=starts[1:])
@@ -223,7 +250,8 @@ def compute_signatures_ragged(flat, lengths, seed: int, num_perm: int):
     if flat.shape[0] == 0:
         flat = np.zeros(1, dtype=np.uint32)
     hashes = _gather_rows(jnp.asarray(flat), jnp.asarray(starts), t)
-    return compute_signatures(hashes, lengths, seed, num_perm)
+    return compute_signatures(hashes, lengths, seed, num_perm,
+                              permutations=permutations)[:n_real]
 
 
 @jax.jit

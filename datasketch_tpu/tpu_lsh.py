@@ -1,5 +1,6 @@
-"""Drop-in submodule alias: the reference exposes datasketch.tpu_lsh
-(users import it directly), so datasketch_tpu.tpu_lsh forwards to
-:mod:`datasketch_tpu.models.tpu_lsh`."""
+"""Convenience submodule alias: the device-resident classes live under
+:mod:`datasketch_tpu.models.tpu_lsh` (TPU-native additions with no
+reference analogue); this alias keeps import paths flat alongside the
+drop-in parity modules."""
 
 from datasketch_tpu.models.tpu_lsh import *  # noqa: F401,F403

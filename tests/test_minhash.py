@@ -237,3 +237,38 @@ def test_bulk_signatures_matrix():
     s2 = MinHash.bulk_signatures(docs, num_perm=128, scheme="oph")
     assert s2.shape == (9, 128)
     assert MinHash.bulk_signatures([], num_perm=64).shape == (0, 64)
+
+
+def test_bulk_signatures_custom_permutations_and_disable():
+    import numpy as np
+
+    from datasketch_tpu import MinHash
+    from datasketch_tpu.ops.minhash_ops import init_permutations
+
+    docs = [[b"a%d" % j for j in range(i + 5)] for i in range(4)]
+    perms = init_permutations(999, 32)
+    want = []
+    for d in docs:
+        m = MinHash(num_perm=32, seed=1, permutations=perms)
+        m.update_batch(d)
+        want.append(np.asarray(m.hashvalues, dtype=np.uint64).astype(np.uint32))
+    got = MinHash.bulk_signatures(docs, num_perm=32, seed=1, permutations=perms)
+    np.testing.assert_array_equal(got, np.stack(want))
+
+    got2 = MinHash.bulk_signatures(docs, num_perm=32, seed=1,
+                                   permutations=perms, device_mode="disable")
+    np.testing.assert_array_equal(got2, np.stack(want))
+
+
+def test_tpu_lsh_index_in_batch_duplicates():
+    import numpy as np
+    import pytest
+
+    from datasketch_tpu import TpuMinHashLSH
+
+    sigs = np.random.RandomState(0).randint(
+        0, 1 << 32, size=(3, 128), dtype=np.uint64
+    ).astype(np.uint32)
+    idx = TpuMinHashLSH(threshold=0.5, num_perm=128)
+    with pytest.raises(ValueError):
+        idx.index(["a", "a", "b"], sigs)

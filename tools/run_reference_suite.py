@@ -60,7 +60,10 @@ sys.modules.setdefault("redis", redis_mod)
 
 def rewrite(text: str) -> str:
     text = re.sub(r"from datasketch\.", "from datasketch_tpu.", text)
-    text = re.sub(r"import datasketch\b", "import datasketch_tpu as datasketch", text)
+    text = re.sub(r"import datasketch\.", "import datasketch_tpu.", text)
+    text = re.sub(
+        r"import datasketch\b(?!\.)", "import datasketch_tpu as datasketch", text
+    )
     text = re.sub(r"from datasketch ", "from datasketch_tpu ", text)
     text = re.sub(r"from test\.utils import", "from utils import", text)
     text = re.sub(r"from test\.utils", "from utils", text)
