@@ -317,7 +317,9 @@ class MinHash:
             raise ValueError("custom permutations are meaningless for oph")
         order = sorted(range(len(docs)), key=lambda i: len(docs[i]))
         out = np.empty((len(docs), proto.num_perm), dtype=np.uint32)
-        chunk_docs = 1024
+        # large chunks amortize per-dispatch host<->device round trips (the
+        # dominant cost for ragged corpora); the object path keeps 1024
+        chunk_docs = 8192
         import itertools
 
         from datasketch_tpu.ops import minhash_ops
