@@ -41,3 +41,36 @@ def test_nsw_graph_custom_keys():
     graph = knn_graph.build_nsw_graph(pts, keys=keys, m=6, metric="l2")
     res = hnsw_ops.batch_query(graph, pts[:1], k=3, ef=32, metric="l2")[0]
     assert res[0][0] == "doc0"
+
+
+def test_hnsw_from_points_is_fully_mutable():
+    import numpy as np
+
+    from datasketch_tpu import HNSW
+
+    rng = np.random.RandomState(4)
+    pts = rng.randn(300, 16).astype(np.float32)
+    index = HNSW.from_points(pts, m=8, metric="l2")
+    assert len(index) == 300
+
+    # query parity with an incrementally built index
+    res = index.query(pts[7], k=5, ef=64)
+    assert res[0][0] == 7 and res[0][1] < 1e-6
+    ds = [d for _, d in res]
+    assert ds == sorted(ds)
+
+    # full mutability: insert, soft/hard remove, repair
+    index.insert(999, rng.randn(16).astype(np.float32))
+    assert 999 in index
+    index.remove(7)
+    assert 7 not in index
+    assert all(k != 7 for k, _ in index.query(pts[7], k=5, ef=64))
+    index.remove(8, hard=True)
+    assert all(k != 8 for k, _ in index.query(pts[8], k=5, ef=64))
+
+    # custom keys + reversed edges variant
+    idx2 = HNSW.from_points(pts[:50], keys=[f"k{i}" for i in range(50)],
+                            m=6, metric="l2", reversed_edges=True)
+    assert idx2.query(pts[3], k=1, ef=32)[0][0] == "k3"
+    idx2.remove("k3", hard=True)
+    assert "k3" not in idx2
