@@ -366,6 +366,55 @@ class MinHash:
         return out
 
     @classmethod
+    def bulk_from_text(cls, texts: Iterable, k: int = 9,
+                       scheme: str = "permutation", **minhash_kwargs) -> np.ndarray:
+        """Signature matrix straight from raw byte strings via k-shingling.
+
+        The canonical dedup front end with ZERO Python tokenization: every
+        overlapping k-byte shingle is hashed in C directly out of the text
+        buffer (SHA-NI + content cache), then the device kernel takes over.
+        Returns uint32[N, num_perm]; a document shorter than k yields the
+        empty-sketch row (all MAX_HASH).
+
+        Equivalent (but far faster) to hashing
+        ``[text[i:i+k] for i in range(len(text)-k+1)]`` per document.
+        """
+        proto = cls(**minhash_kwargs)
+        texts = texts if isinstance(texts, list) else list(texts)
+        texts = [t.encode("utf-8") if isinstance(t, str) else t for t in texts]
+        if not texts:
+            return np.zeros((0, proto.num_perm), dtype=np.uint32)
+        from datasketch_tpu.native import corpus
+        from datasketch_tpu.ops import minhash_ops, oph
+
+        order = sorted(range(len(texts)), key=lambda i: len(texts[i]))
+        out = np.empty((len(texts), proto.num_perm), dtype=np.uint32)
+        chunk_docs = 8192
+        for start in range(0, len(order), chunk_docs):
+            idx = order[start : start + chunk_docs]
+            chunk = [texts[i] for i in idx]
+            max_sh = max((max(0, len(t) - k + 1) for t in chunk), default=1)
+            t_bucket = 128
+            while t_bucket < max_sh:
+                t_bucket *= 2
+            padded, lengths = corpus.hash_shingles_padded(
+                chunk, k, corpus.ALGO_SHA1_32, pad_multiple=t_bucket
+            )
+            if scheme == "oph":
+                sigs = np.asarray(
+                    oph.oph_signatures(padded, lengths, proto.num_perm,
+                                       seed=proto.seed)
+                )
+            else:
+                sigs = np.asarray(
+                    minhash_ops.compute_signatures(
+                        padded, lengths, proto.seed, proto.num_perm
+                    )
+                )
+            out[np.asarray(idx)] = sigs[: len(idx)]
+        return out
+
+    @classmethod
     def generator(cls, b: Iterable, scheme: str = "permutation", **minhash_kwargs):
         """Generator form of :meth:`bulk`, computing in device-sized chunks."""
         if scheme not in ("permutation", "oph"):

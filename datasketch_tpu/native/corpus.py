@@ -143,3 +143,34 @@ def hash_tokens(tokens, algo: int = ALGO_SHA1_32, seed: int = 0) -> np.ndarray:
     if algo == ALGO_SHA1_64:
         return hn.batch_sha1_hash64(list(tokens))
     return hn.batch_xxhash32(list(tokens), seed)
+
+
+def hash_shingles_padded(texts, k: int, algo: int = ALGO_SHA1_32,
+                         seed: int = 0, pad_multiple: int = 128,
+                         mode: int = MODE_AUTO):
+    """Hash every overlapping k-byte shingle of each text, in one native call.
+
+    The canonical text-dedup front end: shingles are hashed straight out of
+    the text buffers (no Python shingle objects). Returns
+    (hashes uint32[B, T], lengths int32[B]) where lengths[d] =
+    max(0, len(text)-k+1).
+    """
+    texts = list(texts)
+    lengths = np.fromiter(
+        (max(0, len(t) - k + 1) for t in texts), np.int32, count=len(texts)
+    )
+    b = len(texts)
+    max_len = int(lengths.max()) if b and lengths.size else 1
+    t = max(pad_multiple, -(-max_len // pad_multiple) * pad_multiple)
+    dtype = np.uint64 if algo == ALGO_SHA1_64 else np.uint32
+    out = np.zeros((b, t), dtype=dtype)
+    mod = _load()
+    if mod is not None:
+        mod.hash_shingles(texts, out, t, k, algo, seed, mode)
+        return out, lengths
+    # pure-python fallback
+    for i, text in enumerate(texts):
+        if lengths[i]:
+            toks = [bytes(text[j : j + k]) for j in range(lengths[i])]
+            out[i, : lengths[i]] = hash_tokens(toks, algo, seed)
+    return out, lengths

@@ -366,6 +366,96 @@ PyObject* hash_padded(PyObject*, PyObject* args) {
   return PyLong_FromSsize_t(static_cast<Py_ssize_t>(total));
 }
 
+// hash_shingles(texts, out, row_stride, k, algo, seed, mode=0) -> total
+//
+// texts: sequence of bytes-like documents; document d contributes
+// max(0, len(d)-k+1) overlapping k-byte shingles, hashed straight out of
+// the text buffer into out[d*row_stride + i] — no Python-level shingle
+// objects exist at any point.
+PyObject* hash_shingles(PyObject*, PyObject* args) {
+  PyObject* texts;
+  PyObject* out_obj;
+  Py_ssize_t row_stride;
+  Py_ssize_t k;
+  int algo;
+  unsigned int seed;
+  int mode = 0;
+  if (!PyArg_ParseTuple(args, "OOnniI|i", &texts, &out_obj, &row_stride, &k,
+                        &algo, &seed, &mode))
+    return nullptr;
+  if (k <= 0) {
+    PyErr_SetString(PyExc_ValueError, "k must be positive");
+    return nullptr;
+  }
+
+  Keepalive keep;
+  PyObject* fast = PySequence_Fast(texts, "expected a sequence of texts");
+  if (!fast) return nullptr;
+  keep.objs.push_back(fast);
+  const Py_ssize_t n_docs = PySequence_Fast_GET_SIZE(fast);
+  PyObject** items = PySequence_Fast_ITEMS(fast);
+
+  Py_buffer view;
+  if (get_out_buffer(out_obj, &view, algo) < 0) return nullptr;
+  if (row_stride <= 0 || view.len / view.itemsize < n_docs * row_stride) {
+    PyBuffer_Release(&view);
+    PyErr_SetString(PyExc_ValueError, "out buffer too small for docs*stride");
+    return nullptr;
+  }
+
+  std::vector<TokenRef> refs;
+  TokenSink sink;
+  std::unique_ptr<dshash::TokenCache> cache(
+      (algo == 0 && n_docs >= 4) ? new dshash::TokenCache() : nullptr);
+  init_sink(sink, &refs, algo, seed, static_cast<uint32_t*>(view.buf),
+            static_cast<uint64_t*>(view.buf), mode, cache.get());
+  if (sink.refs) refs.reserve(static_cast<size_t>(n_docs) * 64);
+
+  int64_t total = 0;
+  for (Py_ssize_t d = 0; d < n_docs; d++) {
+    PyObject* txt = items[d];
+    const uint8_t* ptr;
+    Py_ssize_t len;
+    if (PyBytes_Check(txt)) {
+      ptr = reinterpret_cast<const uint8_t*>(PyBytes_AS_STRING(txt));
+      len = PyBytes_GET_SIZE(txt);
+    } else {
+      Py_buffer tv;
+      if (PyObject_GetBuffer(txt, &tv, PyBUF_SIMPLE) != 0) {
+        PyBuffer_Release(&view);
+        PyErr_Format(PyExc_TypeError, "text %zd is %.80s, expected bytes",
+                     d, Py_TYPE(txt)->tp_name);
+        return nullptr;
+      }
+      keep.views.push_back(tv);
+      ptr = reinterpret_cast<const uint8_t*>(tv.buf);
+      len = tv.len;
+    }
+    const Py_ssize_t n_sh = len >= k ? len - k + 1 : 0;
+    if (n_sh > row_stride) {
+      PyBuffer_Release(&view);
+      PyErr_Format(PyExc_ValueError,
+                   "document %zd has %zd shingles > row stride %zd", d, n_sh,
+                   row_stride);
+      return nullptr;
+    }
+    const int64_t base = static_cast<int64_t>(d) * row_stride;
+    for (Py_ssize_t i = 0; i < n_sh; i++)
+      sink.consume(ptr + i, static_cast<uint32_t>(k), base + i);
+    total += n_sh;
+  }
+  sink.flush();
+
+  if (sink.refs) {
+    Py_BEGIN_ALLOW_THREADS
+    hash_refs(refs, algo, seed, static_cast<uint32_t*>(view.buf),
+              static_cast<uint64_t*>(view.buf));
+    Py_END_ALLOW_THREADS
+  }
+  PyBuffer_Release(&view);
+  return PyLong_FromSsize_t(static_cast<Py_ssize_t>(total));
+}
+
 PyObject* sha_ni(PyObject*, PyObject*) {
   return PyBool_FromLong(dshash::sha_ni_available() ? 1 : 0);
 }
@@ -375,6 +465,8 @@ PyMethodDef methods[] = {
      "hash_flat(tokens, out, algo, seed, mode=0) -> n"},
     {"hash_padded", hash_padded, METH_VARARGS,
      "hash_padded(docs, out, row_stride, algo, seed, mode=0) -> total_tokens"},
+    {"hash_shingles", hash_shingles, METH_VARARGS,
+     "hash_shingles(texts, out, row_stride, k, algo, seed, mode=0) -> total"},
     {"sha_ni_available", sha_ni, METH_NOARGS, "SHA-NI fast path active?"},
     {nullptr, nullptr, 0, nullptr}};
 

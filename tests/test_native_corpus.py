@@ -74,3 +74,37 @@ def test_empty_inputs():
     h, l = corpus.hash_corpus_padded([[]])
     assert h.shape[0] == 1 and l[0] == 0
     assert corpus.hash_tokens([]).shape == (0,)
+
+
+def test_hash_shingles_matches_python_shingling():
+    rng = np.random.RandomState(1)
+    texts = [bytes(rng.randint(32, 127, size=n, dtype=np.uint8))
+             for n in (0, 3, 9, 40, 300)]
+    k = 9
+    h, l = corpus.hash_shingles_padded(texts, k)
+    for i, t in enumerate(texts):
+        n_sh = max(0, len(t) - k + 1)
+        assert l[i] == n_sh
+        for j in range(n_sh):
+            assert h[i, j] == sha32(t[j : j + k])
+        assert (h[i, n_sh:] == 0).all()
+
+
+def test_bulk_from_text_matches_manual():
+    from datasketch_tpu import MinHash
+
+    texts = ["the quick brown fox", "the quick brown cat", "zz"]
+    sigs = MinHash.bulk_from_text(texts, k=4, num_perm=64)
+    assert sigs.shape == (3, 64)
+    for i, text in enumerate(texts[:2]):
+        raw = text.encode()
+        m = MinHash(num_perm=64)
+        m.update_batch([raw[j : j + 4] for j in range(len(raw) - 3)])
+        assert np.array_equal(
+            sigs[i].astype(np.uint64), np.asarray(m.hashvalues)
+        )
+    # shorter than k -> empty sketch
+    assert (sigs[2] == 0xFFFFFFFF).all()
+    # oph scheme + empty input
+    assert MinHash.bulk_from_text(texts, k=4, num_perm=64, scheme="oph").shape == (3, 64)
+    assert MinHash.bulk_from_text([], num_perm=64).shape == (0, 64)
