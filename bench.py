@@ -21,7 +21,7 @@ import numpy as np
 NUM_PERM = 128
 TOKENS_PER_DOC = 200
 OUR_DOCS = 16384
-REF_DOCS = 192
+REF_DOCS = 384
 # Reference CPU rate measured locally (docs/sec at this exact config) —
 # used only when /root/reference is not importable on the bench host.
 # Measured 2026-08-16 on this host (1 core): 640-790 docs/s across runs.

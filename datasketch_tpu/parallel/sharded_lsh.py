@@ -100,12 +100,21 @@ class ShardedMinHashLSH:
         mesh, axis = self.mesh, self.shard_axis
         n = sigs.shape[0]
         self._n_real = n
-        pad = (-n) % self.n_shards
+        # pad to a power-of-two multiple of the shard count: bounds the set
+        # of compile shapes (remote-TPU compiles can take minutes for
+        # unlucky sizes) and keeps shards equal
+        n_pad = 128
+        while n_pad < n:
+            n_pad *= 2
+        n_pad = -(-n_pad // self.n_shards) * self.n_shards
+        pad = n_pad - n
         if pad:
-            # Padded rows get all-ones signatures; their ids are masked out
-            # at query time (gid >= n_real -> -1).
+            # Pseudo-random filler spreads across buckets; padded ids are
+            # masked out at query time (gid >= n_real -> -1).
+            rng = np.random.RandomState(n_pad & 0x7FFFFFFF)
             sigs = np.concatenate(
-                [sigs, np.full((pad, self.h), 0xFFFFFFFF, dtype=np.uint32)]
+                [sigs, rng.randint(0, 1 << 32, size=(pad, self.h),
+                                   dtype=np.uint64).astype(np.uint32)]
             )
         sig_sharding = NamedSharding(mesh, P(axis, None))
         self._sigs = jax.device_put(jnp.asarray(sigs), sig_sharding)
@@ -140,9 +149,9 @@ class ShardedMinHashLSH:
 
     def _make_query_fn(self):
         mesh, axis = self.mesh, self.shard_axis
-        b, r, cap, n_real = self.b, self.r, self.bucket_cap, self._n_real
+        b, r, cap = self.b, self.r, self.bucket_cap
 
-        def qbody(sorted_fp, sorted_ids, db_sigs, q_sigs):
+        def qbody(sorted_fp, sorted_ids, db_sigs, q_sigs, n_real):
             q_fps = lsh_ops.band_fingerprints(q_sigs, b, r)
             ids, trunc = lsh_ops.query_tables(sorted_fp, sorted_ids, q_fps, cap=cap)
             nq = q_sigs.shape[0]
@@ -160,7 +169,8 @@ class ShardedMinHashLSH:
             jax.shard_map(
                 qbody,
                 mesh=mesh,
-                in_specs=(P(None, axis), P(None, axis), P(axis, None), P(None, None)),
+                in_specs=(P(None, axis), P(None, axis), P(axis, None),
+                          P(None, None), P()),
                 out_specs=(P(None, None), P(None, None), P()),
                 # all_gather/psum outputs are device-invariant; jax's
                 # varying-manual-axes inference can't always prove it.
@@ -195,6 +205,7 @@ class ShardedMinHashLSH:
             self._sorted_ids,
             self._sigs,
             jax.device_put(jnp.asarray(q_sigs), rep),
+            jnp.int32(self._n_real),
         )
         self.last_truncated = int(trunc)
         ids_host = np.asarray(ids)
