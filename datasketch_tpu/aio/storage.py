@@ -17,7 +17,6 @@ redis pipelines at ``aio/storage.py:330-360``).
 
 from __future__ import annotations
 
-import asyncio
 import os
 from abc import ABCMeta, abstractmethod
 from collections import defaultdict

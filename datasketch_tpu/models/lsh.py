@@ -22,13 +22,11 @@ import functools
 import os
 import pickle
 import struct
-from typing import Callable, Hashable, Optional, Union
+from typing import Callable, Hashable, Optional
 
 import numpy as np
 
 from datasketch_tpu.storage import (
-    OrderedStorage,
-    UnorderedStorage,
     ordered_storage,
     unordered_storage,
 )

@@ -11,7 +11,8 @@ device sort per band and probed with batched band-limited lookups.
 from __future__ import annotations
 
 from collections import Counter
-from typing import Hashable, Iterable, Optional
+from typing import Iterable
+
 
 import numpy as np
 

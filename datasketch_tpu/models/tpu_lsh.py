@@ -14,7 +14,7 @@ users to do by hand, ``/root/reference/datasketch/lsh.py:374-378``).
 
 from __future__ import annotations
 
-from typing import Hashable, Iterable, Optional, Sequence
+from typing import Hashable, Optional, Sequence
 
 import numpy as np
 import jax.numpy as jnp

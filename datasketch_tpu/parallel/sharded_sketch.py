@@ -10,14 +10,12 @@ cross-device union is one ``lax.pmin``; HyperLogLog register merge
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from datasketch_tpu.ops import minhash_ops, u64
+from datasketch_tpu.ops import minhash_ops
 
 __all__ = [
     "sharded_compute_signatures",

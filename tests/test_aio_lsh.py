@@ -7,7 +7,6 @@ MongoDB/Redis; async tests run via ``asyncio.run`` (no plugin).
 
 import asyncio
 
-import numpy as np
 import pytest
 
 from datasketch_tpu import AsyncMinHashLSH, MinHash
