@@ -52,9 +52,50 @@ def plot_topk(db_path: str, out: str) -> None:
     print("wrote", out)
 
 
+
+
+def plot_sketch_accuracy(out: str) -> None:
+    """MinHash Jaccard error vs num_perm (reference minhash_benchmark.png
+    analogue), measured live on small synthetic pairs."""
+    sys.path.insert(0, ".")
+    from datasketch_tpu import MinHash
+
+    rng = np.random.RandomState(7)
+    num_perms = [16, 32, 64, 128, 256, 512]
+    errs = []
+    for p in num_perms:
+        e = []
+        for t in range(30):
+            size = 400
+            overlap = rng.uniform(0.2, 0.9)
+            common = [b"c%d-%d" % (t, i) for i in range(int(size * overlap))]
+            a = common + [b"a%d-%d" % (t, i) for i in range(size - len(common))]
+            b = common + [b"b%d-%d" % (t, i) for i in range(size - len(common))]
+            true_j = len(common) / (2 * size - len(common))
+            sa, sb = MinHash.bulk_signatures([a, b], num_perm=p)
+            e.append(abs(float((sa == sb).mean()) - true_j))
+        errs.append(np.mean(e))
+    fig, ax = plt.subplots(figsize=(6.5, 4))
+    ax.plot(num_perms, errs, "o-", label="measured |error|")
+    ax.plot(num_perms, [1 / np.sqrt(p) for p in num_perms], "--",
+            label=r"theory $1/\sqrt{num\_perm}$")
+    ax.set_xscale("log", base=2)
+    ax.set_yscale("log")
+    ax.set_xlabel("num_perm")
+    ax.set_ylabel("mean |Jaccard error|")
+    ax.set_title("MinHash estimation error vs num_perm")
+    ax.legend()
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out, dpi=130)
+    print("wrote", out)
+
+
 if __name__ == "__main__":
     import os
 
     os.makedirs("docs/figures", exist_ok=True)
     db = sys.argv[1] if len(sys.argv) > 1 else "/tmp/final_topk.db"
-    plot_topk(db, "docs/figures/topk_recall_latency.png")
+    if os.path.exists(db):
+        plot_topk(db, "docs/figures/topk_recall_latency.png")
+    plot_sketch_accuracy("docs/figures/minhash_error_vs_num_perm.png")
