@@ -375,3 +375,38 @@ class TpuMinHashLSHBloom:
         )
         hits = self._bits[jnp.asarray(band), jnp.asarray(pos)]  # [N, b, k]
         return np.asarray(hits.all(axis=2).any(axis=1))
+
+    # ------------------------------------------------------------ persistence
+
+    def save(self, path: str) -> None:
+        """Persist bitmaps + params to ``.npz`` (the device analogue of the
+        host class's file-backed band filters, lsh_bloom.py:74-83)."""
+        if not str(path).endswith(".npz"):
+            path = str(path) + ".npz"
+        np.savez_compressed(
+            path,
+            bits=np.asarray(self._bits),
+            meta=np.array(
+                [self.h, self.b, self.r, self.num_bits, self.num_hashes],
+                dtype=np.int64,
+            ),
+            threshold=np.float64(self.threshold),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "TpuMinHashLSHBloom":
+        import jax.numpy as jnp
+
+        if not str(path).endswith(".npz"):
+            path = str(path) + ".npz"
+        data = np.load(path, allow_pickle=False)
+        h, b, r, num_bits, num_hashes = (int(x) for x in data["meta"])
+        obj = cls.__new__(cls)
+        obj.threshold = float(data["threshold"])
+        obj.h = h
+        obj.b, obj.r = b, r
+        obj.num_bits = num_bits
+        obj.num_hashes = num_hashes
+        obj._bits = jnp.asarray(data["bits"])
+        obj.hashranges = [(i * r, (i + 1) * r) for i in range(b)]
+        return obj

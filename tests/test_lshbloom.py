@@ -155,3 +155,26 @@ def test_tpu_bloom_matches_host_semantics():
     # unseen docs: overwhelmingly negative on both
     assert tpu.query_batch(fresh).sum() <= 1
     assert tpu.query(mhs[0]) is True and tpu.query(fresh[0]) in (False, True)
+
+
+def test_tpu_bloom_persistence(tmp_path):
+    import numpy as np
+
+    from datasketch_tpu import MinHash
+    from datasketch_tpu.models.lsh_bloom import TpuMinHashLSHBloom
+
+    def mh(tokens):
+        m = MinHash(num_perm=128)
+        m.update_batch([t.encode() for t in tokens])
+        return m
+
+    mhs = [mh(["p%d" % (i * 7 + j) for j in range(20)]) for i in range(10)]
+    bloom = TpuMinHashLSHBloom(threshold=0.5, num_perm=128, n=500, fp=0.01)
+    bloom.insert_batch(mhs)
+    path = str(tmp_path / "bloom")
+    bloom.save(path)
+    restored = TpuMinHashLSHBloom.load(path)
+    assert restored.b == bloom.b and restored.num_bits == bloom.num_bits
+    assert all(restored.query_batch(mhs))
+    fresh = mh(["unseen%d" % i for i in range(20)])
+    assert bool(restored.query(fresh)) == bool(bloom.query(fresh))
