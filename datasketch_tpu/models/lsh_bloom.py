@@ -308,6 +308,7 @@ class TpuMinHashLSHBloom:
 
         if threshold > 1.0 or threshold < 0.0:
             raise ValueError("threshold must be in [0.0, 1.0]")
+        self.threshold = threshold
         self.h = num_perm
         if params is not None:
             self.b, self.r = params
