@@ -89,6 +89,7 @@ def reference(docs, threshold=0.8, num_perm=128):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
     n_ref = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+    threshold_of_run = 0.8
     docs = make_docs(n)
 
     # first pass pays one-time jit compiles for this corpus' shapes;
@@ -104,13 +105,23 @@ def main():
     print(f"reference {n_ref} docs: {t_ref:.2f}s ({rate_ref:,.0f} docs/s)")
     print(f"pipeline speedup: {rate_ours / rate_ref:.1f}x")
 
-    # agreement on the slice both processed: candidate sets at equal
-    # banding differ only by our fused rerank (which REMOVES sub-threshold
-    # false positives)
+    # quality on the slice both processed: candidate sets at equal banding
+    # differ only by our fused rerank (the manual filtering the reference
+    # docs prescribe, lsh.py:374-378)
     sub_ours = {p for p in pairs_ours if p[0] < n_ref and p[1] < n_ref}
-    sub_ref = {p for p in pairs_ref}
-    print(f"pairs on shared slice: ours={len(sub_ours)} ref={len(sub_ref)} "
-          f"ours<=ref(candidates): {sub_ours <= sub_ref}")
+    sub_ref = set(pairs_ref)
+
+    def true_j(i, j):
+        a, b = set(docs[i]), set(docs[j])
+        return len(a & b) / len(a | b)
+
+    true_pairs = {p for p in sub_ref | sub_ours if true_j(*p) >= threshold_of_run}
+    for name, pairs in (("ours", sub_ours), ("ref ", sub_ref)):
+        tp = len(pairs & true_pairs)
+        prec = tp / len(pairs) if pairs else 1.0
+        rec = tp / len(true_pairs) if true_pairs else 1.0
+        print(f"{name} on shared slice: {len(pairs)} pairs "
+              f"P={prec:.2f} R={rec:.2f} (vs true Jaccard >= threshold)")
 
 
 if __name__ == "__main__":
