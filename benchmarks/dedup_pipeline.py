@@ -7,7 +7,7 @@ construction, index build, querying every document against the index —
 for this library's device path vs the reference's MinHash+MinHashLSH on
 CPU (imported from /root/reference).
 
-Usage: python benchmarks/dedup_pipeline.py [n_docs] [ref_docs]
+Usage: python benchmarks/dedup_pipeline.py [n_docs] [ref_docs] [banding_t]
 """
 
 from __future__ import annotations
@@ -27,13 +27,20 @@ def make_docs(n, seed=3):
     return [[int(t).to_bytes(8, "little") for t in s] for s in sets]
 
 
-def ours(docs, threshold=0.8, num_perm=128):
+def ours(docs, threshold=0.8, num_perm=128, banding_threshold=None):
+    """banding_threshold < threshold casts a wider candidate net (recall
+    1.0 at the exact threshold in our sweeps) at more rerank cost; None
+    bands at the target threshold (reference behavior: ~50% recall for
+    pairs sitting exactly at the threshold, by the S-curve)."""
     from datasketch_tpu import MinHash, TpuMinHashLSH
 
     t0 = time.perf_counter()
     sigs = MinHash.bulk_signatures(docs, num_perm=num_perm)
-    index = TpuMinHashLSH(threshold=threshold, num_perm=num_perm,
-                          bucket_cap=128)
+    index = TpuMinHashLSH(
+        threshold=banding_threshold or threshold,
+        num_perm=num_perm,
+        bucket_cap=128,
+    )
     index.index(list(range(len(docs))), sigs)
     import jax.numpy as jnp
 
@@ -89,13 +96,14 @@ def reference(docs, threshold=0.8, num_perm=128):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
     n_ref = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+    banding_t = float(sys.argv[3]) if len(sys.argv) > 3 else None
     threshold_of_run = 0.8
     docs = make_docs(n)
 
     # first pass pays one-time jit compiles for this corpus' shapes;
     # report the steady-state (second) pass
-    ours(docs)
-    t_ours, pairs_ours = ours(docs)
+    ours(docs, banding_threshold=banding_t)
+    t_ours, pairs_ours = ours(docs, banding_threshold=banding_t)
     rate_ours = n / t_ours
     print(f"ours      {n} docs: {t_ours:.2f}s ({rate_ours:,.0f} docs/s), "
           f"{len(pairs_ours)} duplicate pairs")
