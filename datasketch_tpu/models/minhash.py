@@ -114,6 +114,26 @@ class MinHash:
             self._device_mode
         ]
 
+    def _custom_permutations(self):
+        """This sketch's (a, b) iff they differ from the seed-derived family.
+
+        Returns None when ``self.permutations`` equals
+        ``init_permutations(self.seed, self.num_perm)`` (identity OR value
+        equality — value check keeps the cached-limb fast path after
+        unpickling), else the explicit arrays to thread through every
+        device path. Reference custom-permutation semantics:
+        ``/root/reference/datasketch/minhash.py:158-166``.
+        """
+        from datasketch_tpu.ops.minhash_ops import init_permutations
+
+        default = init_permutations(self.seed, self.num_perm)
+        if self.permutations is default:
+            return None
+        a, b = self.permutations
+        if np.array_equal(a, default[0]) and np.array_equal(b, default[1]):
+            return None
+        return self.permutations
+
     def _init_hashvalues(self, num_perm: int) -> np.ndarray:
         return np.ones(num_perm, dtype=np.uint64) * _max_hash
 
@@ -148,7 +168,9 @@ class MinHash:
                 np.ascontiguousarray(state[None, :]),
                 np.ascontiguousarray(hv[None, :]),
                 np.array([hv.size], dtype=np.int32),
-                *minhash_ops.perm_limbs(self.seed, self.num_perm),
+                *minhash_ops.limbs_for(
+                    self.seed, self.num_perm, self._custom_permutations()
+                ),
             )
             self.hashvalues = np.asarray(sig)[0].astype(np.uint64)
             return
@@ -305,14 +327,7 @@ class MinHash:
                 [np.asarray(m.hashvalues, dtype=np.uint64).astype(np.uint32)
                  for m in objs]
             )
-        from datasketch_tpu.ops.minhash_ops import init_permutations
-
-        custom_perms = (
-            proto.permutations
-            if proto.permutations
-            is not init_permutations(proto.seed, proto.num_perm)
-            else None
-        )
+        custom_perms = proto._custom_permutations()
         if custom_perms is not None and scheme == "oph":
             raise ValueError("custom permutations are meaningless for oph")
         order = sorted(range(len(docs)), key=lambda i: len(docs[i]))
@@ -380,6 +395,9 @@ class MinHash:
         ``[text[i:i+k] for i in range(len(text)-k+1)]`` per document.
         """
         proto = cls(**minhash_kwargs)
+        custom_perms = proto._custom_permutations()
+        if custom_perms is not None and scheme == "oph":
+            raise ValueError("custom permutations are meaningless for oph")
         texts = texts if isinstance(texts, list) else list(texts)
         texts = [t.encode("utf-8") if isinstance(t, str) else t for t in texts]
         if not texts:
@@ -408,7 +426,8 @@ class MinHash:
             else:
                 sigs = np.asarray(
                     minhash_ops.compute_signatures(
-                        padded, lengths, proto.seed, proto.num_perm
+                        padded, lengths, proto.seed, proto.num_perm,
+                        permutations=custom_perms,
                     )
                 )
             out[np.asarray(idx)] = sigs[: len(idx)]
@@ -420,6 +439,8 @@ class MinHash:
         if scheme not in ("permutation", "oph"):
             raise ValueError("unknown signature scheme: %r" % (scheme,))
         proto = cls(**minhash_kwargs)
+        if scheme == "oph" and proto._custom_permutations() is not None:
+            raise ValueError("custom permutations are meaningless for oph")
         chunk: list = []
         chunk_docs = 1024
         for doc in b:
@@ -512,7 +533,10 @@ class MinHash:
                 yield m
             return
         sigs = np.asarray(
-            minhash_ops.compute_signatures(padded, lengths, self.seed, self.num_perm)
+            minhash_ops.compute_signatures(
+                padded, lengths, self.seed, self.num_perm,
+                permutations=self._custom_permutations(),
+            )
         ).astype(np.uint64)[:n_real]
         yield from self._yield_rows(sigs)
 

@@ -23,6 +23,7 @@ __all__ = [
     "HASH_RANGE",
     "init_permutations",
     "perm_limbs",
+    "limbs_for",
     "empty_signatures",
     "update_signatures",
     "compute_signatures",
@@ -161,7 +162,7 @@ def _sign_batch(hashes, lengths, a_hi, a_lo, b_hi, b_lo):
     return _scan_min(state, hashes, lengths, a_hi, a_lo, b_hi, b_lo)
 
 
-def _limbs_for(seed: int, num_perm: int, permutations=None):
+def limbs_for(seed: int, num_perm: int, permutations=None):
     """Device limb arrays for either seed-derived or explicit (a, b)."""
     if permutations is None:
         return perm_limbs(seed, num_perm)
@@ -192,7 +193,7 @@ def compute_signatures(hashes, lengths, seed: int, num_perm: int,
     Returns:
         uint32[B, P] device array.
     """
-    limbs = _limbs_for(seed, num_perm, permutations)
+    limbs = limbs_for(seed, num_perm, permutations)
     b, t = hashes.shape
     from datasketch_tpu.ops import pallas_kernels as pk
 
