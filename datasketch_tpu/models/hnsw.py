@@ -372,6 +372,139 @@ class HNSW(MutableMapping):
         new_index.update(other)
         return new_index
 
+    # ------------------------------------------------------- graph traversal
+    #
+    # One beam-search primitive covers every traversal need (greedy descent
+    # is just ef=1). State is a sorted parallel-array result set plus a heap
+    # frontier; each frontier expansion evaluates ALL unvisited neighbors in
+    # one `_dists_to` batch — this is the host mirror of the device beam in
+    # :mod:`datasketch_tpu.ops.hnsw_ops` (fixed-width sorted rows, batched
+    # distance evaluation), kept semantically aligned with the reference
+    # index (``/root/reference/datasketch/hnsw.py:649-819``) so recall
+    # characteristics match.
+
+    def _returnable(self, key, include_tombstones: bool, banned) -> bool:
+        """May `key` appear in a result set? Tombstoned nodes are always
+        traversed (they keep the graph navigable) but only returned when the
+        caller opts in; a node mid-hard-remove (`banned`) never is."""
+        if key == banned:
+            return False
+        return include_tombstones or not self._nodes[key].is_deleted
+
+    def _search_layer(
+        self,
+        query_point,
+        seeds,
+        layer: _Layer,
+        ef: int,
+        include_tombstones: bool = False,
+        banned=None,
+    ):
+        """Best-first beam search across one layer.
+
+        Args:
+            seeds: (keys list, dists list) — already-evaluated entry nodes.
+                Seeds join the result set unconditionally (mirroring how the
+                descent phase hands its best node down even if tombstoned).
+        Returns:
+            (keys, dists) of the beam, ascending by distance, len <= ef.
+        """
+        from bisect import bisect_right
+
+        seed_keys, seed_dists = seeds
+        order = np.argsort(np.asarray(seed_dists, dtype=float), kind="stable")
+        beam_d = [float(seed_dists[i]) for i in order]
+        beam_k = [seed_keys[i] for i in order]
+        del beam_d[ef:], beam_k[ef:]
+        frontier = sorted(zip(beam_d, range(len(beam_k))))
+        # Heap entries carry an insertion serial instead of the key itself:
+        # keys of mixed types are not orderable on distance ties.
+        frontier = [(d, i, beam_k[i]) for d, i in frontier]
+        serial = len(frontier)
+        seen = set(seed_keys)
+
+        while frontier:
+            dist, _, node = heapq.heappop(frontier)
+            if dist > beam_d[-1]:
+                break  # nearest unexpanded node can't improve the beam
+            fresh = [p for p in layer[node] if p not in seen]
+            # Mark ALL examined neighbors, admitted or not — a node rejected
+            # at this beam width is never worth re-reaching via another path.
+            seen.update(fresh)
+            for p, d in zip(fresh, self._dists_to(query_point, fresh)):
+                d = float(d)
+                # At ef=1 (greedy descent) ties don't improve anything and
+                # admitting them floods the frontier on distance plateaus
+                # (common under discrete metrics like MinHash Jaccard), so
+                # require strict improvement there.
+                improves = d < beam_d[-1] if ef == 1 else d <= beam_d[-1]
+                if self._returnable(p, include_tombstones, banned):
+                    if len(beam_d) < ef or improves:
+                        at = bisect_right(beam_d, d)
+                        beam_d.insert(at, d)
+                        beam_k.insert(at, p)
+                        del beam_d[ef:], beam_k[ef:]
+                        heapq.heappush(frontier, (d, serial, p))
+                        serial += 1
+                elif improves:
+                    # pass-through: expandable but never returned
+                    heapq.heappush(frontier, (d, serial, p))
+                    serial += 1
+        return beam_k, beam_d
+
+    def _descend(
+        self,
+        query_point,
+        to_level: int,
+        include_tombstones: bool = False,
+        banned=None,
+    ):
+        """Greedy (ef=1) descent from the top layer down to `to_level`
+        (exclusive). Returns the seed (keys, dists) for that level."""
+        node = self._entry_point
+        seeds = [node], [self._distance_func(query_point, self._nodes[node].point)]
+        for layer in self._graphs[:to_level:-1]:
+            seeds = self._search_layer(
+                query_point, seeds, layer, 1, include_tombstones, banned
+            )
+        return seeds
+
+    def _level_cap(self, level: int) -> int:
+        """Out-degree budget at a level (level 0 is denser)."""
+        return self._m0 if level == 0 else self._m
+
+    def _diverse_prune(self, cand_keys, cand_dists, cap: int) -> dict:
+        """Neighbor diversification: scanning candidates nearest-first, keep
+        one only if no already-kept neighbor is closer to it than the anchor
+        is (hnswlib's SELECT-NEIGHBORS-HEURISTIC; rejected candidates are
+        dropped, not back-filled). Under-full candidate sets skip the scan
+        entirely. Returns the adjacency dict {key: anchor_distance}.
+        """
+        if len(cand_keys) < cap:
+            return dict(zip(cand_keys, (float(d) for d in cand_dists)))
+        kept: dict = {}
+        kept_pts: list = []
+        batched = self._batch_distance_func
+        for i in np.argsort(np.asarray(cand_dists, dtype=float), kind="stable"):
+            k, d = cand_keys[i], float(cand_dists[i])
+            pt = self._nodes[k].point
+            if kept_pts:
+                if batched is not None:
+                    if bool(
+                        np.any(np.asarray(batched(pt, np.stack(kept_pts))) < d)
+                    ):
+                        continue
+                # scalar metric: stop at the first disqualifying neighbor
+                elif any(
+                    self._distance_func(pt, kp) < d for kp in kept_pts
+                ):
+                    continue
+            kept[k] = d
+            kept_pts.append(pt)
+            if len(kept) == cap:
+                break
+        return kept
+
     # --------------------------------------------------------------- insert
 
     def insert(
@@ -385,113 +518,92 @@ class HNSW(MutableMapping):
         if ef is None:
             ef = self._ef_construction
         if key in self._nodes:
-            if self._nodes[key].is_deleted:
-                self._nodes[key].is_deleted = False
-            self._update(key, new_point, ef)
+            self._nodes[key].is_deleted = False
+            self._reindex(key, new_point, ef)
             return
         if level is None:
             level = int(-np.log(self._random.random_sample()) * self._level_mult)
         self._nodes[key] = _Node(key, new_point)
         if self._entry_point is not None:
-            dist = self._distance_func(new_point, self._nodes[self._entry_point].point)
-            point = self._entry_point
-            for layer in reversed(self._graphs[level + 1 :]):
-                point, dist = self._search_ef1(
-                    new_point, point, dist, layer, allow_soft_deleted=True
+            seeds = self._descend(new_point, level, include_tombstones=True)
+            for lvl in range(min(level, len(self._graphs) - 1), -1, -1):
+                layer = self._graphs[lvl]
+                seeds = self._search_layer(
+                    new_point, seeds, layer, ef, include_tombstones=True
                 )
-            entry_points = [(-dist, point)]
-            for layer in reversed(self._graphs[: level + 1]):
-                level_m = self._m if layer is not self._graphs[0] else self._m0
-                entry_points = self._search_base_layer(
-                    new_point, entry_points, layer, ef, allow_soft_deleted=True
-                )
-                layer[key] = {
-                    p: d
-                    for d, p in self._heuristic_prune(
-                        [(-md, p) for md, p in entry_points], level_m
-                    )
-                }
-                for neighbor_key, dist in layer[key].items():
-                    layer[neighbor_key] = {
-                        p: d
-                        for d, p in self._heuristic_prune(
-                            [(d, p) for p, d in layer[neighbor_key].items()]
-                            + [(dist, key)],
-                            level_m,
-                        )
-                    }
+                self._link(layer, self._level_cap(lvl), key, *seeds)
+        # every level above the current top gets a fresh layer holding only
+        # the new key, which becomes the global entry point
         for _ in range(len(self._graphs), level + 1):
             self._graphs.append(self._layer_class(key))
             self._entry_point = key
 
-    def _update(self, key, new_point, ef: int) -> None:
-        """Point update: rewire the 2nd-degree neighborhood, then repair the
-        node's own out-edges by re-searching the graph."""
+    def _link(self, layer: _Layer, cap: int, key, cand_keys, cand_dists) -> None:
+        """Wire `key` into a layer: pick its out-edges by diversity prune,
+        then offer the reciprocal edge to each chosen neighbor (the
+        neighbor re-prunes its own list with the newcomer included)."""
+        layer[key] = self._diverse_prune(cand_keys, cand_dists, cap)
+        for nbr, d in layer[key].items():
+            adj = layer[nbr]
+            if key not in adj:
+                merged_keys = list(adj) + [key]
+                merged_dists = list(adj.values()) + [d]
+                layer[nbr] = self._diverse_prune(merged_keys, merged_dists, cap)
+
+    def _reindex(self, key, new_point, ef: int) -> None:
+        """Re-home an existing key at a new point: rebuild each old
+        neighbor's adjacency from the 2nd-degree neighborhood (the region
+        the moved point tears a hole in), then re-derive the key's own
+        out-edges by a fresh graph search."""
         if key not in self._nodes:
             raise KeyError(key)
         self._nodes[key].point = new_point
         if self._entry_point == key and len(self._nodes) == 1:
             return
-        for layer in self._graphs:
+        for lvl, layer in enumerate(self._graphs):
             if key not in layer:
                 break
-            layer_m = self._m if layer is not self._graphs[0] else self._m0
-            neighborhood_keys = {key}
+            hood = {key}
             for p in layer[key]:
-                neighborhood_keys.add(p)
-                for p2 in layer[p]:
-                    neighborhood_keys.add(p2)
+                hood.add(p)
+                hood.update(layer[p])
+            cap = self._level_cap(lvl)
             for p in layer[key]:
-                cands: list = []
-                elem_to_keep = min(ef, len(neighborhood_keys) - 1)
-                cand_keys = [ck for ck in neighborhood_keys if ck != p]
-                dists = self._dists_to(self._nodes[p].point, cand_keys)
-                for candidate_key, dist in zip(cand_keys, dists):
-                    if len(cands) < elem_to_keep:
-                        heapq.heappush(cands, (-dist, candidate_key))
-                    elif dist < -cands[0][0]:
-                        heapq.heappushpop(cands, (-dist, candidate_key))
-                layer[p] = {
-                    p2: d2
-                    for d2, p2 in self._heuristic_prune(
-                        [(-md, pk) for md, pk in cands], layer_m
-                    )
-                }
-        self._repair_connections(key, new_point, ef)
+                others = [c for c in hood if c != p]
+                if not others:
+                    continue
+                dists = np.asarray(
+                    self._dists_to(self._nodes[p].point, others), dtype=float
+                )
+                keep = min(ef, len(others))
+                near = np.argsort(dists, kind="stable")[:keep]
+                layer[p] = self._diverse_prune(
+                    [others[i] for i in near], dists[near], cap
+                )
+        self._relink(key, new_point, ef)
 
-    def _repair_connections(
-        self, key, new_point, ef: int, key_to_delete=None
-    ) -> None:
-        entry_point = self._entry_point
-        entry_point_dist = self._distance_func(
-            new_point, self._nodes[entry_point].point
-        )
-        entry_points = [(-entry_point_dist, entry_point)]
-        for layer in reversed(self._graphs):
+    def _relink(self, key, point, ef: int, banned=None) -> None:
+        """Recompute `key`'s out-edges on every layer it occupies by
+        searching the graph top-down (used after a point move and to patch
+        the in-neighbors of a hard-removed node, which is passed as
+        `banned` so it can't be chosen)."""
+        node = self._entry_point
+        seeds = [node], [self._distance_func(point, self._nodes[node].point)]
+        for lvl in range(len(self._graphs) - 1, -1, -1):
+            layer = self._graphs[lvl]
             if key not in layer:
-                entry_point, entry_point_dist = self._search_ef1(
-                    new_point,
-                    entry_point,
-                    entry_point_dist,
-                    layer,
-                    allow_soft_deleted=True,
-                    key_to_hard_delete=key_to_delete,
+                seeds = self._search_layer(
+                    point, seeds, layer, 1, include_tombstones=True, banned=banned
                 )
-                entry_points = [(-entry_point_dist, entry_point)]
-            else:
-                level_m = self._m if layer is not self._graphs[0] else self._m0
-                entry_points = self._search_base_layer(
-                    new_point,
-                    entry_points,
-                    layer,
-                    ef + 1,  # +1 accounts for the point itself
-                    allow_soft_deleted=True,
-                    key_to_hard_delete=key_to_delete,
-                )
-                filtered = [(-md, p) for md, p in entry_points if p != key]
-                layer[key] = {
-                    p: d for d, p in self._heuristic_prune(filtered, level_m)
-                }
+                continue
+            # ef+1: the beam finds `key` itself too; exclude it below
+            seeds = self._search_layer(
+                point, seeds, layer, ef + 1, include_tombstones=True, banned=banned
+            )
+            cand = [(p, d) for p, d in zip(*seeds) if p != key]
+            layer[key] = self._diverse_prune(
+                [p for p, _ in cand], [d for _, d in cand], self._level_cap(lvl)
+            )
 
     # ---------------------------------------------------------------- query
 
@@ -506,116 +618,10 @@ class HNSW(MutableMapping):
             ef = self._ef_construction
         if self._entry_point is None:
             raise ValueError("Entry point not found.")
-        entry_point = self._entry_point
-        entry_point_dist = self._distance_func(
-            query_point, self._nodes[entry_point].point
-        )
-        for layer in reversed(self._graphs[1:]):
-            entry_point, entry_point_dist = self._search_ef1(
-                query_point, entry_point, entry_point_dist, layer
-            )
-        candidates = self._search_base_layer(
-            query_point, [(-entry_point_dist, entry_point)], self._graphs[0], ef
-        )
-        if k is not None:
-            candidates = heapq.nlargest(k, candidates)
-        else:
-            candidates.sort(reverse=True)
-        return [(key, -mdist) for mdist, key in candidates]
-
-    def _search_ef1(
-        self,
-        query_point,
-        entry_point,
-        entry_point_dist: float,
-        layer: _Layer,
-        allow_soft_deleted: bool = False,
-        key_to_hard_delete=None,
-    ):
-        """Greedy single-best descent through one layer."""
-        candidates = [(entry_point_dist, entry_point)]
-        visited = {entry_point}
-        best = entry_point
-        best_dist = entry_point_dist
-        while candidates:
-            dist, curr = heapq.heappop(candidates)
-            if dist > best_dist:
-                break
-            neighbors = [p for p in layer[curr] if p not in visited]
-            visited.update(neighbors)
-            dists = self._dists_to(query_point, neighbors)
-            for p, d in zip(neighbors, dists):
-                if d < best_dist:
-                    if (
-                        not allow_soft_deleted and self._nodes[p].is_deleted
-                    ) or p == key_to_hard_delete:
-                        pass  # traverse through, never return
-                    else:
-                        best, best_dist = p, d
-                    heapq.heappush(candidates, (d, p))
-        return best, best_dist
-
-    def _search_base_layer(
-        self,
-        query_point,
-        entry_points: list,
-        layer: _Layer,
-        ef: int,
-        allow_soft_deleted: bool = False,
-        key_to_hard_delete=None,
-    ) -> list:
-        """Beam search with an ef-bounded result heap of (-dist, key)."""
-        candidates = [(-mdist, p) for mdist, p in entry_points]
-        heapq.heapify(candidates)
-        visited = {p for _, p in entry_points}
-        while candidates:
-            dist, curr_key = heapq.heappop(candidates)
-            closest_dist = -entry_points[0][0]
-            if dist > closest_dist:
-                break
-            neighbors = [p for p in layer[curr_key] if p not in visited]
-            visited.update(neighbors)
-            dists = self._dists_to(query_point, neighbors)
-            for p, d in zip(neighbors, dists):
-                if (
-                    not allow_soft_deleted and self._nodes[p].is_deleted
-                ) or p == key_to_hard_delete:
-                    if d <= closest_dist:
-                        # traverse through deleted points without returning them
-                        heapq.heappush(candidates, (d, p))
-                elif len(entry_points) < ef:
-                    heapq.heappush(candidates, (d, p))
-                    heapq.heappush(entry_points, (-d, p))
-                    closest_dist = -entry_points[0][0]
-                elif d <= closest_dist:
-                    heapq.heappush(candidates, (d, p))
-                    heapq.heapreplace(entry_points, (-d, p))
-                    closest_dist = -entry_points[0][0]
-        return entry_points
-
-    def _heuristic_prune(self, candidates: list, max_size: int) -> list:
-        """hnswlib-style diversification: keep a candidate only if it is
-        closer to the query node than to every already-kept neighbor."""
-        if len(candidates) < max_size:
-            return candidates
-        heapq.heapify(candidates)
-        pruned: list = []
-        while candidates and len(pruned) < max_size:
-            candidate_dist, candidate_key = heapq.heappop(candidates)
-            good = True
-            for _, selected_key in pruned:
-                if (
-                    self._distance_func(
-                        self._nodes[selected_key].point,
-                        self._nodes[candidate_key].point,
-                    )
-                    < candidate_dist
-                ):
-                    good = False
-                    break
-            if good:
-                pruned.append((candidate_dist, candidate_key))
-        return pruned
+        seeds = self._descend(query_point, 0)
+        keys, dists = self._search_layer(query_point, seeds, self._graphs[0], ef)
+        out = list(zip(keys, dists))
+        return out[:k] if k is not None else out
 
     # --------------------------------------------------------------- remove
 
@@ -625,53 +631,52 @@ class HNSW(MutableMapping):
         last point clears the index."""
         if not self._nodes or key not in self._nodes:
             raise KeyError(key)
-        if self._entry_point == key:
-            new_entry_point = None
-            for layer in reversed(list(self._graphs)):
-                new_entry_point = next(
-                    (
-                        p
-                        for p in layer
-                        if p != key and not self._nodes[p].is_deleted
-                    ),
-                    None,
-                )
-                if new_entry_point is not None:
-                    break
-                self._graphs.pop()
-            if new_entry_point is None:
-                self.clear()
-                return
-            self._entry_point = new_entry_point
         if ef is None:
             ef = self._ef_construction
-
+        if self._entry_point == key and not self._rehome_entry_point(key):
+            self.clear()  # no live node left anywhere
+            return
         self._nodes[key].is_deleted = True
         if not hard:
             return
-
-        keys_to_update = set()
+        # Patch everyone pointing at the doomed node, then unlink it. The
+        # key occupies a contiguous run of levels from 0 up, so stop the
+        # scans at the first level missing it.
+        in_neighbors = set()
         for layer in self._graphs:
             if key not in layer:
                 break
-            keys_to_update.update(layer.get_reverse_edges(key))
-        for key_to_update in keys_to_update:
-            self._repair_connections(
-                key_to_update,
-                self._nodes[key_to_update].point,
-                ef,
-                key_to_delete=key,
-            )
+            in_neighbors |= layer.get_reverse_edges(key)
+        for nbr in in_neighbors:
+            self._relink(nbr, self._nodes[nbr].point, ef, banned=key)
         for layer in self._graphs:
             if key not in layer:
                 break
             del layer[key]
         del self._nodes[key]
 
+    def _rehome_entry_point(self, key) -> bool:
+        """Move the entry point off `key`: take any live node from the
+        highest possible level, dropping levels where none exists. False
+        if the whole index is (or becomes) dead."""
+        for lvl in range(len(self._graphs) - 1, -1, -1):
+            successor = next(
+                (
+                    p
+                    for p in self._graphs[lvl]
+                    if p != key and not self._nodes[p].is_deleted
+                ),
+                None,
+            )
+            if successor is not None:
+                self._entry_point = successor
+                return True
+            self._graphs.pop()
+        return False
+
     def clean(self, ef: Optional[int] = None) -> None:
         """Hard-remove every tombstoned point."""
-        keys_to_remove = [k for k in self._nodes if self._nodes[k].is_deleted]
-        for key in keys_to_remove:
+        for key in [k for k, n in self._nodes.items() if n.is_deleted]:
             self.remove(key, ef=ef, hard=True)
 
 
