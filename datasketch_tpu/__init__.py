@@ -24,6 +24,7 @@ from datasketch_tpu.models.lsh_bloom import MinHashLSHBloom
 from datasketch_tpu.models.hnsw import HNSW
 from datasketch_tpu.models.tpu_lsh import TpuMinHashLSH
 from datasketch_tpu.models.tpu_ensemble import TpuMinHashLSHEnsemble
+from datasketch_tpu.models.tpu_forest import TpuMinHashLSHForest
 from datasketch_tpu.models.lsh_bloom import TpuMinHashLSHBloom
 from datasketch_tpu.aio import AsyncMinHashLSH  # instantiation gates optional deps
 from datasketch_tpu.storage import (
@@ -57,6 +58,7 @@ __all__ = [
     "HNSW",
     "TpuMinHashLSH",
     "TpuMinHashLSHEnsemble",
+    "TpuMinHashLSHForest",
     "TpuMinHashLSHBloom",
     "AsyncMinHashLSH",
     "sha1_hash32",

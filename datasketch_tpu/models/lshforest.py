@@ -3,9 +3,11 @@
 API parity with ``/root/reference/datasketch/lshforest.py:9`` (add/index/
 query/get_minhash_hashvalues/is_empty/__contains__). The reference already
 uses sorted arrays instead of prefix trees; we keep its byte-prefix
-semantics for the host API but replace the per-table Python binary search
-with NumPy ``searchsorted`` over contiguous sorted key arrays — and add a
-batched :meth:`query_batch`.
+semantics but run every prefix lookup as NumPy ``searchsorted`` over a
+contiguous fixed-width bytes array per tree (fixed-width ``S`` dtype
+compares bytewise-lexicographically, which matches the byteswapped key
+encoding), batched across queries in :meth:`query_batch`. The fully
+device-resident forest is :class:`~datasketch_tpu.models.tpu_forest.TpuMinHashLSHForest`.
 """
 
 from __future__ import annotations
@@ -40,6 +42,9 @@ class MinHashLSHForest:
         self.keys: dict = {}
         # sorted arrays standing in for prefix trees (lshforest.py:43-44)
         self.sorted_hashtables = [[] for _ in range(self.l)]
+        # fixed-width bytes mirrors of sorted_hashtables for vectorized
+        # searchsorted (rebuilt by index())
+        self._sorted_arrays = [None] * self.l
 
     def _H(self, hs) -> bytes:
         # preserve native dtype: WeightedMinHash rows are signed (k, t) pairs
@@ -61,56 +66,109 @@ class MinHashLSHForest:
         """Sort each table's keys, making everything staged searchable."""
         for i, hashtable in enumerate(self.hashtables):
             self.sorted_hashtables[i] = sorted(hashtable)
+            if self.sorted_hashtables[i]:
+                width = len(self.sorted_hashtables[i][0])
+                self._sorted_arrays[i] = np.array(
+                    self.sorted_hashtables[i], dtype="S%d" % width
+                )
+            else:
+                self._sorted_arrays[i] = np.empty(0, dtype="S1")
+
+    def _tree_runs(self, hp_matrix, r: int):
+        """Run bounds per (tree, query) for r-length prefixes.
+
+        Args:
+            hp_matrix: list (len l) of lists (len Q) of prefix bytes.
+        Returns:
+            per tree: (lo int[Q], hi int[Q]) — slice bounds into
+            ``sorted_hashtables[tree]`` whose keys carry the prefix.
+        """
+        out = []
+        for tree, prefixes in enumerate(hp_matrix):
+            arr = self._sorted_arrays[tree]
+            if arr is None or arr.size == 0:
+                z = np.zeros(len(prefixes), dtype=np.intp)
+                out.append((z, z))
+                continue
+            width = arr.dtype.itemsize
+            pad = width - len(prefixes[0])
+            # fixed-width S compares with implicit null padding, so the
+            # prefix itself is the smallest key carrying it and
+            # prefix+0xff.. the largest
+            lo = np.searchsorted(arr, np.array(prefixes, dtype=arr.dtype))
+            ceil = np.array(
+                [p + b"\xff" * pad for p in prefixes], dtype=arr.dtype
+            )
+            hi = np.searchsorted(arr, ceil, side="right")
+            out.append((lo, hi))
+        return out
+
+    def _prefixes(self, hashvalue_rows, r: int):
+        """Byteswapped r-prefix per tree per query: l x Q bytes lists."""
+        return [
+            [self._H(hv[start : start + r]) for hv in hashvalue_rows]
+            for start, _ in self.hashranges
+        ]
 
     def _query(self, minhash, r, b):
         """Yield keys whose r-length prefix matches in any of the first b
-        trees (searchsorted over the sorted byte arrays)."""
+        trees (vectorized searchsorted; bucket iteration keeps the
+        reference's tree-then-run order, lshforest.py:74-90)."""
         if r > self.k or r <= 0 or b > self.l or b <= 0:
             raise ValueError("parameter outside range")
-        hps = [
-            self._H(minhash.hashvalues[start : start + r])
-            for start, _ in self.hashranges
-        ]
-        prefix_size = len(hps[0])
-        for ht, hp, hashtable in zip(self.sorted_hashtables, hps, self.hashtables):
-            i = self._search_left(ht, hp, prefix_size)
-            while i < len(ht) and ht[i][:prefix_size] == hp:
-                for key in hashtable[ht[i]]:
-                    yield key
-                i += 1
-
-    @staticmethod
-    def _search_left(ht, hp, prefix_size):
-        lo, hi = 0, len(ht)
-        while lo < hi:
-            mid = (lo + hi) // 2
-            if ht[mid][:prefix_size] < hp:
-                lo = mid + 1
-            else:
-                hi = mid
-        return lo
+        runs = self._tree_runs(self._prefixes([minhash.hashvalues], r), r)
+        for tree in range(b):
+            lo, hi = runs[tree]
+            ht, table = self.sorted_hashtables[tree], self.hashtables[tree]
+            for bk in ht[int(lo[0]) : int(hi[0])]:
+                yield from table[bk]
 
     def query(self, minhash, k: int) -> list:
         """Approximate top-k most-similar keys: descend prefix length from
         self.k until at least k results collected (lshforest.py:92-128)."""
-        if k <= 0:
-            raise ValueError("k must be positive")
-        if len(minhash) < self.k * self.l:
-            raise ValueError("The num_perm of MinHash out of range")
-        results = set()
-        r = self.k
-        while r > 0:
-            for key in self._query(minhash, r, self.l):
-                results.add(key)
-                if len(results) >= k:
-                    return list(results)
-            r -= 1
-        return list(results)
+        return self.query_batch([minhash], k)[0]
 
     def query_batch(self, minhashes, k: int) -> list:
-        """Top-k for many queries (host loop; device path via TpuMinHashLSH
-        covers the throughput case)."""
-        return [self.query(m, k) for m in minhashes]
+        """Top-k for many queries at once.
+
+        One vectorized two-sided ``searchsorted`` per (tree, prefix level)
+        covers the whole batch; per-query candidate collection then follows
+        the reference's exact iteration order (trees in order, run items in
+        sorted order, early-stop at k), so ``query_batch(ms, k)[i] ==
+        query(ms[i], k)`` element for element.
+        """
+        if k <= 0:
+            raise ValueError("k must be positive")
+        minhashes = list(minhashes)
+        for m in minhashes:
+            if len(m) < self.k * self.l:
+                raise ValueError("The num_perm of MinHash out of range")
+        results = [set() for _ in minhashes]
+        done = [False] * len(minhashes)
+        rows = [m.hashvalues for m in minhashes]
+        for r in range(self.k, 0, -1):
+            active = [i for i in range(len(minhashes)) if not done[i]]
+            if not active:
+                break
+            runs = self._tree_runs(
+                self._prefixes([rows[i] for i in active], r), r
+            )
+            for tree in range(self.l):
+                lo, hi = runs[tree]
+                ht, table = self.sorted_hashtables[tree], self.hashtables[tree]
+                for qi, l_, h_ in zip(active, lo, hi):
+                    if done[qi]:
+                        continue
+                    res = results[qi]
+                    for bk in ht[int(l_) : int(h_)]:
+                        for key in table[bk]:
+                            res.add(key)
+                            if len(res) >= k:
+                                done[qi] = True
+                                break
+                        if done[qi]:
+                            break
+        return [list(res) for res in results]
 
     def get_minhash_hashvalues(self, key: Hashable) -> np.ndarray:
         """Reconstruct the indexed MinHash's hashvalues from the stored

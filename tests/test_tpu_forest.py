@@ -1,0 +1,234 @@
+"""TpuMinHashLSHForest + forest_ops: device prefix-forest semantics."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from datasketch_tpu import MinHash, MinHashLSHForest, TpuMinHashLSHForest
+from datasketch_tpu.ops import forest_ops
+
+
+def _corpus_minhashes(n=64, num_perm=128, seed=0):
+    rng = np.random.RandomState(seed)
+    universe = [("tok-%d" % t).encode() for t in range(500)]
+    sets, ms = [], []
+    for i in range(n):
+        toks = rng.choice(500, size=rng.randint(20, 80), replace=False)
+        s = {universe[t] for t in toks}
+        m = MinHash(num_perm=num_perm)
+        m.update_batch(sorted(s))
+        sets.append(s)
+        ms.append(m)
+    return sets, ms
+
+
+class TestForestOps:
+    def test_prefix_runs_match_bruteforce(self):
+        """Every (tree, level) run returned by query_forest must equal the
+        brute-force prefix-fingerprint match set."""
+        rng = np.random.RandomState(3)
+        sigs = rng.randint(0, 1 << 32, size=(40, 32), dtype=np.uint64).astype(
+            np.uint32
+        )
+        # plant shared prefixes: rows 1,2 share row 0's first tree entirely,
+        # row 3 shares only the first two slots
+        sigs[1, :8] = sigs[0, :8]
+        sigs[2, :8] = sigs[0, :8]
+        sigs[3, :2] = sigs[0, :2]
+        l, k, cap = 4, 8, 16
+        fps = np.asarray(forest_ops.prefix_fingerprints(sigs, l, k))
+        sorted_fps, sorted_ids = forest_ops.build_forest(fps)
+        q_fps = np.asarray(forest_ops.prefix_fingerprints(sigs[:1], l, k))
+        ids, trunc = forest_ops.query_forest(
+            np.asarray(sorted_fps), np.asarray(sorted_ids), q_fps, cap
+        )
+        ids = np.asarray(ids)[0]  # [k, l*cap]
+        assert int(trunc) == 0
+        for lev in range(k):
+            got = {int(i) for i in ids[lev] if i >= 0}
+            expect = set()
+            for tree in range(l):
+                match = np.all(
+                    fps[tree, : lev + 1, :] == fps[tree, : lev + 1, 0:1],
+                    axis=0,
+                )
+                expect |= set(np.nonzero(match)[0].tolist())
+            assert got == expect, f"level {lev}"
+
+    def test_level_weight_beats_raw_jaccard(self):
+        """A full-tree prefix match must outrank a higher-Jaccard row that
+        only matches one slot per tree (the forest contract)."""
+        rng = np.random.RandomState(7)
+        q = rng.randint(0, 1 << 32, size=(1, 128), dtype=np.uint64).astype(
+            np.uint32
+        )
+        db = rng.randint(0, 1 << 32, size=(4, 128), dtype=np.uint64).astype(
+            np.uint32
+        )
+        l, k = 8, 16
+        db[0] = rng.randint(0, 1 << 32, size=128, dtype=np.uint64).astype(
+            np.uint32
+        )
+        db[0, :16] = q[0, :16]  # full first tree: level-16 match, jac=0.125
+        db[1] = q[0]  # high jaccard...
+        for t in range(l):
+            db[1, t * k + 1] ^= 1  # ...but prefix depth 1 in every tree
+        fps = forest_ops.prefix_fingerprints(db, l, k)
+        sorted_fps, sorted_ids = forest_ops.build_forest(fps)
+        ids, jac, lev, _ = forest_ops.forest_query_fused(
+            sorted_fps, sorted_ids, db, q, l, k, 8, 4
+        )
+        ids = np.asarray(ids)[0]
+        assert ids[0] == 0, "deep prefix match must rank first"
+        assert ids[1] == 1
+        assert int(np.asarray(lev)[0][0]) == 16
+        assert np.asarray(jac)[0][1] == pytest.approx(1.0 - 8 / 128)
+
+    def test_host_build_matches_device_build(self):
+        rng = np.random.RandomState(5)
+        sigs = rng.randint(0, 1 << 32, size=(200, 64), dtype=np.uint64).astype(
+            np.uint32
+        )
+        sigs[10] = sigs[4]  # identical rows exercise stable tie-breaking
+        l, k = 4, 16
+        h_fps, h_ids = forest_ops.build_forest_host(sigs, l, k)
+        d_fps, d_ids = forest_ops.build_forest(
+            forest_ops.prefix_fingerprints(sigs, l, k)
+        )
+        np.testing.assert_array_equal(h_fps, np.asarray(d_fps))
+        np.testing.assert_array_equal(h_ids, np.asarray(d_ids))
+
+    def test_truncation_reported(self):
+        sigs = np.tile(
+            np.arange(16, dtype=np.uint32)[None, :], (32, 1)
+        )  # 32 identical rows
+        fps = forest_ops.prefix_fingerprints(sigs, 2, 8)
+        sorted_fps, sorted_ids = forest_ops.build_forest(fps)
+        q_fps = forest_ops.prefix_fingerprints(sigs[:1], 2, 8)
+        _, trunc = forest_ops.query_forest(
+            np.asarray(sorted_fps), np.asarray(sorted_ids), np.asarray(q_fps), 4
+        )
+        assert int(trunc) > 0
+
+
+class TestTpuForest:
+    def test_self_recall_and_scores(self):
+        _, ms = _corpus_minhashes(n=50)
+        forest = TpuMinHashLSHForest(num_perm=128, l=8)
+        forest.index(list(range(50)), ms)
+        res = forest.query_batch(ms[:10], 5, return_scores=True)
+        for i, hits in enumerate(res):
+            assert hits[0][0] == i
+            assert hits[0][1] == pytest.approx(1.0)
+
+    def test_matches_host_forest_recall(self):
+        """Device forest recall@5 (vs true Jaccard) >= host forest's."""
+        sets, ms = _corpus_minhashes(n=64, seed=11)
+        host = MinHashLSHForest(num_perm=128, l=8)
+        dev = TpuMinHashLSHForest(num_perm=128, l=8)
+        for i, m in enumerate(ms):
+            host.add(i, m)
+        host.index()
+        dev.index(list(range(64)), ms)
+
+        def true_topk(qi, k=5):
+            jac = [
+                (len(sets[qi] & sets[j]) / len(sets[qi] | sets[j]), j)
+                for j in range(len(sets))
+            ]
+            jac.sort(reverse=True)
+            return {j for _, j in jac[:k]}
+
+        host_hits = dev_hits = 0
+        dev_res = dev.query_batch(ms[:20], 5)
+        for qi in range(20):
+            truth = true_topk(qi)
+            host_hits += len(set(host.query(ms[qi], 5)) & truth)
+            dev_hits += len(set(dev_res[qi]) & truth)
+        assert dev_hits >= host_hits
+
+    def test_add_index_lifecycle(self):
+        _, ms = _corpus_minhashes(n=12)
+        forest = TpuMinHashLSHForest(num_perm=128, l=8)
+        assert forest.is_empty()
+        for i in range(6):
+            forest.add(i, ms[i])
+        assert forest.is_empty()  # staged, not searchable
+        assert 3 in forest and 7 not in forest
+        forest.index()
+        assert not forest.is_empty()
+        assert forest.query(ms[0], 3)[0] == 0
+        # add more after indexing; invisible until re-index
+        forest.add(6, ms[6])
+        assert 6 not in forest.query(ms[6], 3)
+        forest.index()
+        assert forest.query(ms[6], 3)[0] == 6
+        assert len(forest) == 7
+
+    def test_errors(self):
+        _, ms = _corpus_minhashes(n=3)
+        forest = TpuMinHashLSHForest(num_perm=128, l=8)
+        with pytest.raises(ValueError):
+            TpuMinHashLSHForest(num_perm=128, l=0)
+        with pytest.raises(ValueError):
+            TpuMinHashLSHForest(num_perm=4, l=8)
+        forest.add("a", ms[0])
+        with pytest.raises(ValueError):
+            forest.add("a", ms[1])
+        with pytest.raises(ValueError):
+            forest.query(ms[0], 0)
+        small = MinHash(num_perm=16)
+        with pytest.raises(ValueError):
+            forest.add("b", small)
+        forest.index()
+        with pytest.raises(ValueError):
+            forest.query(small, 3)
+
+    def test_padding_beyond_pow2(self):
+        _, ms = _corpus_minhashes(n=130, seed=5)
+        forest = TpuMinHashLSHForest(num_perm=128, l=8)
+        forest.index(list(range(130)), ms)
+        res = forest.query_batch([ms[0], ms[129]], 3)
+        assert res[0][0] == 0 and res[1][0] == 129
+        # padded filler rows must never leak
+        for hits in forest.query_batch(ms[:8], 10):
+            assert all(0 <= h < 130 for h in hits)
+
+    def test_save_load_roundtrip(self):
+        _, ms = _corpus_minhashes(n=20)
+        forest = TpuMinHashLSHForest(num_perm=128, l=8, cap=32)
+        forest.index(list(range(20)), ms)
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "forest.npz")
+            forest.save(path)
+            loaded = TpuMinHashLSHForest.load(path)
+        assert len(loaded) == 20
+        assert loaded.cap == 32
+        q = forest.query_batch(ms[:5], 4)
+        q2 = loaded.query_batch(ms[:5], 4)
+        assert q == q2
+
+    def test_get_minhash_hashvalues(self):
+        _, ms = _corpus_minhashes(n=4)
+        forest = TpuMinHashLSHForest(num_perm=128, l=8)
+        forest.index([0, 1, 2, 3], ms)
+        hv = forest.get_minhash_hashvalues(2)
+        np.testing.assert_array_equal(
+            hv, np.asarray(ms[2].hashvalues, np.uint64).astype(np.uint32)
+        )
+        with pytest.raises(KeyError):
+            forest.get_minhash_hashvalues("missing")
+
+
+class TestHostForestBatch:
+    def test_query_batch_equals_scalar(self):
+        _, ms = _corpus_minhashes(n=40, seed=9)
+        forest = MinHashLSHForest(num_perm=128, l=8)
+        for i, m in enumerate(ms):
+            forest.add(i, m)
+        forest.index()
+        batch = forest.query_batch(ms[:15], 7)
+        for qi in range(15):
+            assert sorted(batch[qi]) == sorted(forest.query(ms[qi], 7))
