@@ -63,6 +63,36 @@ def hll_sweep(ps=(6, 8, 10, 12, 14, 16), n_items=5000, n_trials=5):
         print(f"{p:>3} {1000 * np.median(times):>10.2f} {np.mean(errs):>8.4f}")
 
 
+def hll_bulk_sweep(p=12, n_docs=512, tokens_per_doc=400, n_trials=3):
+    """HLL corpus sketching: sequential update_batch loop vs
+    bulk_registers (one flattened scatter for the whole corpus)."""
+    from datasketch_tpu.ops import hll_ops
+
+    print(f"== HyperLogLog.bulk_registers: {n_docs} docs x {tokens_per_doc} "
+          f"tokens, p={p}")
+    docs = [
+        [b"d%d-t%d" % (d, i) for i in range(tokens_per_doc)]
+        for d in range(n_docs)
+    ]
+    seq_times, bulk_times = [], []
+    HyperLogLog.bulk_registers(docs[:8], p=p)  # warm compile
+    for _ in range(n_trials):
+        t0 = time.perf_counter()
+        for d in docs:
+            h = HyperLogLog(p=p, device_mode="disable")
+            h.update_batch(d)
+        seq_times.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        regs = HyperLogLog.bulk_registers(docs, p=p)
+        bulk_times.append(time.perf_counter() - t0)
+    counts = np.asarray(hll_ops.count_batch(regs, p))
+    err = float(np.mean(np.abs(counts - tokens_per_doc) / tokens_per_doc))
+    t_seq, t_bulk = np.median(seq_times), np.median(bulk_times)
+    print(f"sequential {t_seq * 1000:8.1f}ms  bulk {t_bulk * 1000:8.1f}ms "
+          f"({t_seq / t_bulk:.1f}x)  rel_err {err:.4f}")
+
+
 if __name__ == "__main__":
     minhash_sweep()
     hll_sweep()
+    hll_bulk_sweep()

@@ -44,10 +44,14 @@ class HyperLogLog:
         hashobj: Deprecated no-op.
     """
 
-    __slots__ = ("alpha", "hashfunc", "m", "max_rank", "p", "reg")
+    __slots__ = ("alpha", "device_mode", "hashfunc", "m", "max_rank", "p", "reg")
 
     _hash_range_bit = 32
     _hash_range_byte = 4
+    # Below this many tokens the host scatter beats a device dispatch
+    # (the HLL update is a pure scatter-max: far less arithmetic per token
+    # than MinHash's permutation matrix, so the crossover sits higher).
+    _DEVICE_BATCH_THRESHOLD = 1 << 15
 
     def _get_alpha(self, p: int) -> float:
         if not (4 <= p <= 16):
@@ -66,7 +70,11 @@ class HyperLogLog:
         reg: Optional[np.ndarray] = None,
         hashfunc: Callable = sha1_hash32,
         hashobj: Optional[object] = None,
+        device_mode: str = "auto",
     ):
+        if device_mode not in ("disable", "auto", "always"):
+            raise ValueError("device_mode must be 'disable', 'auto' or 'always'")
+        self.device_mode = device_mode
         if reg is None:
             self.p = p
             self.m = 1 << p
@@ -104,7 +112,7 @@ class HyperLogLog:
     def update_batch(self, bs) -> None:
         """Vectorized multi-value update (TPU extension; the reference has
         no HLL batch path). Hashes on host, scatter-max on device for large
-        batches, NumPy for small ones."""
+        batches (per ``device_mode``), NumPy for small ones."""
         if self.hashfunc is sha1_hash32:
             from datasketch_tpu.hashfunc import batch_sha1_hash32
 
@@ -112,6 +120,23 @@ class HyperLogLog:
         else:
             hv = np.array([self.hashfunc(b) for b in bs], dtype=np.int64)
         if hv.size == 0:
+            return
+        if np.any((hv >> self._hash_range_bit) != 0):
+            raise ValueError(
+                "Hash value overflow, maximum size is %d bits" % self.max_rank
+            )
+        use_device = self.device_mode == "always" or (
+            self.device_mode == "auto"
+            and hv.size >= self._DEVICE_BATCH_THRESHOLD
+        )
+        if use_device:
+            from datasketch_tpu.ops import hll_ops
+
+            row = self._device_sketch_rows(
+                hv.astype(np.uint64)[None, :],
+                np.array([hv.size], dtype=np.int32),
+            )
+            np.maximum(self.reg, np.asarray(row)[0], out=self.reg)
             return
         idx = (hv & (self.m - 1)).astype(np.int64)
         bits = hv >> self.p
@@ -122,6 +147,136 @@ class HyperLogLog:
                 "Hash value overflow, maximum size is %d bits" % self.max_rank
             )
         np.maximum.at(self.reg, idx, ranks.astype(np.int8))
+
+    def _device_sketch_rows(self, hv: np.ndarray, lengths: np.ndarray):
+        """Device register rows for padded uint64 hash rows [B, T]."""
+        from datasketch_tpu.ops import hll_ops
+
+        if self._hash_range_bit == 64:
+            hi = (hv >> np.uint64(32)).astype(np.uint32)
+            lo = (hv & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            return hll_ops.sketch_batch64(hi, lo, lengths, self.p)
+        return hll_ops.sketch_batch32(
+            hv.astype(np.uint32), lengths, self.p
+        )
+
+    @classmethod
+    def bulk_registers(cls, bs, **kwargs) -> np.ndarray:
+        """Register MATRIX for a corpus: int8[N, 2**p], one device dispatch
+        per chunk — the pipeline form of :meth:`bulk`, directly consumable
+        by :func:`~datasketch_tpu.ops.hll_ops.count_batch` and
+        ``datasketch_tpu.parallel.distributed_hll_union``. Token-hashing
+        batches through native SHA-1/SHA-NI for the stock hashfuncs."""
+        proto = cls(**kwargs)
+        docs = bs if isinstance(bs, list) else list(bs)
+        docs = [d if isinstance(d, list) else list(d) for d in docs]
+        if not docs:
+            return np.zeros((0, proto.m), dtype=np.int8)
+        if proto.device_mode == "always":
+            # device rows feed on-device pipelines (count_batch /
+            # distributed_hll_union) without a host round trip
+            padded, lengths = proto._pad_hash_corpus(docs)
+            rows = np.asarray(proto._device_sketch_rows(padded, lengths))
+            return rows[: len(docs)]
+        # host fast path: ONE flattened scatter-max over (doc, register)
+        # pairs for the whole corpus — an HLL update is all scatter and no
+        # arithmetic, so shipping it across the tunnel loses (measured
+        # 0.5x); a single np.maximum.at wins even over the sequential loop
+        import itertools
+
+        lengths = np.fromiter(map(len, docs), np.int64, count=len(docs))
+        flat_tokens = list(itertools.chain.from_iterable(docs))
+        hv = proto._hash_flat(flat_tokens)
+        doc_of = np.repeat(np.arange(len(docs), dtype=np.int64), lengths)
+        idx = (hv & np.uint64(proto.m - 1)).astype(np.int64)
+        bits = hv >> np.uint64(proto.p)
+        ranks = proto.max_rank - _np_bit_length(bits) + 1
+        if np.any(ranks <= 0):
+            raise ValueError(
+                "Hash value overflow, maximum size is %d bits" % proto.max_rank
+            )
+        regs = np.zeros((len(docs), proto.m), dtype=np.int8)
+        np.maximum.at(
+            regs.reshape(-1), doc_of * proto.m + idx, ranks.astype(np.int8)
+        )
+        return regs
+
+    def _hash_flat(self, tokens: list) -> np.ndarray:
+        """Hash a flat token list to uint64 via the native batch hasher
+        when the hashfunc is stock."""
+        from datasketch_tpu.hashfunc import sha1_hash64 as _sha64
+        from datasketch_tpu.native import corpus
+
+        if not tokens:
+            return np.zeros(0, dtype=np.uint64)
+        if self.hashfunc is sha1_hash32 and self._hash_range_bit == 32:
+            return corpus.hash_tokens(tokens, corpus.ALGO_SHA1_32).astype(
+                np.uint64
+            )
+        if self.hashfunc is _sha64 and self._hash_range_bit == 64:
+            return corpus.hash_tokens(tokens, corpus.ALGO_SHA1_64)
+        hv = np.array([self.hashfunc(t) for t in tokens], dtype=np.uint64)
+        if np.any((hv >> np.uint64(self._hash_range_bit - 1)) >> 1 != 0):
+            raise ValueError(
+                "Hash value overflow, maximum size is %d bits" % self.max_rank
+            )
+        return hv
+
+    @classmethod
+    def bulk(cls, bs, **kwargs) -> list:
+        """Compute many sketches at once (device batch path); the HLL
+        analogue of ``MinHash.bulk``."""
+        regs = cls.bulk_registers(bs, **kwargs)
+        kwargs.pop("p", None)
+        return [cls(reg=row.copy(), **kwargs) for row in regs]
+
+    def _pad_hash_corpus(self, docs: list):
+        """Hash + pad docs to uint64[B_pow2, T_pow2] + lengths (the same
+        pow-of-two shape bucketing as MinHash bulk, to cap compile count)."""
+        from datasketch_tpu.hashfunc import sha1_hash64 as _sha64
+        from datasketch_tpu.native import corpus
+
+        if self.hashfunc is sha1_hash32 and self._hash_range_bit == 32:
+            algo = corpus.ALGO_SHA1_32
+        elif self.hashfunc is _sha64 and self._hash_range_bit == 64:
+            algo = corpus.ALGO_SHA1_64
+        else:
+            algo = None
+        if algo is not None:
+            max_len = max((len(d) for d in docs), default=1)
+            t_bucket = 128
+            while t_bucket < max_len:
+                t_bucket *= 2
+            padded, lengths = corpus.hash_corpus_padded(
+                docs, algo, pad_multiple=t_bucket
+            )
+            padded = padded.astype(np.uint64)
+        else:
+            hashed = [
+                np.array([self.hashfunc(t) for t in d], dtype=np.uint64)
+                for d in docs
+            ]
+            lengths = np.array([len(h) for h in hashed], dtype=np.int32)
+            max_len = max(1, int(lengths.max()) if len(lengths) else 1)
+            t = 128
+            while t < max_len:
+                t *= 2
+            padded = np.zeros((len(hashed), t), dtype=np.uint64)
+            for i, h in enumerate(hashed):
+                if np.any((h >> np.uint64(self._hash_range_bit)) != 0):
+                    raise ValueError(
+                        "Hash value overflow, maximum size is %d bits"
+                        % self.max_rank
+                    )
+                padded[i, : len(h)] = h
+        n_real = padded.shape[0]
+        b_bucket = 128
+        while b_bucket < n_real:
+            b_bucket *= 2
+        if b_bucket != n_real:
+            padded = np.pad(padded, ((0, b_bucket - n_real), (0, 0)))
+            lengths = np.pad(lengths, (0, b_bucket - n_real))
+        return padded, lengths
 
     def count(self) -> float:
         """Estimate the cardinality seen so far (with small/large-range
@@ -151,7 +306,10 @@ class HyperLogLog:
         return copy.copy(self.reg)
 
     def copy(self) -> "HyperLogLog":
-        return self.__class__(reg=self.digest(), hashfunc=self.hashfunc)
+        return self.__class__(
+            reg=self.digest(), hashfunc=self.hashfunc,
+            device_mode=self.device_mode,
+        )
 
     def is_empty(self) -> bool:
         return not np.any(self.reg)
@@ -268,8 +426,12 @@ class HyperLogLogPlusPlus(HyperLogLog):
         hashfunc: Callable = sha1_hash64,
         hashobj: Optional[object] = None,
         sparse: bool = False,
+        device_mode: str = "auto",
     ):
-        super().__init__(p=p, reg=reg, hashfunc=hashfunc, hashobj=hashobj)
+        super().__init__(
+            p=p, reg=reg, hashfunc=hashfunc, hashobj=hashobj,
+            device_mode=device_mode,
+        )
         self._sparse = sparse and reg is None
         # idx25 -> max dense rank; densify when it outgrows the register
         # array's footprint (dict entry ~= 8x an int8 register).
@@ -334,6 +496,18 @@ class HyperLogLogPlusPlus(HyperLogLog):
         else:
             hv = np.array([self.hashfunc(b) for b in bs], dtype=np.uint64)
         if hv.size == 0:
+            return
+        if not self._sparse and (
+            self.device_mode == "always"
+            or (
+                self.device_mode == "auto"
+                and hv.size >= self._DEVICE_BATCH_THRESHOLD
+            )
+        ):
+            row = self._device_sketch_rows(
+                hv[None, :], np.array([hv.size], dtype=np.int32)
+            )
+            np.maximum(self.reg, np.asarray(row)[0], out=self.reg)
             return
         idx = (hv & np.uint64(self.m - 1)).astype(np.int64)
         bits = (hv >> np.uint64(self.p)).astype(np.uint64)
@@ -418,7 +592,8 @@ class HyperLogLogPlusPlus(HyperLogLog):
 
     def copy(self) -> "HyperLogLogPlusPlus":
         new = HyperLogLogPlusPlus(
-            p=self.p, hashfunc=self.hashfunc, sparse=self._sparse
+            p=self.p, hashfunc=self.hashfunc, sparse=self._sparse,
+            device_mode=self.device_mode,
         )
         new.reg = self.reg.copy()
         if self._sparse:

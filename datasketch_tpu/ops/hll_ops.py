@@ -19,6 +19,8 @@ __all__ = [
     "ranks_and_indices32",
     "ranks_and_indices64",
     "update_regs",
+    "sketch_batch32",
+    "sketch_batch64",
     "merge_regs",
     "raw_estimate",
     "count_batch",
@@ -80,6 +82,36 @@ def update_regs(regs, idx, rank, valid, m: int):
         return regs_row.at[idx_row].max(rank_row, mode="drop")
 
     return jax.vmap(one)(regs, idx, rank)
+
+
+def _valid_mask(shape, lengths):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, 1) < lengths[:, None]
+
+
+@functools.partial(jax.jit, static_argnames=("p",))
+def sketch_batch32(hashes, lengths, p: int):
+    """Fresh HLL registers for a padded corpus, ONE dispatch.
+
+    Args:
+        hashes: uint32[B, T] token hashes (padded); lengths: int32[B].
+    Returns:
+        int8[B, 2**p] register rows (the matrix form consumed by
+        :func:`count_batch` / ``distributed_hll_union``).
+    """
+    idx, rank = ranks_and_indices32(hashes, p)
+    regs = jnp.zeros((hashes.shape[0], 1 << p), jnp.int8)
+    return update_regs(regs, idx, rank, _valid_mask(hashes.shape, lengths), 1 << p)
+
+
+@functools.partial(jax.jit, static_argnames=("p",))
+def sketch_batch64(hash_hi, hash_lo, lengths, p: int):
+    """64-bit-hash variant of :func:`sketch_batch32` (HLL++ semantics,
+    hashes as uint32 limb pairs)."""
+    idx, rank = ranks_and_indices64(hash_hi, hash_lo, p)
+    regs = jnp.zeros((hash_hi.shape[0], 1 << p), jnp.int8)
+    return update_regs(
+        regs, idx, rank, _valid_mask(hash_hi.shape, lengths), 1 << p
+    )
 
 
 @jax.jit

@@ -250,3 +250,85 @@ class TestHyperLogLogPlusPlusSparse:
         a2 = pickle.loads(pickle.dumps(a))
         assert not a2.is_sparse
         assert abs(a2.count() - a.count()) < a.count() * 0.1
+
+
+class TestHLLBatchSurface:
+    """Facade-level batch APIs: device update_batch, bulk, bulk_registers."""
+
+    def test_update_batch_device_equals_host(self):
+        toks = [("v-%d" % i).encode() for i in range(3000)]
+        for cls in (HyperLogLog, HyperLogLogPlusPlus):
+            host = cls(p=10, device_mode="disable")
+            host.update_batch(toks)
+            dev = cls(p=10, device_mode="always")
+            dev.update_batch(toks)
+            np.testing.assert_array_equal(host.reg, dev.reg)
+            # incremental: device max-merges into existing state
+            dev.update_batch([b"extra-1", b"extra-2"])
+            host.update_batch([b"extra-1", b"extra-2"])
+            np.testing.assert_array_equal(host.reg, dev.reg)
+
+    def test_bulk_registers_matches_sequential(self):
+        docs = [
+            [("d%d-t%d" % (d, t)).encode() for t in range(30 + d % 9)]
+            for d in range(20)
+        ]
+        for cls in (HyperLogLog, HyperLogLogPlusPlus):
+            regs = cls.bulk_registers(docs, p=8)
+            assert regs.shape == (20, 256) and regs.dtype == np.int8
+            for i, d in enumerate(docs):
+                s = cls(p=8, device_mode="disable")
+                s.update_batch(d)
+                np.testing.assert_array_equal(regs[i], s.reg, err_msg=str(i))
+
+    def test_bulk_objects(self):
+        docs = [[b"a", b"b", b"c"], [b"x", b"y"], []]
+        sketches = HyperLogLog.bulk(docs, p=6)
+        assert len(sketches) == 3
+        assert isinstance(sketches[0], HyperLogLog)
+        assert sketches[2].is_empty()
+        ref = HyperLogLog(p=6)
+        ref.update_batch(docs[0])
+        assert sketches[0] == ref
+        # merged bulk rows == union of per-doc sketches
+        from datasketch_tpu.ops import hll_ops
+        regs = HyperLogLog.bulk_registers(docs, p=6)
+        merged = np.maximum.reduce(regs)
+        u = HyperLogLog.union(*(HyperLogLog.bulk(docs[:2], p=6) + [ref]))
+        np.testing.assert_array_equal(merged, u.reg)
+
+    def test_bulk_registers_feeds_count_batch(self):
+        from datasketch_tpu.ops import hll_ops
+
+        docs = [
+            [("u%d-%d" % (d, t)).encode() for t in range(200)] for d in range(8)
+        ]
+        regs = HyperLogLog.bulk_registers(docs, p=12)
+        counts = np.asarray(hll_ops.count_batch(regs, 12))
+        assert np.all(np.abs(counts - 200) / 200 < 0.15)
+
+    def test_bulk_custom_hashfunc(self):
+        import hashlib
+
+        def h32(b):
+            return int.from_bytes(hashlib.md5(b).digest()[:4], "big")
+
+        docs = [[b"p", b"q"], [b"r"]]
+        regs = HyperLogLog.bulk_registers(docs, p=6, hashfunc=h32)
+        ref = HyperLogLog(p=6, hashfunc=h32, device_mode="disable")
+        ref.update_batch(docs[0])
+        np.testing.assert_array_equal(regs[0], ref.reg)
+
+    def test_bulk_empty_corpus(self):
+        assert HyperLogLog.bulk_registers([], p=8).shape == (0, 256)
+        assert HyperLogLog.bulk([], p=8) == []
+
+    def test_device_mode_validation_and_pickle(self):
+        import pickle
+
+        with pytest.raises(ValueError):
+            HyperLogLog(p=8, device_mode="bogus")
+        s = HyperLogLog(p=8, device_mode="always")
+        s.update_batch([b"a", b"b"])
+        s2 = pickle.loads(pickle.dumps(s))
+        np.testing.assert_array_equal(s.reg, s2.reg)
