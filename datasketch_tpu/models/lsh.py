@@ -338,8 +338,46 @@ class MinHashLSH:
         return list(candidates)
 
     def query_batch(self, minhashes) -> list:
-        """Query many MinHashes; returns a list of candidate lists."""
-        return [self.query(m) for m in minhashes]
+        """Query many MinHashes; returns a list of candidate lists.
+
+        Band keys for the whole batch come from ONE byteswap over the
+        stacked signature matrix (the :meth:`insert_batch` trick) and each
+        band's buckets are fetched with one ``getmany`` — a single storage
+        round trip per band instead of one per (query, band).
+        """
+        minhashes = list(minhashes)
+        for m in minhashes:
+            if len(m) != self.h:
+                raise ValueError(
+                    "Expecting minhash with length %d, got %d"
+                    % (self.h, len(m))
+                )
+        if not minhashes:
+            return []
+        if self.hashfunc is not None:
+            # custom band-key compressor: per-query path
+            return [self.query(m) for m in minhashes]
+        sigs = np.stack([np.asarray(m.hashvalues) for m in minhashes])
+        swapped = np.ascontiguousarray(sigs.byteswap())
+        raw = swapped.tobytes()
+        val_bytes = swapped.dtype.itemsize * int(
+            np.prod(swapped.shape[2:], dtype=np.int64)
+        )
+        row_bytes = swapped.shape[1] * val_bytes
+        results = [set() for _ in minhashes]
+        for band, ((start, end), hashtable) in enumerate(
+            zip(self.hashranges, self.hashtables)
+        ):
+            Hs = [
+                raw[i * row_bytes + start * val_bytes
+                    : i * row_bytes + end * val_bytes]
+                for i in range(len(minhashes))
+            ]
+            for res, bucket in zip(results, hashtable.getmany(*Hs)):
+                res.update(bucket)
+        if self.prepickle:
+            return [[pickle.loads(k) for k in res] for res in results]
+        return [list(res) for res in results]
 
     def _query_b(self, minhash, b) -> set:
         """Query using only the first b bands (used by LSHEnsemble)."""

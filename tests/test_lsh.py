@@ -221,3 +221,55 @@ def test_insert_batch_weighted_minhash_and_in_batch_dups():
 
     with pytest.raises(ValueError):
         b.insert_batch(["dup", "dup"], wms[:2])  # in-batch duplicate
+
+
+class TestQueryBatch:
+    def _minhashes(self, n=30, num_perm=128, seed=2):
+        rng = np.random.RandomState(seed)
+        ms = []
+        for i in range(n):
+            m = MinHash(num_perm=num_perm)
+            m.update_batch(
+                [b"t%d" % t for t in rng.choice(300, size=40, replace=False)]
+            )
+            ms.append(m)
+        return ms
+
+    def test_query_batch_equals_scalar(self):
+        ms = self._minhashes()
+        lsh = MinHashLSH(threshold=0.5, num_perm=128)
+        for i, m in enumerate(ms):
+            lsh.insert("k%d" % i, m)
+        batch = lsh.query_batch(ms[:12])
+        for i in range(12):
+            assert sorted(batch[i]) == sorted(lsh.query(ms[i]))
+        assert lsh.query_batch([]) == []
+
+    def test_query_batch_weighted(self):
+        from datasketch_tpu import WeightedMinHashGenerator
+
+        gen = WeightedMinHashGenerator(50, sample_size=128)
+        rng = np.random.RandomState(4)
+        wms = [gen.minhash(rng.randint(1, 10, size=50)) for _ in range(10)]
+        lsh = MinHashLSH(threshold=0.3, num_perm=128)
+        for i, wm in enumerate(wms):
+            lsh.insert(i, wm)
+        batch = lsh.query_batch(wms)
+        for i in range(10):
+            assert sorted(map(str, batch[i])) == sorted(map(str, lsh.query(wms[i])))
+
+    def test_query_batch_custom_hashfunc_fallback(self):
+        from .utils import fake_hash_func
+
+        ms = self._minhashes(n=8)
+        lsh = MinHashLSH(threshold=0.5, num_perm=128, hashfunc=fake_hash_func)
+        for i, m in enumerate(ms):
+            lsh.insert(i, m)
+        batch = lsh.query_batch(ms)
+        for i in range(8):
+            assert sorted(batch[i]) == sorted(lsh.query(ms[i]))
+
+    def test_query_batch_wrong_num_perm(self):
+        lsh = MinHashLSH(threshold=0.5, num_perm=128)
+        with pytest.raises(ValueError):
+            lsh.query_batch([MinHash(num_perm=64)])

@@ -95,3 +95,37 @@ def test_lsh_over_fake_redis_with_sessions(fake_redis_module):
     # pickle round-trip reconnects (reference storage.py:929-932)
     lsh2 = pickle.loads(pickle.dumps(lsh))
     assert lsh2.b == lsh.b and lsh2.r == lsh.r
+
+
+def test_query_buffer_and_query_batch_on_redis(fake_redis_module):
+    """add_to_query_buffer / collect_query_buffer and the vectorized
+    query_batch against a storage-backed (buffered) config."""
+    import numpy as np
+
+    from datasketch_tpu import MinHash, MinHashLSH
+
+    rng = np.random.RandomState(7)
+    ms = []
+    for i in range(12):
+        m = MinHash(num_perm=128)
+        m.update_batch(
+            [b"t%d" % t for t in rng.choice(200, size=30, replace=False)]
+        )
+        ms.append(m)
+    lsh = MinHashLSH(
+        threshold=0.5,
+        num_perm=128,
+        storage_config={"type": "redis", "redis": {}, "basename": b"qb"},
+    )
+    with lsh.insertion_session() as session:
+        for i, m in enumerate(ms):
+            session.insert("k%d" % i, m)
+    # buffered query path: intersection-across-buffered-queries semantics
+    lsh.add_to_query_buffer(ms[0])
+    res = lsh.collect_query_buffer()
+    assert "k0" in res
+    assert sorted(res) == sorted(lsh.query(ms[0]))
+    # batched query path equals scalar queries on redis storage
+    batch = lsh.query_batch(ms)
+    for i in range(12):
+        assert sorted(batch[i]) == sorted(lsh.query(ms[i])), i
