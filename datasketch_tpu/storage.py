@@ -341,18 +341,22 @@ class RedisSetStorage(RedisStorage, UnorderedStorage):
 class CassandraSharedSession:
     """One shared Cassandra cluster session per process.
 
-    Mirrors ``/root/reference/datasketch/storage.py:264-301``: the driver's
+    Mirrors ``/root/reference/datasketch/storage.py:264-313``: the driver's
     session is expensive, so every CassandraStorage shares one, keyed by the
-    frozen seed/keyspace config.
+    frozen seed/keyspace config. Also hosts the optional process-wide write
+    and select buffers (``shared_buffer: True`` lets every storage pool its
+    statements so flush thresholds are reached sooner).
     """
 
     _session = None
     _session_config = None
+    _shared_write_buffer: list = []
+    _shared_select_buffer: list = []
 
     QUERY_CREATE_KEYSPACE = (
-        "CREATE KEYSPACE IF NOT EXISTS {} WITH replication = "
-        "{{'class': 'SimpleStrategy', 'replication_factor': '1'}}"
+        "CREATE KEYSPACE IF NOT EXISTS {} WITH replication = {}"
     )
+    QUERY_DROP_KEYSPACE = "DROP KEYSPACE IF EXISTS {}"
 
     @classmethod
     def get_session(cls, config):
@@ -371,7 +375,20 @@ class CassandraSharedSession:
             )
             session = cluster.connect()
             keyspace = config.get("keyspace", "datasketch_tpu")
-            session.execute(cls.QUERY_CREATE_KEYSPACE.format(keyspace))
+            replication = config.get(
+                "replication",
+                {"class": "SimpleStrategy", "replication_factor": "1"},
+            )
+            repl_cql = (
+                "{"
+                + ", ".join(
+                    "'%s': '%s'" % (k, v) for k, v in sorted(replication.items())
+                )
+                + "}"
+            )
+            if config.get("drop_keyspace", False):
+                session.execute(cls.QUERY_DROP_KEYSPACE.format(keyspace))
+            session.execute(cls.QUERY_CREATE_KEYSPACE.format(keyspace, repl_cql))
             session.set_keyspace(keyspace)
             cls._session = session
             cls._session_config = frozen
@@ -381,118 +398,237 @@ class CassandraSharedSession:
 class CassandraStorage:
     """Base for Cassandra-backed storages (requires ``cassandra-driver``).
 
-    Table layout parity with ``/root/reference/datasketch/storage.py:324-418``:
+    Table layout parity with ``/root/reference/datasketch/storage.py:316-418``:
     one table ``lsh_<name>`` per storage with
     ``(key blob, value blob, ts bigint, PRIMARY KEY (key, value))``;
     upsert-as-set semantics with a monotonic timestamp ordering list values.
+
+    Mechanics parity: every statement is PREPARED once per table; writes
+    (and buffered writes honoring the ``buffer=`` kwarg) flush through
+    ``execute_concurrent`` in chunks of :attr:`CONCURRENCY`; ``keys()``
+    paginates with TOKEN() ranges so the full-scan can't time out; and
+    ``itemcounts`` issues all COUNT queries in one concurrent pass.
     """
+
+    DEFAULT_BUFFER_SIZE = 5000
+    CONCURRENCY = 100
+    PAGE_SIZE = 1024
+    MIN_TOKEN = -(2**63)
 
     QUERY_CREATE_TABLE = (
         "CREATE TABLE IF NOT EXISTS {} "
-        "(key blob, value blob, ts bigint, PRIMARY KEY (key, value))"
+        "(key blob, value blob, ts bigint, PRIMARY KEY (key, value)) "
+        "WITH CLUSTERING ORDER BY (value DESC)"
     )
+    QUERY_DROP_TABLE = "DROP TABLE IF EXISTS {}"
+    QUERY_INSERT = "INSERT INTO {} (key, value, ts) VALUES (?, ?, ?)"
+    QUERY_UPSERT = "UPDATE {} SET ts = ? WHERE key = ? AND value = ?"
+    QUERY_SELECT = "SELECT key, value, ts FROM {} WHERE key = ?"
+    QUERY_SELECT_ONE = "SELECT key FROM {} WHERE key = ? LIMIT 1"
+    QUERY_COUNT = "SELECT key, COUNT(value) AS count FROM {} WHERE key = ?"
+    QUERY_KEYS_PAGE = (
+        "SELECT DISTINCT key, TOKEN(key) AS f_token FROM {} "
+        "WHERE TOKEN(key) >= ? LIMIT ?"
+    )
+    QUERY_DELETE_KEY = "DELETE FROM {} WHERE key = ?"
+    QUERY_DELETE_VAL = "DELETE FROM {} WHERE key = ? AND value = ?"
 
-    def __init__(self, config, name=None):
-        self._config = config["cassandra"]
-        raw = name if name is not None else b"storage"
+    def __init__(self, config, name=None, buffer_size=None):
+        self._config = config
+        self._name = name if name is not None else b"storage"
+        self._buffer_size = (
+            buffer_size if buffer_size is not None else self.DEFAULT_BUFFER_SIZE
+        )
+        self._connect()
+
+    def _connect(self):
+        cass_cfg = _parse_redis_config(self._config["cassandra"])
+        raw = self._name
         if isinstance(raw, bytes):
             raw = raw.hex()
         self._table = "lsh_" + raw
-        self._session = CassandraSharedSession.get_session(self._config)
+        self._session = CassandraSharedSession.get_session(cass_cfg)
+        if cass_cfg.get("drop_tables", False):
+            self._session.execute(self.QUERY_DROP_TABLE.format(self._table))
         self._session.execute(self.QUERY_CREATE_TABLE.format(self._table))
-        self._counter = 0
+        prepare = self._session.prepare
+        self._stmt_insert = prepare(self.QUERY_INSERT.format(self._table))
+        self._stmt_upsert = prepare(self.QUERY_UPSERT.format(self._table))
+        self._stmt_select = prepare(self.QUERY_SELECT.format(self._table))
+        self._stmt_select_one = prepare(self.QUERY_SELECT_ONE.format(self._table))
+        self._stmt_count = prepare(self.QUERY_COUNT.format(self._table))
+        self._stmt_keys_page = prepare(self.QUERY_KEYS_PAGE.format(self._table))
+        self._stmt_delete_key = prepare(self.QUERY_DELETE_KEY.format(self._table))
+        self._stmt_delete_val = prepare(self.QUERY_DELETE_VAL.format(self._table))
+        self._ts = self._make_ts_generator()
+        if cass_cfg.get("shared_buffer", False):
+            self._write_buffer = CassandraSharedSession._shared_write_buffer
+            self._select_pending = CassandraSharedSession._shared_select_buffer
+        else:
+            self._write_buffer = []
+            self._select_pending = []
 
-    def _ts(self):
-        # Monotonic per-storage timestamp (storage.py:387,512).
-        self._counter += 1
-        return self._counter
+    @staticmethod
+    def _make_ts_generator():
+        """Wall-clock monotonic timestamps: values inserted by a later
+        session must sort after an earlier session's (a plain counter
+        restarts at 0 and breaks list ordering across reconnects)."""
+        try:
+            from cassandra.cluster import MonotonicTimestampGenerator
+
+            return MonotonicTimestampGenerator()
+        except Exception:
+            import itertools
+            import time
+
+            return itertools.count(time.time_ns() // 1000).__next__
+
+    @property
+    def buffer_size(self):
+        return self._buffer_size
+
+    @buffer_size.setter
+    def buffer_size(self, value):
+        self._buffer_size = value
 
     def __getstate__(self):
         state = self.__dict__.copy()
-        state.pop("_session", None)
+        for ephemeral in [k for k in state if k not in
+                          ("_config", "_name", "_buffer_size")]:
+            state.pop(ephemeral)
         return state
 
     def __setstate__(self, state):
         self.__dict__ = state
-        self._session = CassandraSharedSession.get_session(self._config)
+        self._connect()
 
-    # shared ops -----------------------------------------------------------
+    # write/select pipelines -------------------------------------------------
+
+    def _execute_concurrent(self, statements_and_params):
+        """Fan statements out through the driver's concurrent executor in
+        bounded chunks; returns per-statement row lists (raises if any
+        statement failed)."""
+        from cassandra.concurrent import execute_concurrent
+
+        out = []
+        for i in range(0, len(statements_and_params), self.CONCURRENCY):
+            chunk = statements_and_params[i : i + self.CONCURRENCY]
+            for success, rows in execute_concurrent(
+                self._session, chunk, concurrency=self.CONCURRENCY
+            ):
+                if not success:
+                    raise RuntimeError("cassandra statement failed: %r" % (rows,))
+                out.append(rows)
+        return out
+
+    def _write(self, statements_and_params, buffer=False):
+        if buffer:
+            self._write_buffer.extend(statements_and_params)
+            if len(self._write_buffer) >= self._buffer_size:
+                self.empty_buffer()
+        else:
+            self._execute_concurrent(statements_and_params)
+
+    def empty_buffer(self):
+        pending, self._write_buffer[:] = list(self._write_buffer), []
+        if pending:
+            self._execute_concurrent(pending)
+
+    def add_to_select_buffer(self, keys):
+        self._select_pending.extend(keys)
+
+    def collect_select_buffer(self):
+        if not self._select_pending:
+            return []
+        pending, self._select_pending[:] = list(self._select_pending), []
+        results = self._execute_concurrent(
+            [(self._stmt_select, (key,)) for key in pending]
+        )
+        return [self._rows_to_container(rows) for rows in results]
+
+    # shared ops -------------------------------------------------------------
 
     def keys(self):
-        rows = self._session.execute(
-            "SELECT DISTINCT key FROM {}".format(self._table)
-        )
-        return [row.key for row in rows]
+        """All keys via TOKEN()-paginated scans (an unpaged SELECT DISTINCT
+        contacts every node at once and times out on real clusters)."""
+        keys, token = [], self.MIN_TOKEN
+        seen = set()
+        while True:
+            rows = list(
+                self._session.execute(self._stmt_keys_page, (token, self.PAGE_SIZE))
+            )
+            if not rows:
+                break
+            for row in rows:
+                if row.key not in seen:
+                    seen.add(row.key)
+                    keys.append(row.key)
+                token = row.f_token + 1
+        return keys
 
     def size(self):
         return len(self.keys())
 
     def has_key(self, key):
-        rows = self._session.execute(
-            "SELECT key FROM {} WHERE key = %s LIMIT 1".format(self._table), (key,)
-        )
-        return rows.one() is not None
+        rows = self._session.execute(self._stmt_select_one, (key,))
+        return next(iter(rows), None) is not None
 
     def remove(self, *keys, **kwargs):
-        for key in keys:
-            self._session.execute(
-                "DELETE FROM {} WHERE key = %s".format(self._table), (key,)
-            )
+        self._write(
+            [(self._stmt_delete_key, (key,)) for key in keys],
+            buffer=kwargs.pop("buffer", False),
+        )
 
     def remove_val(self, key, val, **kwargs):
-        self._session.execute(
-            "DELETE FROM {} WHERE key = %s AND value = %s".format(self._table),
-            (key, val),
+        self._write(
+            [(self._stmt_delete_val, (key, val))],
+            buffer=kwargs.pop("buffer", False),
         )
 
     def itemcounts(self, **kwargs):
-        out = {}
-        for key in self.keys():
-            rows = self._session.execute(
-                "SELECT COUNT(*) AS c FROM {} WHERE key = %s".format(self._table),
-                (key,),
-            )
-            out[key] = rows.one().c
-        return out
+        """key -> value count in ONE concurrent pass (not N round trips)."""
+        results = self._execute_concurrent(
+            [(self._stmt_count, (key,)) for key in self.keys()]
+        )
+        return {row.key: row.count for rows in results for row in rows}
+
+    def getmany(self, *keys):
+        results = self._execute_concurrent(
+            [(self._stmt_select, (key,)) for key in keys]
+        )
+        return [self._rows_to_container(rows) for rows in results]
+
+    def get(self, key):
+        return self.getmany(key)[0]
 
     def status(self):
         return {"keyspace_size": self.size()}
 
 
 class CassandraListStorage(CassandraStorage, OrderedStorage):
-    """Ordered (ts-sorted) values per key (storage.py:488-560 parity)."""
+    """Ordered (ts-sorted) values per key (storage.py:745-806 parity)."""
 
-    def get(self, key):
-        rows = self._session.execute(
-            "SELECT value, ts FROM {} WHERE key = %s".format(self._table), (key,)
-        )
+    @staticmethod
+    def _rows_to_container(rows):
         return [r.value for r in sorted(rows, key=lambda r: r.ts)]
 
     def insert(self, key, *vals, **kwargs):
-        for val in vals:
-            self._session.execute(
-                "INSERT INTO {} (key, value, ts) VALUES (%s, %s, %s)".format(
-                    self._table
-                ),
-                (key, val, self._ts()),
-            )
+        self._write(
+            [(self._stmt_insert, (key, val, self._ts())) for val in vals],
+            buffer=kwargs.pop("buffer", False),
+        )
 
 
 class CassandraSetStorage(CassandraStorage, UnorderedStorage):
-    """Set semantics via the (key, value) primary key upsert
-    (storage.py:518-534 parity)."""
+    """Set semantics via the (key, value) primary-key UPSERT: duplicates
+    overwrite their own row's ts (storage.py:809-834 parity)."""
 
-    def get(self, key):
-        rows = self._session.execute(
-            "SELECT value FROM {} WHERE key = %s".format(self._table), (key,)
-        )
+    @staticmethod
+    def _rows_to_container(rows):
         return {r.value for r in rows}
 
     def insert(self, key, *vals, **kwargs):
-        for val in vals:
-            self._session.execute(
-                "INSERT INTO {} (key, value, ts) VALUES (%s, %s, %s)".format(
-                    self._table
-                ),
-                (key, val, self._ts()),
-            )
+        self._write(
+            [(self._stmt_upsert, (self._ts(), key, val)) for val in vals],
+            buffer=kwargs.pop("buffer", False),
+        )
