@@ -69,8 +69,11 @@ class ShardedMinHashLSH:
         self._sorted_fp = None  # uint32[b, N_pad] sharded P(None, axis)
         self._sorted_ids = None  # int32[b, N_pad] sharded P(None, axis)
         self._n_real = 0
+        self._alive = None  # bool[N_real] tombstones (False = removed)
+        self._alive_dev = None  # cached replicated device mask [N_pad]
         self.last_truncated = 0
         self._query_fn = None
+        self._topk_fns: dict = {}  # k -> compiled fused top-k
 
     # ------------------------------------------------------------------ build
 
@@ -91,12 +94,19 @@ class ShardedMinHashLSH:
         for i, k in enumerate(keys):
             self._key_to_pos[k] = base + i
         self._keys.extend(keys)
+        old_alive = self._alive
         if self._sigs is not None:
-            prev = np.asarray(self._sigs)[: self._n_real]
-            sigs = np.concatenate([prev, sigs], axis=0)
+            # concat ON DEVICE: the existing corpus never round-trips host
+            sigs = jnp.concatenate(
+                [self._sigs[: self._n_real], jnp.asarray(sigs)], axis=0
+            )
         self._build(sigs)
+        self._alive = np.ones(self._n_real, dtype=bool)
+        if old_alive is not None:
+            self._alive[: old_alive.shape[0]] = old_alive
+        self._alive_dev = None
 
-    def _build(self, sigs: np.ndarray) -> None:
+    def _build(self, sigs) -> None:
         mesh, axis = self.mesh, self.shard_axis
         n = sigs.shape[0]
         self._n_real = n
@@ -112,10 +122,10 @@ class ShardedMinHashLSH:
             # Pseudo-random filler spreads across buckets; padded ids are
             # masked out at query time (gid >= n_real -> -1).
             rng = np.random.RandomState(n_pad & 0x7FFFFFFF)
-            sigs = np.concatenate(
-                [sigs, rng.randint(0, 1 << 32, size=(pad, self.h),
-                                   dtype=np.uint64).astype(np.uint32)]
-            )
+            filler = rng.randint(
+                0, 1 << 32, size=(pad, self.h), dtype=np.uint64
+            ).astype(np.uint32)
+            sigs = jnp.concatenate([jnp.asarray(sigs), jnp.asarray(filler)])
         sig_sharding = NamedSharding(mesh, P(axis, None))
         self._sigs = jax.device_put(jnp.asarray(sigs), sig_sharding)
 
@@ -135,6 +145,82 @@ class ShardedMinHashLSH:
         )
         self._sorted_fp, self._sorted_ids = build(self._sigs)
         self._query_fn = None  # shapes changed; retrace lazily
+        self._topk_fns = {}
+
+    # ----------------------------------------------------------- mutation
+
+    def remove(self, key: Hashable) -> None:
+        """Tombstone `key`: masked from every query, space reclaimed by
+        :meth:`compact` (mirrors ``TpuMinHashLSH.remove``)."""
+        if key not in self._key_to_pos:
+            raise ValueError("The given key does not exist")
+        pos = self._key_to_pos.pop(key)
+        self._alive[pos] = False
+        self._keys[pos] = None
+        self._alive_dev = None
+
+    def compact(self) -> None:
+        """Drop tombstoned rows and rebuild the shard tables (device-side
+        gather; the surviving corpus never leaves the mesh)."""
+        if self._sigs is None or self._alive is None or self._alive.all():
+            return
+        live = np.nonzero(self._alive)[0]
+        sigs = jnp.take(self._sigs, jnp.asarray(live), axis=0)
+        self._keys = [self._keys[i] for i in live]
+        self._key_to_pos = {k: i for i, k in enumerate(self._keys)}
+        self._build(sigs)
+        self._alive = np.ones(self._n_real, dtype=bool)
+        self._alive_dev = None
+
+    # -------------------------------------------------------- persistence
+
+    def save(self, path: str) -> None:
+        """Persist signatures/keys/tombstones as .npz; shard tables are
+        rebuilt (and re-sharded to the loading mesh) on load."""
+        sigs = (
+            np.asarray(self._sigs[: self._n_real])
+            if self._sigs is not None
+            else np.zeros((0, self.h), dtype=np.uint32)
+        )
+        np.savez_compressed(
+            path,
+            sigs=sigs,
+            keys=np.asarray(self._keys, dtype=object),
+            alive=self._alive
+            if self._alive is not None
+            else np.ones(0, dtype=bool),
+            params=np.array(
+                [self.h, self.b, self.r, self.bucket_cap, int(self.rerank)],
+                dtype=np.int64,
+            ),
+            threshold=np.float64(self.threshold),
+        )
+
+    @classmethod
+    def load(cls, path: str, mesh: Mesh, shard_axis: str = "data",
+             ) -> "ShardedMinHashLSH":
+        """Rebuild on `mesh` — the shard count may differ from the saving
+        mesh; tables are re-derived from the signatures."""
+        data = np.load(path, allow_pickle=True)
+        h, b, r, cap, rerank = (int(x) for x in data["params"])
+        index = cls(
+            mesh,
+            threshold=float(data["threshold"]),
+            num_perm=h,
+            params=(b, r),
+            bucket_cap=cap,
+            rerank=bool(rerank),
+            shard_axis=shard_axis,
+        )
+        keys = list(data["keys"])
+        if keys:
+            index._keys = keys
+            index._key_to_pos = {
+                k: i for i, k in enumerate(keys) if k is not None
+            }
+            index._build(data["sigs"])
+            index._alive = data["alive"].astype(bool)
+        return index
 
     # ------------------------------------------------------------------ query
 
@@ -142,25 +228,53 @@ class ShardedMinHashLSH:
         return key in self._key_to_pos
 
     def __len__(self) -> int:
-        return len(self._keys)
+        return len(self._key_to_pos)
 
     def is_empty(self) -> bool:
-        return len(self._keys) == 0
+        return len(self._key_to_pos) == 0
+
+    def _alive_mask_dev(self):
+        """Replicated bool[N_pad] mask (True = queryable), cached until a
+        remove/compact/index invalidates it."""
+        if self._alive_dev is None or (
+            self._alive_dev.shape[0] != self._sigs.shape[0]
+        ):
+            mask = np.zeros(self._sigs.shape[0], dtype=bool)
+            if self._alive is not None:
+                mask[: self._n_real] = self._alive
+            else:
+                mask[: self._n_real] = True
+            self._alive_dev = jax.device_put(
+                jnp.asarray(mask), NamedSharding(self.mesh, P(None))
+            )
+        return self._alive_dev
+
+    def _local_candidates(self, sorted_fp, sorted_ids, db_sigs, q_sigs,
+                          n_real, alive):
+        """Shard-local probe + rerank; returns GLOBAL ids (dead/padded
+        masked to -1) and scores. Runs inside shard_map."""
+        axis = self.shard_axis
+        q_fps = lsh_ops.band_fingerprints(q_sigs, self.b, self.r)
+        ids, trunc = lsh_ops.query_tables(
+            sorted_fp, sorted_ids, q_fps, cap=self.bucket_cap
+        )
+        nq = q_sigs.shape[0]
+        flat = ids.reshape(nq, -1)  # local ids within this shard
+        scores = lsh_ops.rerank_jaccard(db_sigs, q_sigs, flat)
+        shard = jax.lax.axis_index(axis)
+        gid = jnp.where(flat >= 0, flat + shard * db_sigs.shape[0], -1)
+        gid = jnp.where(gid < n_real, gid, -1)
+        ok = alive[jnp.where(gid >= 0, gid, 0)]
+        gid = jnp.where((gid >= 0) & ok, gid, -1)
+        return gid, scores, trunc
 
     def _make_query_fn(self):
         mesh, axis = self.mesh, self.shard_axis
-        b, r, cap = self.b, self.r, self.bucket_cap
 
-        def qbody(sorted_fp, sorted_ids, db_sigs, q_sigs, n_real):
-            q_fps = lsh_ops.band_fingerprints(q_sigs, b, r)
-            ids, trunc = lsh_ops.query_tables(sorted_fp, sorted_ids, q_fps, cap=cap)
-            nq = q_sigs.shape[0]
-            flat = ids.reshape(nq, -1)  # local ids within this shard
-            scores = lsh_ops.rerank_jaccard(db_sigs, q_sigs, flat)
-            n_loc = db_sigs.shape[0]
-            shard = jax.lax.axis_index(axis)
-            gid = jnp.where(flat >= 0, flat + shard * n_loc, -1)
-            gid = jnp.where(gid < n_real, gid, -1)
+        def qbody(sorted_fp, sorted_ids, db_sigs, q_sigs, n_real, alive):
+            gid, scores, trunc = self._local_candidates(
+                sorted_fp, sorted_ids, db_sigs, q_sigs, n_real, alive
+            )
             g_ids = jax.lax.all_gather(gid, axis, axis=1, tiled=True)
             g_sc = jax.lax.all_gather(scores, axis, axis=1, tiled=True)
             return g_ids, g_sc, jax.lax.psum(trunc, axis)
@@ -170,10 +284,43 @@ class ShardedMinHashLSH:
                 qbody,
                 mesh=mesh,
                 in_specs=(P(None, axis), P(None, axis), P(axis, None),
-                          P(None, None), P()),
+                          P(None, None), P(), P(None)),
                 out_specs=(P(None, None), P(None, None), P()),
                 # all_gather/psum outputs are device-invariant; jax's
                 # varying-manual-axes inference can't always prove it.
+                check_vma=False,
+            )
+        )
+
+    def _make_topk_fn(self, k: int):
+        """Fused top-k: each shard dedupes + top-k's LOCALLY, only k
+        candidates per shard ride the all_gather (vs b*cap for the full
+        query path), and the final cross-shard top-k runs replicated."""
+        mesh, axis = self.mesh, self.shard_axis
+
+        def tkbody(sorted_fp, sorted_ids, db_sigs, q_sigs, n_real, alive):
+            gid, scores, trunc = self._local_candidates(
+                sorted_fp, sorted_ids, db_sigs, q_sigs, n_real, alive
+            )
+            loc_ids, loc_sc = lsh_ops.topk_candidates(
+                scores, gid, k, max_dup=self.b
+            )
+            g_ids = jax.lax.all_gather(loc_ids, axis, axis=1, tiled=True)
+            g_sc = jax.lax.all_gather(loc_sc, axis, axis=1, tiled=True)
+            # global ids are disjoint across shards: no cross-shard dupes,
+            # a plain top_k over the gathered pool suffices
+            top_sc, pos = jax.lax.top_k(g_sc, k)
+            top_ids = jnp.take_along_axis(g_ids, pos, axis=1)
+            top_ids = jnp.where(top_sc >= 0, top_ids, -1)
+            return top_ids, top_sc, jax.lax.psum(trunc, axis)
+
+        return jax.jit(
+            jax.shard_map(
+                tkbody,
+                mesh=mesh,
+                in_specs=(P(None, axis), P(None, axis), P(axis, None),
+                          P(None, None), P(), P(None)),
+                out_specs=(P(None, None), P(None, None), P()),
                 check_vma=False,
             )
         )
@@ -206,6 +353,7 @@ class ShardedMinHashLSH:
             self._sigs,
             jax.device_put(jnp.asarray(q_sigs), rep),
             jnp.int32(self._n_real),
+            self._alive_mask_dev(),
         )
         self.last_truncated = int(trunc)
         ids_host = np.asarray(ids)
@@ -213,26 +361,54 @@ class ShardedMinHashLSH:
         cutoff = self.threshold if threshold is None else threshold
         out = []
         for qi in range(q_sigs.shape[0]):
-            seen = {}
             row_ids, row_sc = ids_host[qi], sc_host[qi]
-            for j in np.nonzero(row_ids >= 0)[0]:
-                pos = int(row_ids[j])
-                if pos not in seen:
-                    seen[pos] = float(row_sc[j])
+            hit = row_ids >= 0
             if do_rerank:
-                seen = {p: s for p, s in seen.items() if s >= cutoff}
+                hit &= row_sc >= cutoff
+            uniq, first = np.unique(row_ids[hit], return_index=True)
+            sc_u = row_sc[hit][first]
             if return_scores:
+                order = np.argsort(-sc_u, kind="stable")
                 out.append(
-                    sorted(
-                        ((self._keys[p], s) for p, s in seen.items()),
-                        key=lambda t: -t[1],
-                    )
+                    [(self._keys[int(p)], float(s))
+                     for p, s in zip(uniq[order], sc_u[order])]
                 )
             else:
-                out.append([self._keys[p] for p in seen])
+                out.append([self._keys[int(p)] for p in uniq])
         return out
 
-    def top_k(self, minhashes, k: int) -> list:
-        """Top-k (key, score) per query across all shards."""
-        rows = self.query_batch(minhashes, return_scores=True, rerank=False)
-        return [row[:k] for row in rows]
+    def top_k(self, minhashes, k: int, return_scores: bool = True) -> list:
+        """Top-k (key, score) per query: per-shard device dedupe+top-k,
+        then one k-wide all_gather — candidate traffic over ICI is k per
+        shard instead of bands*bucket_cap."""
+        if self._sigs is None or not self._n_real:
+            return [[] for _ in minhashes]
+        q_sigs = _as_signature_matrix(minhashes)
+        if q_sigs.shape[1] != self.h:
+            raise ValueError(
+                "Expecting minhash with length %d, got %d"
+                % (self.h, q_sigs.shape[1])
+            )
+        if k not in self._topk_fns:
+            self._topk_fns[k] = self._make_topk_fn(k)
+        rep = NamedSharding(self.mesh, P(None, None))
+        ids, scores, trunc = self._topk_fns[k](
+            self._sorted_fp,
+            self._sorted_ids,
+            self._sigs,
+            jax.device_put(jnp.asarray(q_sigs), rep),
+            jnp.int32(self._n_real),
+            self._alive_mask_dev(),
+        )
+        self.last_truncated = int(trunc)
+        ids_host = np.asarray(ids)
+        sc_host = np.asarray(scores)
+        out = []
+        for row_ids, row_sc in zip(ids_host, sc_host):
+            hits = [
+                (self._keys[int(p)], float(s))
+                for p, s in zip(row_ids, row_sc)
+                if p >= 0
+            ]
+            out.append(hits if return_scores else [kk for kk, _ in hits])
+        return out

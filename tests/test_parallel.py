@@ -117,3 +117,102 @@ def test_sharded_lsh_top_k(mesh):
     assert top[0][0] == "k0" and abs(top[0][1] - 1.0) < 1e-6
     scores = [s for _, s in top]
     assert scores == sorted(scores, reverse=True) and len(top) <= 5
+
+
+def _corpus_sigs(n=40, num_perm=128, seed=21):
+    docs = [
+        [("d%d-%d" % (i, t)).encode() for t in range(25)] for i in range(n)
+    ]
+    return MinHash.bulk_signatures(docs, num_perm=num_perm)
+
+
+def test_sharded_lsh_remove_and_compact(mesh):
+    from datasketch_tpu import TpuMinHashLSH
+
+    sigs = _corpus_sigs()
+    keys = ["k%d" % i for i in range(40)]
+    sh = ShardedMinHashLSH(mesh, threshold=0.5, num_perm=128, bucket_cap=32)
+    sh.index(keys, sigs)
+    q = [MinHash(num_perm=128, hashvalues=sigs[i]) for i in range(6)]
+    assert sh.query(q[3])[0] == "k3"
+    sh.remove("k3")
+    assert "k3" not in sh and len(sh) == 39
+    assert "k3" not in sh.query(q[3])
+    with pytest.raises(ValueError):
+        sh.remove("k3")
+    # other keys unaffected
+    assert sh.query(q[4]) == ["k4"]
+    sh.compact()
+    assert len(sh) == 39 and "k3" not in sh
+    assert sh.query(q[4]) == ["k4"]
+    # parity with the single-device index after the same removals
+    single = TpuMinHashLSH(threshold=0.5, num_perm=128, bucket_cap=32)
+    single.index(keys, sigs)
+    single.remove("k3")
+    for i in range(6):
+        assert sorted(sh.query(q[i])) == sorted(single.query(q[i])), i
+
+
+def test_sharded_lsh_save_load_reshard(tmp_path, mesh):
+    sigs = _corpus_sigs(seed=5)
+    keys = ["k%d" % i for i in range(40)]
+    sh = ShardedMinHashLSH(mesh, threshold=0.5, num_perm=128, bucket_cap=32)
+    sh.index(keys, sigs)
+    sh.remove("k7")
+    path = str(tmp_path / "sharded.npz")
+    sh.save(path)
+    # load onto a DIFFERENT shard count (2x4 mesh -> data axis 2)
+    mesh2 = make_mesh(8, shape=(2, 4))
+    loaded = ShardedMinHashLSH.load(path, mesh2)
+    assert loaded.n_shards == 2 and len(loaded) == 39
+    q = [MinHash(num_perm=128, hashvalues=sigs[i]) for i in range(8)]
+    for i in range(8):
+        assert sorted(loaded.query(q[i])) == sorted(sh.query(q[i])), i
+    assert "k7" not in loaded
+
+
+def test_sharded_lsh_incremental_is_device_side(mesh):
+    """Incremental index() must extend on device and preserve results."""
+    sigs = _corpus_sigs(seed=13)
+    keys = ["k%d" % i for i in range(40)]
+    sh = ShardedMinHashLSH(mesh, threshold=0.5, num_perm=128)
+    sh.index(keys[:25], sigs[:25])
+    sh.index(keys[25:], sigs[25:])
+    whole = ShardedMinHashLSH(mesh, threshold=0.5, num_perm=128)
+    whole.index(keys, sigs)
+    q = [MinHash(num_perm=128, hashvalues=sigs[i]) for i in range(0, 40, 7)]
+    assert [sorted(r) for r in sh.query_batch(q)] == [
+        sorted(r) for r in whole.query_batch(q)
+    ]
+
+
+def test_sharded_lsh_topk_parity_with_single_device(mesh):
+    from datasketch_tpu import TpuMinHashLSH
+
+    rng = np.random.RandomState(31)
+    num_perm = 128
+    base = rng.randint(0, 1 << 32, size=(num_perm,), dtype=np.uint64)
+    sigs = []
+    for i in range(32):
+        hv = base.copy()
+        flip = rng.rand(num_perm) < (i % 8) / 12.0
+        hv[flip] = rng.randint(0, 1 << 32, size=int(flip.sum()), dtype=np.uint64)
+        sigs.append(hv.astype(np.uint32))
+    sigs = np.stack(sigs)
+    keys = ["k%d" % i for i in range(32)]
+    sh = ShardedMinHashLSH(mesh, threshold=0.3, num_perm=num_perm, bucket_cap=64)
+    sh.index(keys, sigs)
+    single = TpuMinHashLSH(threshold=0.3, num_perm=num_perm, bucket_cap=64)
+    single.index(keys, sigs)
+    qs = [MinHash(num_perm=num_perm, hashvalues=sigs[i]) for i in range(4)]
+    got = sh.top_k(qs, k=5)
+    want = single.top_k(qs, k=5)
+    for g, w in zip(got, want):
+        assert {k for k, _ in g} == {k for k, _ in w}
+        np.testing.assert_allclose(
+            [s for _, s in g], [s for _, s in w], atol=1e-6
+        )
+    # tombstones respected by the fused top-k path
+    sh.remove("k0")
+    got = sh.top_k([qs[0]], k=5)[0]
+    assert all(k != "k0" for k, _ in got)
