@@ -113,13 +113,21 @@ class WeightedMinHashGenerator:
         hashvalues[:, 1] = t[np.arange(self.sample_size), k].astype(int)
         return WeightedMinHash(self.seed, hashvalues)
 
+    # Row-chunk budget for minhash_many: bounds the densified slice AND the
+    # device intermediates to ~chunk_rows * dim floats regardless of corpus
+    # size (the reference streams CSR row-by-row for the same reason,
+    # weighted_minhash.py:192-247).
+    _CHUNK_ELEMS = 1 << 22
+
     def minhash_many(self, X) -> list:
         """Sketch each row of a (sparse or dense) weight matrix.
 
         Rows that are entirely zero yield ``None`` (parity with
         weighted_minhash.py:161-247). Uses the canonical :meth:`minhash`
         formula for every row (see module docstring) and the device batch
-        kernel for large inputs.
+        kernel, STREAMING the input in bounded row chunks — sparse matrices
+        are densified one chunk at a time, never whole (a dim=10k, 50k-row
+        CSR would otherwise materialize 2GB on host).
         """
         import scipy.sparse as sp
 
@@ -129,21 +137,35 @@ class WeightedMinHashGenerator:
             raise ValueError("Input must have two dimensions")
         if X.shape[1] != self.dim:
             raise ValueError("Input dimension mismatch, expecting %d" % self.dim)
-        if sp.issparse(X):
-            dense = np.asarray(X.todense(), dtype=np.float32)
-        else:
-            dense = np.asarray(X, dtype=np.float32)
-        nonempty = ~np.all(dense == 0, axis=1)
-        ret: list = [None] * dense.shape[0]
-        rows = np.nonzero(nonempty)[0]
-        if rows.size == 0:
+        issparse = sp.issparse(X)
+        if issparse:
+            X = X.tocsr()
+        n = X.shape[0]
+        ret: list = [None] * n
+        if n == 0:
             return ret
         from datasketch_tpu.ops import cws_ops
 
-        kt = cws_ops.cws_many(
-            dense[rows], self.rs, self.ln_cs, self.betas
-        )  # [n, S, 2] int32
-        kt = np.asarray(kt)
-        for out_i, row_i in enumerate(rows):
-            ret[row_i] = WeightedMinHash(self.seed, kt[out_i].astype(int))
+        chunk = max(8, self._CHUNK_ELEMS // max(1, self.dim))
+        chunk = 1 << (int(chunk) - 1).bit_length()  # pow2: one compile shape
+        for start in range(0, n, chunk):
+            block = X[start : start + chunk]
+            dense = np.asarray(
+                block.todense() if issparse else block, dtype=np.float32
+            )
+            rows = np.nonzero(~np.all(dense == 0, axis=1))[0]
+            if rows.size == 0:
+                continue
+            sub = dense[rows]
+            if sub.shape[0] != chunk:
+                # zero-fill to the fixed chunk shape (zero rows produce
+                # finite garbage that is sliced off below)
+                sub = np.pad(sub, ((0, chunk - sub.shape[0]), (0, 0)))
+            kt = np.asarray(
+                cws_ops.cws_many(sub, self.rs, self.ln_cs, self.betas)
+            )[: rows.size]
+            for out_i, row_i in enumerate(rows):
+                ret[start + row_i] = WeightedMinHash(
+                    self.seed, kt[out_i].astype(int)
+                )
         return ret

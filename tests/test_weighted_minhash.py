@@ -145,3 +145,46 @@ class TestWeightedMinHashObject:
         c.hashvalues[0, 0] += 1
         assert c != m
         assert len(m) == 128
+
+
+class TestMinhashManyStreaming:
+    def test_sparse_chunked_matches_per_row(self, monkeypatch):
+        import scipy.sparse as sp
+
+        from datasketch_tpu import WeightedMinHashGenerator
+
+        gen = WeightedMinHashGenerator(120, sample_size=32, seed=5)
+        # force many small chunks to exercise the streaming path
+        monkeypatch.setattr(WeightedMinHashGenerator, "_CHUNK_ELEMS", 120 * 8)
+        rng = np.random.RandomState(3)
+        dense = rng.rand(50, 120).astype(np.float32)
+        dense[dense < 0.7] = 0.0  # sparse-ish
+        dense[7] = 0.0  # all-zero rows -> None
+        dense[23] = 0.0
+        X = sp.csr_matrix(dense)
+        out = gen.minhash_many(X)
+        assert out[7] is None and out[23] is None
+        for i in range(50):
+            if i in (7, 23):
+                continue
+            expect = gen.minhash(dense[i])
+            np.testing.assert_array_equal(
+                out[i].hashvalues, expect.hashvalues, err_msg=str(i)
+            )
+            assert out[i].seed == gen.seed
+
+    def test_dense_input_and_validation(self):
+        from datasketch_tpu import WeightedMinHashGenerator
+
+        gen = WeightedMinHashGenerator(16, sample_size=16)
+        rng = np.random.RandomState(0)
+        X = rng.rand(9, 16).astype(np.float32)
+        out = gen.minhash_many(X)
+        for i in range(9):
+            np.testing.assert_array_equal(
+                out[i].hashvalues, gen.minhash(X[i]).hashvalues
+            )
+        with pytest.raises(TypeError):
+            gen.minhash_many([[1.0] * 16])
+        with pytest.raises(ValueError):
+            gen.minhash_many(X[:, :8])
