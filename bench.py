@@ -1,13 +1,18 @@
-"""Headline benchmark: MinHash signature construction throughput.
+"""Headline benchmark: BOTH halves of BASELINE.json's north star.
 
-Protocol (BASELINE.md north star): end-to-end signatures/sec at
-num_perm=128 from raw byte tokens — token hashing (SHA1) included — ours
-(native C++ batch SHA1 + fused device permute/min) vs the reference's
-``MinHash.update_batch`` NumPy path measured live on this host's CPU
-(``/root/reference/datasketch/minhash.py:226-297``). Falls back to a
-recorded baseline constant if the reference isn't importable.
+1. MinHash signature construction throughput: end-to-end signatures/sec
+   at num_perm=128 from raw byte tokens — token hashing (SHA1) included —
+   ours (native C++ batch SHA1 + fused device permute/min) vs the
+   reference's ``MinHash.update_batch`` NumPy path measured live on this
+   host's CPU (``/root/reference/datasketch/minhash.py:226-297``). Falls
+   back to a recorded baseline constant if the reference isn't importable.
+2. LSH top-k queries/sec at matched recall@10: ``TpuMinHashLSH.top_k``
+   over the clustered-sets protocol of ``benchmarks/jaccard_topk.py``,
+   recall scored against a live exact-Jaccard scan (the reference's own
+   ground-truth procedure), vs that exact scan's queries/sec.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"lsh_topk": {...second metric...}}.
 """
 
 from __future__ import annotations
@@ -100,12 +105,58 @@ def bench_reference(corpus) -> float:
     return len(corpus) / best
 
 
+def bench_lsh_topk(n_sets: int = 2000, n_queries: int = 50, k: int = 10):
+    """Second north-star metric: TpuMinHashLSH.top_k queries/sec, recall
+    scored against a live exact-Jaccard scan on the same clustered corpus
+    (benchmarks/jaccard_topk.py protocol at its fixed config)."""
+    import os
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from benchmarks import utils as butils
+    from datasketch_tpu import MinHash, TpuMinHashLSH
+
+    sets, _keys, query_sets, query_keys = butils.generate_sets(
+        n_sets=n_sets, n_queries=n_queries
+    )
+    gt, exact_times = butils.exact_topk(sets, query_sets, k)
+    docs = [[int(t).to_bytes(8, "little") for t in s] for s in sets]
+    mhs = [
+        MinHash(num_perm=NUM_PERM, hashvalues=row)
+        for row in MinHash.bulk_signatures(docs, num_perm=NUM_PERM)
+    ]
+    index = TpuMinHashLSH(threshold=0.15, num_perm=NUM_PERM, bucket_cap=512)
+    index.index(list(range(len(mhs))), mhs)
+    queries = [mhs[i] for i in query_keys]
+    index.top_k(queries, k=k)  # warm the serving-shape compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        rows = index.top_k(queries, k=k)
+        best = min(best, time.perf_counter() - t0)
+    recall = float(np.mean(butils.compute_recalls(rows, gt)))
+    ours_qps = n_queries / best
+    exact_qps = 1.0 / float(np.mean(exact_times))
+    return {
+        "queries_per_sec": round(ours_qps, 1),
+        "recall_at_10": round(recall, 3),
+        "exact_scan_queries_per_sec": round(exact_qps, 1),
+        "vs_exact_scan": round(ours_qps / exact_qps, 2),
+        "config": "%d clustered sets, %d queries, k=%d, thr=0.15 banding"
+        % (n_sets, n_queries, k),
+    }
+
+
 def main() -> None:
     corpus = make_corpus(OUR_DOCS)
     ours = bench_ours(corpus)
     ref = bench_reference(corpus[:REF_DOCS])
     if ref <= 0 and FALLBACK_REF_RATE:
         ref = FALLBACK_REF_RATE
+    try:
+        lsh = bench_lsh_topk()
+    except Exception as exc:  # the primary metric must still report
+        lsh = {"error": repr(exc)}
     print(
         json.dumps(
             {
@@ -113,6 +164,7 @@ def main() -> None:
                 "value": round(ours, 1),
                 "unit": "sigs/s (num_perm=128, 200 sha1 tokens/doc, end-to-end)",
                 "vs_baseline": round(ours / ref, 2) if ref > 0 else None,
+                "lsh_topk": lsh,
             }
         )
     )
