@@ -52,9 +52,18 @@ def main():
     from datasketch_tpu import MinHash, MinHashLSH, MinHashLSHBloom
     from datasketch_tpu.models.tpu_lsh import TpuMinHashLSH
 
-    sets, keys, query_sets, query_keys = utils.generate_sets(
-        n_sets=n_sets, n_queries=n_queries
-    )
+    from benchmarks import datasets
+
+    if datasets.dataset_path():
+        sets, keys, query_sets, query_keys = datasets.load_benchmark_sets(
+            n_queries=n_queries, max_sets=n_sets
+        )
+        print(f"dataset: {datasets.dataset_path()} ({len(sets)} sets)")
+        n_sets = len(sets)
+    else:
+        sets, keys, query_sets, query_keys = utils.generate_sets(
+            n_sets=n_sets, n_queries=n_queries
+        )
     truth = exact_threshold(sets, query_sets, threshold)
 
     docs = [[int(t).to_bytes(8, "little") for t in s] for s in sets]

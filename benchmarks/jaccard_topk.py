@@ -166,9 +166,20 @@ def main():
     db_path = sys.argv[2] if len(sys.argv) > 2 else "topk_results.db"
     num_perm, k, n_queries = 128, 10, 50
 
-    sets, keys, query_sets, query_keys = utils.generate_sets(
-        n_sets=n_sets, n_queries=n_queries
-    )
+    from benchmarks import datasets
+
+    if datasets.dataset_path():
+        # real corpus from ekzhu/set-similarity-search-benchmark (local
+        # copy via DATASKETCH_BENCH_DATA); keys are positional
+        sets, _, query_sets, query_keys = datasets.load_benchmark_sets(
+            n_queries=n_queries, max_sets=n_sets
+        )
+        print(f"dataset: {datasets.dataset_path()} ({len(sets)} sets)")
+        n_sets = len(sets)
+    else:
+        sets, keys, query_sets, query_keys = utils.generate_sets(
+            n_sets=n_sets, n_queries=n_queries
+        )
     query_idx = query_keys
 
     print(f"corpus: {n_sets} sets; exact ground truth (k={k})...")

@@ -15,6 +15,7 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "src", "hashing.cpp")
+_HDR = os.path.join(_HERE, "src", "dshash_core.h")
 _LIB_DIR = os.environ.get("DATASKETCH_TPU_CACHE", _HERE)
 _LIB_PATH = os.path.join(_LIB_DIR, "libdshash.so")
 
@@ -48,7 +49,8 @@ def _load():
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC):
+        src_mtime = max(os.path.getmtime(_SRC), os.path.getmtime(_HDR))
+        if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < src_mtime:
             _build()
         lib = ctypes.CDLL(_LIB_PATH)
         i64p = np.ctypeslib.ndpointer(np.int64, flags="C")

@@ -689,9 +689,11 @@ inline uint64_t xxh64(const uint8_t* p, size_t len, uint64_t seed) {
 
 // Direct-mapped content-addressed cache: Zipfian token streams re-hash the
 // same byte strings constantly; memoizing sha1-low-32 by xxh64(content)
-// makes repeats ~free while producing identical outputs. False-hit odds
-// per lookup ~ n / 2^64 (key is the full 64-bit content hash; slot
-// collisions just evict).
+// makes repeats ~free while producing identical outputs. A hit requires
+// BOTH the full 64-bit content hash AND the token length to match —
+// an adversary (or astronomical luck) must find a same-length 64-bit
+// xxh64 collision to get a wrong value, vs hash-only matching where any
+// 64-bit collision silently voids the sha1-identical guarantee.
 struct TokenCache {
   // 2-way set-associative (direct-mapped thrashes on vocab-sized key sets:
   // pairwise slot conflicts evict each other forever); 2^17 sets x 2 ways
@@ -701,7 +703,7 @@ struct TokenCache {
   struct Set {  // both ways of a set inside one 32-byte span (one line)
     uint64_t k0, k1;
     uint32_t v0, v1;
-    uint32_t pad0, pad1;
+    uint32_t len0, len1;
   };
   std::vector<Set> sets;
   TokenCache() : sets(kSets, Set{0, 0, 0, 0, 0, 0}) {}
@@ -711,26 +713,28 @@ struct TokenCache {
     return k ? k : 1;  // 0 marks empty slots
   }
 
-  inline bool lookup(uint64_t k, uint32_t* out) const {
+  inline bool lookup(uint64_t k, uint32_t len, uint32_t* out) const {
     const Set& s = sets[static_cast<size_t>(k) & (kSets - 1)];
-    if (s.k0 == k) {
+    if (s.k0 == k && s.len0 == len) {
       *out = s.v0;
       return true;
     }
-    if (s.k1 == k) {
+    if (s.k1 == k && s.len1 == len) {
       *out = s.v1;
       return true;
     }
     return false;
   }
 
-  inline void insert(uint64_t k, uint32_t v) {
+  inline void insert(uint64_t k, uint32_t len, uint32_t v) {
     Set& s = sets[static_cast<size_t>(k) & (kSets - 1)];
     // insert into way 0, demote previous occupant to way 1 (LRU-of-2)
     s.k1 = s.k0;
     s.v1 = s.v0;
+    s.len1 = s.len0;
     s.k0 = k;
     s.v0 = v;
+    s.len0 = len;
   }
 };
 

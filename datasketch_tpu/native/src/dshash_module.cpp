@@ -66,7 +66,7 @@ struct TokenSink {
         if (cache) {
           ck = dshash::TokenCache::content_key(ptr, len);
           uint32_t v;
-          if (cache->lookup(ck, &v)) {
+          if (cache->lookup(ck, len, &v)) {
             out32[pos] = v;
             return;
           }
@@ -82,15 +82,17 @@ struct TokenSink {
                                      &out32[pending.out_pos], &out32[pos]);
             has_pending = false;
             if (cache) {
-              if (pending_key) cache->insert(pending_key, out32[pending.out_pos]);
-              if (ck) cache->insert(ck, out32[pos]);
+              if (pending_key)
+                cache->insert(pending_key, pending.len,
+                              out32[pending.out_pos]);
+              if (ck) cache->insert(ck, len, out32[pos]);
             }
           }
           return;
         }
 #endif
         out32[pos] = dshash::sha1_32(ptr, len, compress);
-        if (cache && ck) cache->insert(ck, out32[pos]);
+        if (cache && ck) cache->insert(ck, len, out32[pos]);
         return;
       }
       case 1:
@@ -106,7 +108,7 @@ struct TokenSink {
       out32[pending.out_pos] =
           dshash::sha1_32(pending.ptr, pending.len, compress);
       if (cache && pending_key)
-        cache->insert(pending_key, out32[pending.out_pos]);
+        cache->insert(pending_key, pending.len, out32[pending.out_pos]);
       has_pending = false;
     }
   }
@@ -197,7 +199,7 @@ void hash_refs(const std::vector<TokenRef>& refs, int algo, uint32_t seed,
         if (cache) {
           ck = dshash::TokenCache::content_key(r.ptr, r.len);
           uint32_t v;
-          if (cache->lookup(ck, &v)) {
+          if (cache->lookup(ck, r.len, &v)) {
             out32[r.out_pos] = v;
             continue;
           }
@@ -211,20 +213,21 @@ void hash_refs(const std::vector<TokenRef>& refs, int algo, uint32_t seed,
             dshash::sha1_32_short_x2(p.ptr, p.len, r.ptr, r.len,
                                      &out32[p.out_pos], &out32[r.out_pos]);
             if (cache) {
-              if (pending_key) cache->insert(pending_key, out32[p.out_pos]);
-              if (ck) cache->insert(ck, out32[r.out_pos]);
+              if (pending_key)
+                cache->insert(pending_key, p.len, out32[p.out_pos]);
+              if (ck) cache->insert(ck, r.len, out32[r.out_pos]);
             }
             pending = -1;
           }
         } else {
           out32[r.out_pos] = dshash::sha1_32(r.ptr, r.len, c);
-          if (cache && ck) cache->insert(ck, out32[r.out_pos]);
+          if (cache && ck) cache->insert(ck, r.len, out32[r.out_pos]);
         }
       }
       if (pending >= 0) {
         const TokenRef& p = refs[pending];
         out32[p.out_pos] = dshash::sha1_32(p.ptr, p.len, c);
-        if (cache && pending_key) cache->insert(pending_key, out32[p.out_pos]);
+        if (cache && pending_key) cache->insert(pending_key, p.len, out32[p.out_pos]);
       }
     });
     return;
