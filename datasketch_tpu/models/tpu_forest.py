@@ -228,6 +228,35 @@ class TpuMinHashLSHForest:
             ) from None
         return np.asarray(self._sigs_dev[pos])
 
+    def status(self) -> dict:
+        """Operational health counters: indexed/pending rows, padding,
+        per-level run occupancy vs ``cap``, device memory footprint."""
+        out = {
+            "n_indexed": len(self._keys),
+            "n_pending": len(self._pending),
+            "n_padded": 0,
+            "trees": self.l,
+            "prefix_len": self.k,
+            "cap": self.cap,
+            "last_truncated": self.last_truncated,
+            "device_bytes": 0,
+            "max_leaf_run": 0,
+        }
+        if self._sorted_fps is not None:
+            out["n_padded"] = int(self._sigs_dev.shape[0]) - self._n_real
+            out["device_bytes"] = int(
+                self._sigs_dev.size * 4
+                + self._sorted_fps.size * 4
+                + self._sorted_ids.size * 4
+            )
+            from datasketch_tpu.ops.lsh_ops import bucket_stats
+
+            # deepest level (full prefixes): the tightest occupancy bound
+            leaf = self._sorted_fps[:, self.k - 1, :]
+            max_run, _ = bucket_stats(leaf)
+            out["max_leaf_run"] = int(np.asarray(max_run).max())
+        return out
+
     def save(self, path: str) -> None:
         """Persist signatures + keys as .npz (tables rebuild on load)."""
         np.savez_compressed(

@@ -204,6 +204,77 @@ class TpuMinHashLSH:
         self._keys[pos] = None
         self._alive_dev = None  # invalidate cached device mask
 
+    def merge(self, other: "TpuMinHashLSH", check_overlap: bool = False) -> None:
+        """Union another index into this one (device-side concat + one
+        rebuild; parameter-equivalence rules of ``MinHashLSH.merge``,
+        ``/root/reference/datasketch/lsh.py:233-251``)."""
+        if type(self) is not type(other):
+            raise ValueError(
+                f"Cannot merge type TpuMinHashLSH and type "
+                f"{type(other).__name__}."
+            )
+        if (self.h, self.b, self.r) != (other.h, other.b, other.r):
+            raise ValueError(
+                "Cannot merge TpuMinHashLSH with different initialization "
+                "parameters."
+            )
+        self._flush_pending()
+        other._flush_pending()
+        if check_overlap and set(self._key_to_pos) & set(other._key_to_pos):
+            raise ValueError("The keys are overlapping, duplicate key exists.")
+        if other._sigs_dev is None or not other._n_real:
+            return
+        base = len(self._keys)
+        for i, k in enumerate(other._keys):
+            if k is not None:
+                self._key_to_pos[k] = base + i
+        self._keys.extend(other._keys)
+        old_alive, other_alive = self._alive, other._alive
+        if self._sigs_dev is None:
+            merged = other._sigs_dev[: other._n_real]
+        else:
+            merged = jnp.concatenate(
+                [self._sigs_dev[: self._n_real],
+                 other._sigs_dev[: other._n_real]], axis=0
+            )
+        n_self = 0 if old_alive is None else old_alive.shape[0]
+        self._rebuild(merged)
+        if old_alive is not None:
+            self._alive[:n_self] = old_alive
+        if other_alive is not None:
+            self._alive[n_self : n_self + other_alive.shape[0]] = other_alive
+        self._alive_dev = None
+
+    def status(self) -> dict:
+        """Operational health counters (the device-index analogue of
+        ``Storage.status``): live/tombstoned row counts, padding, bucket
+        occupancy vs ``bucket_cap``, and device memory footprint."""
+        self._flush_pending()
+        n_live = len(self._key_to_pos)
+        out = {
+            "n_live": n_live,
+            "n_tombstoned": self._n_real - n_live,
+            "n_padded": 0,
+            "bands": self.b,
+            "rows_per_band": self.r,
+            "bucket_cap": self.bucket_cap,
+            "last_truncated": self.last_truncated,
+            "device_bytes": 0,
+            "max_bucket": 0,
+            "distinct_buckets_min": 0,
+        }
+        if self._sigs_dev is not None:
+            out["n_padded"] = int(self._sigs_dev.shape[0]) - self._n_real
+            out["device_bytes"] = int(
+                self._sigs_dev.size * 4
+                + self._sorted_fp.size * 4
+                + self._sorted_ids.size * 4
+            )
+            max_run, n_distinct = lsh_ops.bucket_stats(self._sorted_fp)
+            out["max_bucket"] = int(np.asarray(max_run).max())
+            out["distinct_buckets_min"] = int(np.asarray(n_distinct).min())
+        return out
+
     def compact(self) -> None:
         """Drop tombstoned rows and rebuild the band tables."""
         self._flush_pending()

@@ -31,6 +31,7 @@ __all__ = [
     "band_fingerprints",
     "build_tables",
     "build_offsets",
+    "bucket_stats",
     "query_tables",
     "query_tables_direct",
     "rerank_jaccard",
@@ -119,6 +120,30 @@ def query_tables_direct(sorted_fp, sorted_ids, offsets, q_fps,
         sorted_fp, sorted_ids, offsets, q_fps
     )
     return jnp.transpose(ids, (1, 0, 2)), jnp.sum(trunc)
+
+
+@jax.jit
+def bucket_stats(sorted_fp):
+    """Health counters over built band tables: per-band bucket occupancy.
+
+    A bucket is a run of equal fingerprints in the sorted band row; the
+    max run length tells whether ``bucket_cap`` is about to truncate and
+    the distinct count how evenly the corpus spreads.
+
+    Returns:
+        (max_run int32[b], n_distinct int32[b]).
+    """
+    idx = jax.lax.broadcasted_iota(jnp.int32, sorted_fp.shape, 1)
+    boundary = jnp.concatenate(
+        [
+            jnp.ones((sorted_fp.shape[0], 1), dtype=bool),
+            sorted_fp[:, 1:] != sorted_fp[:, :-1],
+        ],
+        axis=1,
+    )
+    last_start = jax.lax.cummax(jnp.where(boundary, idx, 0), axis=1)
+    run_len = idx - last_start + 1
+    return run_len.max(axis=1), boundary.sum(axis=1, dtype=jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))

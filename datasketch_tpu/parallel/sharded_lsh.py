@@ -159,6 +159,83 @@ class ShardedMinHashLSH:
         self._keys[pos] = None
         self._alive_dev = None
 
+    def merge(self, other, check_overlap: bool = False) -> None:
+        """Union another sharded (or TpuMinHashLSH) index into this one:
+        device-side concat of both corpora, one re-shard/rebuild. The mesh
+        analogue of ``MinHashLSH.merge`` (SURVEY §2.4: merge -> re-shard)."""
+        if (self.h, self.b, self.r) != (other.h, other.b, other.r):
+            raise ValueError(
+                "Cannot merge indexes with different initialization "
+                "parameters."
+            )
+        other_keys = getattr(other, "_keys")
+        if check_overlap and set(self._key_to_pos) & {
+            k for k in other_keys if k is not None
+        }:
+            raise ValueError("The keys are overlapping, duplicate key exists.")
+        other_sigs = getattr(other, "_sigs", None)
+        if other_sigs is None:
+            other_sigs = getattr(other, "_sigs_dev", None)
+        other_n = getattr(other, "_n_real", 0)
+        if other_sigs is None or not other_n:
+            return
+        base = len(self._keys)
+        for i, k in enumerate(other_keys):
+            if k is not None:
+                self._key_to_pos[k] = base + i
+        self._keys.extend(other_keys)
+        old_alive, other_alive = self._alive, getattr(other, "_alive", None)
+        if self._sigs is None:
+            merged = other_sigs[:other_n]
+        else:
+            merged = jnp.concatenate(
+                [self._sigs[: self._n_real], other_sigs[:other_n]], axis=0
+            )
+        n_self = 0 if old_alive is None else old_alive.shape[0]
+        self._build(merged)
+        self._alive = np.ones(self._n_real, dtype=bool)
+        if old_alive is not None:
+            self._alive[:n_self] = old_alive
+        if other_alive is not None:
+            self._alive[n_self : n_self + other_alive.shape[0]] = other_alive
+        self._alive_dev = None
+
+    def status(self) -> dict:
+        """Operational health counters: shard layout, live/tombstoned rows,
+        bucket occupancy vs ``bucket_cap``, device memory footprint."""
+        n_live = len(self._key_to_pos)
+        out = {
+            "n_shards": self.n_shards,
+            "n_live": n_live,
+            "n_tombstoned": self._n_real - n_live,
+            "n_padded": 0,
+            "rows_per_shard": 0,
+            "bands": self.b,
+            "rows_per_band": self.r,
+            "bucket_cap": self.bucket_cap,
+            "last_truncated": self.last_truncated,
+            "device_bytes": 0,
+            "max_bucket": 0,
+        }
+        if self._sigs is not None:
+            n_pad = int(self._sigs.shape[0])
+            out["n_padded"] = n_pad - self._n_real
+            out["rows_per_shard"] = n_pad // self.n_shards
+            out["device_bytes"] = int(
+                self._sigs.size * 4
+                + self._sorted_fp.size * 4
+                + self._sorted_ids.size * 4
+            )
+            # each shard's table is sorted independently: compute run
+            # stats per (band, shard) block so runs never appear to span
+            # shard boundaries
+            fp = np.asarray(self._sorted_fp).reshape(
+                self.b * self.n_shards, -1
+            )
+            max_run, _ = lsh_ops.bucket_stats(jnp.asarray(fp))
+            out["max_bucket"] = int(np.asarray(max_run).max())
+        return out
+
     def compact(self) -> None:
         """Drop tombstoned rows and rebuild the shard tables (device-side
         gather; the surviving corpus never leaves the mesh)."""

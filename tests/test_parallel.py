@@ -216,3 +216,25 @@ def test_sharded_lsh_topk_parity_with_single_device(mesh):
     sh.remove("k0")
     got = sh.top_k([qs[0]], k=5)[0]
     assert all(k != "k0" for k, _ in got)
+
+
+def test_sharded_lsh_merge_and_status(mesh):
+    sigs = _corpus_sigs(seed=17)
+    a = ShardedMinHashLSH(mesh, threshold=0.5, num_perm=128)
+    a.index(["k%d" % i for i in range(20)], sigs[:20])
+    b = ShardedMinHashLSH(mesh, threshold=0.5, num_perm=128)
+    b.index(["k%d" % i for i in range(20, 40)], sigs[20:])
+    b.remove("k39")
+    a.merge(b)
+    assert len(a) == 39 and "k39" not in a
+    q = [MinHash(num_perm=128, hashvalues=sigs[i]) for i in (3, 25, 39)]
+    assert a.query(q[0]) == ["k3"]
+    assert a.query(q[1]) == ["k25"]
+    assert a.query(q[2]) == []  # tombstone carried through the merge
+    with pytest.raises(ValueError):
+        a.merge(ShardedMinHashLSH(mesh, threshold=0.5, num_perm=64))
+    st = a.status()
+    assert st["n_shards"] == mesh.shape["data"]
+    assert st["n_live"] == 39 and st["n_tombstoned"] == 1
+    assert st["rows_per_shard"] * st["n_shards"] == 39 + 1 + st["n_padded"]
+    assert st["device_bytes"] > 0 and st["max_bucket"] >= 1

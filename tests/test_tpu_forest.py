@@ -232,3 +232,20 @@ class TestHostForestBatch:
         batch = forest.query_batch(ms[:15], 7)
         for qi in range(15):
             assert sorted(batch[qi]) == sorted(forest.query(ms[qi], 7))
+
+
+def test_forest_status_counters():
+    _, ms = _corpus_minhashes(n=20)
+    forest = TpuMinHashLSHForest(num_perm=128, l=8)
+    st = forest.status()
+    assert st["n_indexed"] == 0 and st["device_bytes"] == 0
+    for i in range(3):
+        forest.add(i, ms[i])
+    assert forest.status()["n_pending"] == 3
+    forest.index()
+    forest.index(list(range(3, 20)), ms[3:])
+    st = forest.status()
+    assert st["n_indexed"] == 20 and st["n_pending"] == 0
+    assert st["n_padded"] == 128 - 20
+    assert st["trees"] == 8 and st["prefix_len"] == 16
+    assert st["device_bytes"] > 0 and st["max_leaf_run"] >= 1

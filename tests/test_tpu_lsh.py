@@ -269,3 +269,54 @@ def test_weighted_minhash_in_device_lsh():
     for key, score in scored.items():
         j = int(key[1:])
         assert abs(score - wms[0].jaccard(wms[j])) < 1e-6
+
+
+class TestMergeAndStatus:
+    def _index(self, lo, hi, num_perm=128):
+        from datasketch_tpu import TpuMinHashLSH
+
+        docs = [[b"d%d-%d" % (i, t) for t in range(30)] for i in range(lo, hi)]
+        sigs = MinHash.bulk_signatures(docs, num_perm=num_perm)
+        idx = TpuMinHashLSH(threshold=0.5, num_perm=num_perm, bucket_cap=32)
+        idx.index(["k%d" % i for i in range(lo, hi)], sigs)
+        return idx, sigs
+
+    def test_merge_unions_indexes(self):
+        a, sa = self._index(0, 20)
+        b, sb = self._index(20, 35)
+        b.remove("k33")
+        a.merge(b)
+        assert len(a) == 34 and "k33" not in a
+        qa = MinHash(num_perm=128, hashvalues=sa[3])
+        qb = MinHash(num_perm=128, hashvalues=sb[5])
+        assert "k3" in a.query(qa)
+        assert "k25" in a.query(qb)
+        assert "k33" not in a.query(MinHash(num_perm=128, hashvalues=sb[13]))
+
+    def test_merge_validation(self):
+        import pytest
+
+        from datasketch_tpu import TpuMinHashLSH
+
+        a, _ = self._index(0, 5)
+        with pytest.raises(ValueError):
+            a.merge(TpuMinHashLSH(threshold=0.5, num_perm=64))
+        b, _ = self._index(0, 5)
+        with pytest.raises(ValueError):
+            a.merge(b, check_overlap=True)
+        a.merge(TpuMinHashLSH(threshold=0.5, num_perm=128))  # empty: no-op
+        assert len(a) == 5
+
+    def test_status_counters(self):
+        idx, sigs = self._index(0, 130)  # force padding past 128
+        idx.remove("k7")
+        st = idx.status()
+        assert st["n_live"] == 129 and st["n_tombstoned"] == 1
+        assert st["n_padded"] == 256 - 130
+        assert st["bands"] == idx.b and st["rows_per_band"] == idx.r
+        assert st["device_bytes"] > 0
+        assert 1 <= st["max_bucket"] <= 256
+        assert st["distinct_buckets_min"] >= 1
+        empty = type(idx)(threshold=0.5, num_perm=128)
+        st0 = empty.status()
+        assert st0["n_live"] == 0 and st0["device_bytes"] == 0
