@@ -36,6 +36,50 @@ _hash_range = 1 << 32
 # Below this many tokens a host NumPy update beats a device dispatch.
 _DEVICE_BATCH_THRESHOLD = 4096
 
+# Padded-token budget per device dispatch for bulk APIs. Chunks are cut so
+# B_pow2 * T_pow2 <= budget: a fixed DOC-count chunk over a length-sorted
+# ragged corpus lets one long doc balloon T for thousands of short ones
+# (measured 10x padded-token waste on lognormal sizes); budget-cut chunks
+# keep waste bounded AND keep the (B, T) compile-shape family tiny since
+# every shape satisfies B*T ~= budget.
+_TOKEN_BUDGET = 1 << 21
+
+
+def _pow2_at_least(x: int, floor: int = 128) -> int:
+    p = floor
+    while p < x:
+        p *= 2
+    return p
+
+
+def _start_host_copy(dev_array) -> None:
+    """Kick off an async device->host copy if the array supports it."""
+    try:
+        dev_array.copy_to_host_async()
+    except AttributeError:
+        pass
+
+
+def _budget_chunks(sorted_lengths, budget: int = _TOKEN_BUDGET):
+    """Cut a length-sorted corpus into (start, end) ranges whose padded
+    [B_pow2, T_pow2] area stays within ``budget`` tokens."""
+    chunks = []
+    n = len(sorted_lengths)
+    i = 0
+    while i < n:
+        t = _pow2_at_least(int(sorted_lengths[i]))
+        j = i + 1
+        while j < n:
+            t_next = _pow2_at_least(int(sorted_lengths[j]), t)
+            b_next = _pow2_at_least(j - i + 1)
+            if b_next * t_next > budget:
+                break
+            t = t_next
+            j += 1
+        chunks.append((i, j))
+        i = j
+    return chunks
+
 
 class MinHash:
     """A probabilistic sketch for estimating Jaccard similarity between sets.
@@ -332,16 +376,19 @@ class MinHash:
             raise ValueError("custom permutations are meaningless for oph")
         order = sorted(range(len(docs)), key=lambda i: len(docs[i]))
         out = np.empty((len(docs), proto.num_perm), dtype=np.uint32)
-        # large chunks amortize per-dispatch host<->device round trips (the
-        # dominant cost for ragged corpora); the object path keeps 1024
-        chunk_docs = 8192
         import itertools
 
         from datasketch_tpu.ops import minhash_ops
 
         use_flat = proto.hashfunc is sha1_hash32 and scheme == "permutation"
-        for start in range(0, len(order), chunk_docs):
-            idx = order[start : start + chunk_docs]
+        # Phase 1: hash + dispatch every chunk, kicking off the async D2H
+        # copy immediately — device compute of chunk i+1 and host hashing of
+        # chunk i+2 overlap the result transfer of chunk i (D2H through the
+        # remote tunnel is ~20-50 MB/s and dominates otherwise; pipelined
+        # in-flight copies measured 2.5x a sequential fetch loop).
+        in_flight = []
+        for start, stop in _budget_chunks([len(docs[i]) for i in order]):
+            idx = order[start:stop]
             chunk = [docs[i] for i in idx]
             if use_flat:
                 # flat hashing + device-side padding: ships no padding bytes
@@ -355,29 +402,28 @@ class MinHash:
                     list(itertools.chain.from_iterable(chunk)),
                     corpus.ALGO_SHA1_32,
                 )
-                sigs = np.asarray(
-                    minhash_ops.compute_signatures_ragged(
-                        flat, lengths, proto.seed, proto.num_perm,
-                        permutations=custom_perms,
-                    )
+                dev = minhash_ops.compute_signatures_ragged(
+                    flat, lengths, proto.seed, proto.num_perm,
+                    permutations=custom_perms,
                 )
             else:
                 padded, lengths, n_real = proto._pad_corpus_for_device(chunk)
                 if scheme == "oph":
                     from datasketch_tpu.ops import oph
 
-                    sigs = np.asarray(
-                        oph.oph_signatures(padded, lengths, proto.num_perm,
-                                           seed=proto.seed)
+                    dev = oph.oph_signatures(
+                        padded, lengths, proto.num_perm, seed=proto.seed
                     )[:n_real]
                 else:
-                    sigs = np.asarray(
-                        minhash_ops.compute_signatures(
-                            padded, lengths, proto.seed, proto.num_perm,
-                            permutations=custom_perms,
-                        )
+                    dev = minhash_ops.compute_signatures(
+                        padded, lengths, proto.seed, proto.num_perm,
+                        permutations=custom_perms,
                     )[:n_real]
-            out[np.asarray(idx)] = sigs
+            _start_host_copy(dev)
+            in_flight.append((idx, dev))
+        # Phase 2: collect in dispatch order (copies already in flight).
+        for idx, dev in in_flight:
+            out[np.asarray(idx)] = np.asarray(dev)
         return out
 
     @classmethod
@@ -407,30 +453,29 @@ class MinHash:
 
         order = sorted(range(len(texts)), key=lambda i: len(texts[i]))
         out = np.empty((len(texts), proto.num_perm), dtype=np.uint32)
-        chunk_docs = 8192
-        for start in range(0, len(order), chunk_docs):
-            idx = order[start : start + chunk_docs]
+        shingle_counts = [max(0, len(texts[i]) - k + 1) for i in order]
+        in_flight = []
+        for start, stop in _budget_chunks(shingle_counts):
+            idx = order[start:stop]
             chunk = [texts[i] for i in idx]
             max_sh = max((max(0, len(t) - k + 1) for t in chunk), default=1)
-            t_bucket = 128
-            while t_bucket < max_sh:
-                t_bucket *= 2
+            t_bucket = _pow2_at_least(max_sh)
             padded, lengths = corpus.hash_shingles_padded(
                 chunk, k, corpus.ALGO_SHA1_32, pad_multiple=t_bucket
             )
             if scheme == "oph":
-                sigs = np.asarray(
-                    oph.oph_signatures(padded, lengths, proto.num_perm,
-                                       seed=proto.seed)
-                )
+                dev = oph.oph_signatures(
+                    padded, lengths, proto.num_perm, seed=proto.seed
+                )[: len(idx)]
             else:
-                sigs = np.asarray(
-                    minhash_ops.compute_signatures(
-                        padded, lengths, proto.seed, proto.num_perm,
-                        permutations=custom_perms,
-                    )
-                )
-            out[np.asarray(idx)] = sigs[: len(idx)]
+                dev = minhash_ops.compute_signatures(
+                    padded, lengths, proto.seed, proto.num_perm,
+                    permutations=custom_perms,
+                )[: len(idx)]
+            _start_host_copy(dev)
+            in_flight.append((idx, dev))
+        for idx, dev in in_flight:
+            out[np.asarray(idx)] = np.asarray(dev)
         return out
 
     @classmethod
