@@ -33,7 +33,11 @@ from datasketch_tpu.aio.storage import (
     async_unordered_storage,
 )
 
-__all__ = ["AsyncMinHashLSH"]
+__all__ = [
+    "AsyncMinHashLSH",
+    "AsyncMinHashLSHInsertionSession",
+    "AsyncMinHashLSHDeleteSession",
+]
 
 
 class AsyncMinHashLSH:
@@ -320,3 +324,8 @@ class AsyncMinHashLSHDeletionSession:
 
     async def remove(self, key):
         await self.lsh._remove(key, buffer=True)
+
+
+# Name parity with the reference (aio/lsh.py:379 calls this class
+# AsyncMinHashLSHDeleteSession).
+AsyncMinHashLSHDeleteSession = AsyncMinHashLSHDeletionSession

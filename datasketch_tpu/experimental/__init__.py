@@ -16,7 +16,13 @@ def __getattr__(name):
             DeprecationWarning,
             stacklevel=2,
         )
-        import datasketch_tpu.experimental.aio as aio
+        # importlib returns the sys.modules entry directly; a plain
+        # `import pkg.sub as sub` resolves via getattr on this package and
+        # would recurse back into __getattr__ when `sub` is in sys.modules
+        # but not yet bound as our attribute.
+        import importlib
 
+        aio = importlib.import_module("datasketch_tpu.experimental.aio")
+        globals()["aio"] = aio
         return aio
     raise AttributeError(name)

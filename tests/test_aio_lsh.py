@@ -152,11 +152,32 @@ def test_experimental_shim():
 
     import datasketch_tpu.experimental as exp
 
+    # Another test may have imported the subpackage already, which binds
+    # the attribute and bypasses the PEP 562 path — unbind to exercise it.
+    exp.__dict__.pop("aio", None)
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         aio = exp.aio
         assert any(issubclass(x.category, DeprecationWarning) for x in w)
     assert aio.AsyncMinHashLSH is AsyncMinHashLSH
+
+
+def test_experimental_aio_lsh_module_shim():
+    import warnings
+
+    import datasketch_tpu.experimental.aio.lsh as shim
+
+    for name in ("AsyncMinHashLSHDeleteSession",):
+        shim.__dict__.pop(name, None)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            cls = getattr(shim, name)
+            assert any(issubclass(x.category, DeprecationWarning) for x in w)
+        import datasketch_tpu.aio.lsh as real
+
+        assert cls is getattr(real, name)
+    with pytest.raises(AttributeError):
+        shim.does_not_exist
 
 
 def test_cassandra_gated():
