@@ -49,7 +49,7 @@ def bench_ours(corpus) -> float:
     from datasketch_tpu.native import corpus as native_corpus
     from datasketch_tpu.ops import minhash_ops
 
-    chunk = 2048
+    chunk = 8192  # 8192 docs x 256 tokens x 4B = 8MB, the H2D fast-path cap
 
     def run(docs):
         # Chunked pipeline: JAX dispatch is async, so native SHA-NI hashing

@@ -738,6 +738,50 @@ struct TokenCache {
   }
 };
 
+// Pointer-identity memo layered above TokenCache: token streams that draw
+// from a materialized vocabulary (vocab lists, id->bytes tables, cached
+// shingles) repeat the same PyObject, so (pointer, len) alone identifies
+// the content — skipping even the xxh64 content key. Pointers are only
+// stable while the caller holds references (one hash_corpus call), so
+// entries are tagged with an epoch the owner bumps per call: stale-epoch
+// entries read as empty without any table zeroing. Content-fresh tokens
+// (tokenizers that allocate new bytes each time) miss here and fall
+// through to the content-addressed cache, which stays authoritative.
+struct IdentCache {
+  static constexpr size_t kBits = 16;
+  static constexpr size_t kSlots = 1ULL << kBits;
+  struct Entry {
+    const void* ptr;
+    uint32_t len;
+    uint32_t val;
+    uint64_t epoch;
+  };
+  std::vector<Entry> slots;
+  uint64_t epoch = 0;
+  IdentCache() : slots(kSlots, Entry{nullptr, 0, 0, 0}) {}
+
+  void new_epoch() { epoch++; }
+
+  static inline size_t slot_of(const void* p) {
+    uintptr_t x = reinterpret_cast<uintptr_t>(p) >> 4;
+    x *= 0x9e3779b97f4a7c15ULL;
+    return static_cast<size_t>(x >> (64 - kBits));
+  }
+
+  inline bool lookup(const void* p, uint32_t len, uint32_t* out) const {
+    const Entry& e = slots[slot_of(p)];
+    if (e.epoch == epoch && e.ptr == p && e.len == len) {
+      *out = e.val;
+      return true;
+    }
+    return false;
+  }
+
+  inline void insert(const void* p, uint32_t len, uint32_t v) {
+    slots[slot_of(p)] = Entry{p, len, v, epoch};
+  }
+};
+
 // --------------------------------------------------------------- parallelism
 
 template <typename Fn>

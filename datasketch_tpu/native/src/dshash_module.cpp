@@ -38,6 +38,25 @@ struct Keepalive {
   }
 };
 
+// Process-global sha1-32 memo. The cache is content-addressed and the
+// sha1_32 token hash takes no seed, so entries can never go stale across
+// calls — a per-call cache would re-pay one cold SHA1 per distinct token
+// per call PLUS a 4MB table zeroing, which dominates warm Zipfian streams.
+// Only the inline path touches it, and inline mode runs under the GIL;
+// the buffered multi-thread pass builds per-thread caches in hash_refs.
+dshash::TokenCache* global_token_cache() {
+  static dshash::TokenCache* cache = new dshash::TokenCache();
+  return cache;
+}
+
+// Pointer-identity layer (epoch-tagged; see IdentCache in dshash_core.h).
+// GIL-guarded like the content cache; each call bumps the epoch so entries
+// from a previous call's (possibly freed) objects can never match.
+dshash::IdentCache* global_ident_cache() {
+  static dshash::IdentCache* cache = new dshash::IdentCache();
+  return cache;
+}
+
 // Consumes (ptr, len, out_pos) triples. Either buffers them for a later
 // parallel pass (multi-core) or hashes inline during collection
 // (single-core: skips the buffer entirely; SHA-NI tokens are paired
@@ -51,6 +70,7 @@ struct TokenSink {
   dshash::compress_fn compress = nullptr;
   bool use_x2 = false;
   dshash::TokenCache* cache = nullptr;  // sha1_32 memoization (optional)
+  dshash::IdentCache* ident = nullptr;  // pointer-identity layer above it
   TokenRef pending{nullptr, 0, 0};
   uint64_t pending_key = 0;
   bool has_pending = false;
@@ -63,11 +83,19 @@ struct TokenSink {
     switch (algo) {
       case 0: {
         uint64_t ck = 0;
+        if (ident) {
+          uint32_t v;
+          if (ident->lookup(ptr, len, &v)) {
+            out32[pos] = v;
+            return;
+          }
+        }
         if (cache) {
           ck = dshash::TokenCache::content_key(ptr, len);
           uint32_t v;
           if (cache->lookup(ck, len, &v)) {
             out32[pos] = v;
+            if (ident) ident->insert(ptr, len, v);
             return;
           }
         }
@@ -87,12 +115,17 @@ struct TokenSink {
                               out32[pending.out_pos]);
               if (ck) cache->insert(ck, len, out32[pos]);
             }
+            if (ident) {
+              ident->insert(pending.ptr, pending.len, out32[pending.out_pos]);
+              ident->insert(ptr, len, out32[pos]);
+            }
           }
           return;
         }
 #endif
         out32[pos] = dshash::sha1_32(ptr, len, compress);
         if (cache && ck) cache->insert(ck, len, out32[pos]);
+        if (ident) ident->insert(ptr, len, out32[pos]);
         return;
       }
       case 1:
@@ -109,6 +142,8 @@ struct TokenSink {
           dshash::sha1_32(pending.ptr, pending.len, compress);
       if (cache && pending_key)
         cache->insert(pending_key, pending.len, out32[pending.out_pos]);
+      if (ident)
+        ident->insert(pending.ptr, pending.len, out32[pending.out_pos]);
       has_pending = false;
     }
   }
@@ -131,6 +166,22 @@ Py_ssize_t collect_tokens(PyObject* seq, int64_t out_base, Py_ssize_t max_count,
   }
   PyObject** items = PySequence_Fast_ITEMS(fast);
   for (Py_ssize_t i = 0; i < n; i++) {
+    // Tokens are scattered PyObjects; pull the upcoming headers (bytes
+    // content is inline right after the header) while hashing this one —
+    // random-heap latency, not hashing, dominates large-vocab streams.
+    // The identity-cache slot is addressable without dereferencing (the
+    // data pointer of a PyBytes is its object pointer + ob_sval offset),
+    // so warm that line too.
+    if (i + 8 < n) {
+      PyObject* ahead = items[i + 8];
+      __builtin_prefetch(ahead, 0, 3);
+      if (sink.ident)
+        __builtin_prefetch(
+            &sink.ident->slots[dshash::IdentCache::slot_of(
+                reinterpret_cast<const char*>(ahead) +
+                offsetof(PyBytesObject, ob_sval))],
+            0, 1);
+    }
     PyObject* tok = items[i];
     if (PyBytes_Check(tok)) {
       sink.consume(reinterpret_cast<const uint8_t*>(PyBytes_AS_STRING(tok)),
@@ -176,6 +227,10 @@ void init_sink(TokenSink& sink, std::vector<TokenRef>* refs, int algo,
   const bool inline_mode = (mode == 1) || (mode == 0 && single_core);
   sink.refs = inline_mode ? nullptr : refs;
   sink.cache = (algo == 0 && inline_mode) ? cache : nullptr;
+  if (sink.cache) {
+    sink.ident = global_ident_cache();
+    sink.ident->new_epoch();
+  }
 }
 
 // Hash all collected tokens into `out32`/`out64` (one of them), GIL released.
@@ -282,10 +337,10 @@ PyObject* hash_flat(PyObject*, PyObject* args) {
   Keepalive keep;
   TokenSink sink;
   Py_ssize_t size_hint = PySequence_Check(tokens) ? PySequence_Size(tokens) : 0;
-  std::unique_ptr<dshash::TokenCache> cache(
-      (algo == 0 && size_hint >= 4096) ? new dshash::TokenCache() : nullptr);
+  dshash::TokenCache* cache =
+      (algo == 0 && size_hint >= 4096) ? global_token_cache() : nullptr;
   init_sink(sink, &refs, algo, seed, static_cast<uint32_t*>(view.buf),
-            static_cast<uint64_t*>(view.buf), mode, cache.get());
+            static_cast<uint64_t*>(view.buf), mode, cache);
   if (sink.refs && PySequence_Check(tokens)) {
     Py_ssize_t hint = PySequence_Size(tokens);
     if (hint > 0) refs.reserve(static_cast<size_t>(hint));
@@ -340,10 +395,10 @@ PyObject* hash_padded(PyObject*, PyObject* args) {
   std::vector<TokenRef> refs;
   Keepalive token_keep;
   TokenSink sink;
-  std::unique_ptr<dshash::TokenCache> cache(
-      (algo == 0 && n_docs >= 16) ? new dshash::TokenCache() : nullptr);
+  dshash::TokenCache* cache =
+      (algo == 0 && n_docs >= 16) ? global_token_cache() : nullptr;
   init_sink(sink, &refs, algo, seed, static_cast<uint32_t*>(view.buf),
-            static_cast<uint64_t*>(view.buf), mode, cache.get());
+            static_cast<uint64_t*>(view.buf), mode, cache);
   if (sink.refs) refs.reserve(static_cast<size_t>(n_docs) * 8);
 
   int64_t total = 0;
@@ -408,10 +463,10 @@ PyObject* hash_shingles(PyObject*, PyObject* args) {
 
   std::vector<TokenRef> refs;
   TokenSink sink;
-  std::unique_ptr<dshash::TokenCache> cache(
-      (algo == 0 && n_docs >= 4) ? new dshash::TokenCache() : nullptr);
+  dshash::TokenCache* cache =
+      (algo == 0 && n_docs >= 4) ? global_token_cache() : nullptr;
   init_sink(sink, &refs, algo, seed, static_cast<uint32_t*>(view.buf),
-            static_cast<uint64_t*>(view.buf), mode, cache.get());
+            static_cast<uint64_t*>(view.buf), mode, cache);
   if (sink.refs) refs.reserve(static_cast<size_t>(n_docs) * 64);
 
   int64_t total = 0;

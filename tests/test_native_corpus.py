@@ -108,3 +108,42 @@ def test_bulk_from_text_matches_manual():
     # oph scheme + empty input
     assert MinHash.bulk_from_text(texts, k=4, num_perm=64, scheme="oph").shape == (3, 64)
     assert MinHash.bulk_from_text([], num_perm=64).shape == (0, 64)
+
+
+def test_token_caches_persist_and_never_staleness():
+    """The sha1 memo is process-global (content-addressed, seed-free) and
+    the pointer-identity layer is epoch-tagged per call: freed objects
+    whose heap addresses get reused by different content must never
+    produce a stale hash on a later call."""
+    rng = np.random.RandomState(7)
+    vocab = [bytes(rng.randint(0, 256, size=10, dtype=np.uint8)) for _ in range(5000)]
+    docs = [[vocab[j] for j in rng.randint(0, 5000, size=64)] for _ in range(256)]
+    p1, l1 = corpus.hash_corpus_padded(docs, corpus.ALGO_SHA1_32, mode=corpus.MODE_INLINE)
+
+    # same content, brand-new objects -> identical output (content cache)
+    fresh = [[bytes(t) for t in d] for d in docs]
+    p2, _ = corpus.hash_corpus_padded(fresh, corpus.ALGO_SHA1_32, mode=corpus.MODE_INLINE)
+    assert np.array_equal(p1, p2)
+
+    # free everything, churn the allocator so addresses get reused with
+    # different content, and verify against hashlib from scratch
+    del fresh, docs, vocab
+    churn = [[bytes(rng.randint(0, 256, size=10, dtype=np.uint8)) for _ in range(64)]
+             for _ in range(256)]
+    p3, l3 = corpus.hash_corpus_padded(churn, corpus.ALGO_SHA1_32, mode=corpus.MODE_INLINE)
+    for d in (0, 17, 255):
+        for t in range(l3[d]):
+            assert p3[d, t] == sha32(churn[d][t])
+
+    # repeated identical object inside one doc (identity fast path)
+    one = b"same-token!"
+    p4, l4 = corpus.hash_corpus_padded([[one] * 50], corpus.ALGO_SHA1_32,
+                                       mode=corpus.MODE_INLINE)
+    assert (p4[0, :50] == sha32(one)).all()
+
+    # mixed lengths sharing a prefix must not collide via either cache
+    a, b = b"prefix", b"prefix-extended"
+    p5, _ = corpus.hash_corpus_padded([[a, b, a, b]], corpus.ALGO_SHA1_32,
+                                      mode=corpus.MODE_INLINE)
+    assert p5[0, 0] == sha32(a) and p5[0, 1] == sha32(b)
+    assert p5[0, 0] != p5[0, 1]
