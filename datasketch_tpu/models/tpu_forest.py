@@ -72,6 +72,7 @@ class TpuMinHashLSHForest:
         self._sorted_fps = None  # uint32[l, k, N_pad]
         self._sorted_ids = None  # int32[l, N_pad]
         self._n_real = 0
+        self._n_real_dev = None  # cached device scalar (uploads cost a tunnel RTT)
         self.last_truncated = 0
 
     # ------------------------------------------------------------- building
@@ -138,6 +139,7 @@ class TpuMinHashLSHForest:
             ).astype(np.uint32)
             sigs_np = np.concatenate([sigs_np, filler], axis=0)
         self._n_real = n_real
+        self._n_real_dev = jnp.int32(n_real)
         self._sigs_dev = jnp.asarray(sigs_np)
         # host lexsort build + one upload: bit-identical to the device sort
         # but immune to the remote-TPU multi-key-sort compile pathology
@@ -187,7 +189,7 @@ class TpuMinHashLSHForest:
                 self.k,
                 self.cap,
                 k_pad,
-                jnp.int32(self._n_real),
+                self._n_real_dev,
             )
         )
         ids = packed[:nq, 0, :k]

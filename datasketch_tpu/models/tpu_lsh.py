@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Hashable, Optional, Sequence
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from datasketch_tpu.models.lsh import _optimal_param
@@ -98,6 +99,7 @@ class TpuMinHashLSH:
         self._sorted_ids = None  # [b, N]
         self._pending_sigs: list = []  # host tail awaiting reindex
         self._n_real = 0  # live+tombstoned rows; the rest is shape padding
+        self._n_real_dev = None  # cached device scalar of _n_real
         self._alive = None  # bool[N] tombstone mask (False = removed)
         self._alive_dev = None  # cached (device_mask, all_alive) pair
         self.last_truncated = 0
@@ -180,6 +182,9 @@ class TpuMinHashLSH:
             ).astype(np.uint32)
             all_sigs = jnp.concatenate([all_sigs, jnp.asarray(filler)], axis=0)
         self._n_real = n_real
+        # device scalar cached: a fresh jnp.int32(...) per query is a tiny
+        # H2D transfer whose latency is visible through the axon tunnel
+        self._n_real_dev = jnp.int32(n_real)
         self._sigs_dev = all_sigs
         fps = lsh_ops.band_fingerprints(self._sigs_dev, self.b, self.r)
         self._sorted_fp, self._sorted_ids = lsh_ops.build_tables(fps)
@@ -345,15 +350,18 @@ class TpuMinHashLSH:
         ids, truncated = lsh_ops.query_tables(
             self._sorted_fp, self._sorted_ids, q_fps, cap=self.bucket_cap
         )
-        self.last_truncated = int(truncated)
         q = q_sigs.shape[0]
         flat_ids = ids.reshape(q, -1)
         flat_ids = self._mask_dead(flat_ids)
         if self.rerank or return_scores:
             scores = lsh_ops.rerank_jaccard(self._sigs_dev, q_dev, flat_ids)
             cutoff = self.threshold if threshold is None else threshold
-            ids_host = np.asarray(flat_ids)
-            scores_host = np.asarray(scores)
+            # one D2H round trip for everything: each separate fetch
+            # costs a full tunnel RTT (~30ms) regardless of size
+            ids_host, scores_host, trunc = jax.device_get(
+                (flat_ids, scores, truncated)
+            )
+            self.last_truncated = int(trunc)
             out = []
             for qi in range(q):
                 row_ids = ids_host[qi]
@@ -372,7 +380,8 @@ class TpuMinHashLSH:
                 else:
                     out.append([self._keys[int(p)] for p in uniq])
             return out
-        ids_host = np.asarray(flat_ids)
+        ids_host, trunc = jax.device_get((flat_ids, truncated))
+        self.last_truncated = int(trunc)
         out = []
         for qi in range(q):
             row = ids_host[qi]
@@ -380,9 +389,22 @@ class TpuMinHashLSH:
             out.append([self._keys[int(p)] for p in uniq])
         return out
 
-    def top_k(self, minhashes, k: int) -> list:
-        """Top-k most similar indexed keys per query, fully on device:
-        band probe -> fused Jaccard rerank -> dedupe -> ``lax.top_k``."""
+    def top_k(self, minhashes, k: int, method: str = "auto") -> list:
+        """Top-k most similar indexed keys per query, fully on device.
+
+        method:
+            ``'bands'`` — band probe -> fused Jaccard rerank -> dedupe ->
+            ``lax.top_k`` (sub-linear candidate generation; wins when the
+            corpus is much larger than the band gather budget).
+            ``'scan'`` — exact streaming scan of every stored signature
+            (recall 1.0 over stored sketches; on TPU the sequential
+            ``N x P`` stream beats the band path's ``Q*b*cap x P`` random
+            gathers for small/medium corpora).
+            ``'auto'`` — pick by traffic model: scan when
+            ``N_pad <= Q * b * bucket_cap``.
+        """
+        if method not in ("auto", "bands", "scan"):
+            raise ValueError("method must be 'auto', 'bands' or 'scan'")
         self._flush_pending()
         if self._sigs_dev is None or not len(self._keys):
             return [[] for _ in minhashes]
@@ -392,7 +414,20 @@ class TpuMinHashLSH:
                 "Expecting minhash with length %d, got %d" % (self.h, q_sigs.shape[1])
             )
         q_dev = jnp.asarray(q_sigs)
-        if self._alive_state()[1]:
+        if method == "auto":
+            gather_slots = q_sigs.shape[0] * self.b * self.bucket_cap
+            method = "scan" if self._sigs_dev.shape[0] <= gather_slots else "bands"
+        if method == "scan":
+            alive_dev, all_alive = self._alive_state()
+            top_ids, top_sc = lsh_ops.topk_scan(
+                self._sigs_dev,
+                q_dev,
+                k,
+                n_valid=self._n_real_dev,
+                alive=None if all_alive else alive_dev,
+            )
+            truncated = None  # the scan touches every row; nothing to cap
+        elif self._alive_state()[1]:
             # hot path: whole pipeline in one dispatch
             top_ids, top_sc, truncated = lsh_ops.topk_fused(
                 self._sorted_fp,
@@ -403,22 +438,25 @@ class TpuMinHashLSH:
                 self.r,
                 self.bucket_cap,
                 k,
-                n_valid=jnp.int32(self._n_real),
+                n_valid=self._n_real_dev,
             )
-            self.last_truncated = int(truncated)
         else:
             q_fps = lsh_ops.band_fingerprints(q_dev, self.b, self.r)
             ids, truncated = lsh_ops.query_tables(
                 self._sorted_fp, self._sorted_ids, q_fps, cap=self.bucket_cap
             )
-            self.last_truncated = int(truncated)
             flat_ids = self._mask_dead(ids.reshape(q_sigs.shape[0], -1))
             scores = lsh_ops.rerank_jaccard(self._sigs_dev, q_dev, flat_ids)
             top_ids, top_sc = lsh_ops.topk_candidates(
                 scores, flat_ids, k, max_dup=self.b
             )
-        top_ids = np.asarray(top_ids)
-        top_sc = np.asarray(top_sc)
+        # single D2H round trip (each separate fetch pays a tunnel RTT)
+        if truncated is None:
+            top_ids, top_sc = jax.device_get((top_ids, top_sc))
+            self.last_truncated = 0
+        else:
+            top_ids, top_sc, trunc = jax.device_get((top_ids, top_sc, truncated))
+            self.last_truncated = int(trunc)
         return [
             [
                 (self._keys[int(p)], float(s))
@@ -518,9 +556,9 @@ class TpuMinHashLSH:
         ids, truncated = lsh_ops.query_tables(
             self._sorted_fp[:b], self._sorted_ids[:b], q_fps, cap=self.bucket_cap
         )
-        self.last_truncated = int(truncated)
         flat = self._mask_dead(ids.reshape(q_sigs.shape[0], -1))
-        ids_host = np.asarray(flat)
+        ids_host, trunc = jax.device_get((flat, truncated))
+        self.last_truncated = int(trunc)
         out = []
         for row in ids_host:
             out.append({self._keys[int(p)] for p in np.unique(row[row >= 0])})

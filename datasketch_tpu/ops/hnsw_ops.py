@@ -273,8 +273,8 @@ def batch_query(graph: DeviceGraph, queries, k: int = 10, ef: int = 64,
         ef,
         iters,
     )
-    ids = np.asarray(ids)
-    dists = np.asarray(dists)
+    # one D2H round trip: separate fetches each pay a full tunnel RTT
+    ids, dists = jax.device_get((ids, dists))
     out = []
     for row_ids, row_d in zip(ids, dists):
         out.append(

@@ -37,6 +37,7 @@ __all__ = [
     "rerank_jaccard",
     "topk_candidates",
     "topk_fused",
+    "topk_scan",
 ]
 
 
@@ -257,6 +258,92 @@ def topk_candidates(scores, ids, k: int, max_dup: int = 0):
         top_ids = jnp.pad(top_ids, ((0, 0), (0, pad)), constant_values=-1)
         top_sc = jnp.pad(top_sc, ((0, 0), (0, pad)), constant_values=-1.0)
     return top_ids, top_sc
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile"))
+def topk_scan(db_sigs, q_sigs, k: int, n_valid=None, alive=None,
+              tile: int = 8192):
+    """Exact top-k by scanning EVERY indexed signature — no banding.
+
+    On TPU the brute-force path is often strictly cheaper than band
+    probing: the band path gathers ``Q x (b*cap) x P`` signature slots at
+    random (uncoalesced HBM traffic), while the scan streams the whole
+    ``N x P`` table once per query tile, sequentially. Whenever
+    ``N < Q*b*cap`` the scan moves fewer bytes AND has recall 1.0 over
+    the stored signatures (the only loss left is MinHash estimation
+    noise, which banding also pays). This is the fused-rerank endgame of
+    the reference docs' "filter candidates with ``MinHash.jaccard``"
+    advice (``/root/reference/datasketch/lsh.py:374-378``).
+
+    Tiled over N with a running top-k carry so compile shape and peak
+    memory are bounded by ``tile`` regardless of corpus size.
+
+    Args:
+        db_sigs: uint32[N_pad, P] indexed signatures (padded rows allowed).
+        q_sigs: uint32[Q, P] query signatures.
+        k: results per query.
+        n_valid: scalar int32 — rows >= n_valid are padding.
+        alive: optional bool[N_pad] tombstone mask (False = removed).
+        tile: rows scored per scan step.
+
+    Returns:
+        (top_ids int32[Q, k], top_scores float32[Q, k]); empty slots have
+        id -1 and score -1.
+    """
+    n_pad, p = db_sigs.shape
+    q = q_sigs.shape[0]
+    tile = min(tile, n_pad)
+    n_tiles = -(-n_pad // tile)
+    pad_rows = n_tiles * tile - n_pad
+    if pad_rows:
+        db_sigs = jnp.pad(db_sigs, ((0, pad_rows), (0, 0)))
+    nv = jnp.int32(n_pad) if n_valid is None else n_valid.astype(jnp.int32)
+    if alive is not None and alive.shape[0] != n_tiles * tile:
+        # the tombstone mask covers only real rows; padded rows are
+        # already excluded by the n_valid bound
+        alive = jnp.pad(alive, (0, n_tiles * tile - alive.shape[0]))
+    base = jnp.arange(tile, dtype=jnp.int32)
+    k_eff = min(k, tile)
+
+    def body(carry, inp):
+        c_sc, c_ids = carry
+        if alive is not None:
+            db_tile, t_idx, alive_tile = inp
+        else:
+            db_tile, t_idx = inp
+            alive_tile = None
+        ids = base + t_idx * tile  # int32[tile]
+        eq = (db_tile[None, :, :] == q_sigs[:, None, :]).mean(
+            axis=-1, dtype=jnp.float32
+        )  # [Q, tile]
+        valid = ids < nv
+        if alive_tile is not None:
+            valid = valid & alive_tile
+        eq = jnp.where(valid[None, :], eq, -1.0)
+        sc = jnp.concatenate([c_sc, eq], axis=1)
+        idc = jnp.concatenate(
+            [c_ids, jnp.broadcast_to(ids[None, :], (q, tile))], axis=1
+        )
+        top_sc, pos = jax.lax.top_k(sc, k_eff)
+        top_ids = jnp.take_along_axis(idc, pos, axis=1)
+        return (top_sc, top_ids), None
+
+    init = (
+        jnp.full((q, k_eff), -1.0, jnp.float32),
+        jnp.full((q, k_eff), -1, jnp.int32),
+    )
+    xs = (
+        db_sigs.reshape(n_tiles, tile, p),
+        jnp.arange(n_tiles, dtype=jnp.int32),
+    )
+    if alive is not None:
+        xs = xs + (alive.reshape(n_tiles, tile),)
+    (sc, ids), _ = jax.lax.scan(body, init, xs)
+    ids = jnp.where(sc >= 0, ids, -1)
+    if k_eff < k:
+        ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
+        sc = jnp.pad(sc, ((0, 0), (0, k - k_eff)), constant_values=-1.0)
+    return ids, sc
 
 
 @functools.partial(

@@ -69,6 +69,7 @@ class ShardedMinHashLSH:
         self._sorted_fp = None  # uint32[b, N_pad] sharded P(None, axis)
         self._sorted_ids = None  # int32[b, N_pad] sharded P(None, axis)
         self._n_real = 0
+        self._n_real_dev = None  # cached device scalar (uploads cost a tunnel RTT)
         self._alive = None  # bool[N_real] tombstones (False = removed)
         self._alive_dev = None  # cached replicated device mask [N_pad]
         self.last_truncated = 0
@@ -110,6 +111,7 @@ class ShardedMinHashLSH:
         mesh, axis = self.mesh, self.shard_axis
         n = sigs.shape[0]
         self._n_real = n
+        self._n_real_dev = jnp.int32(n)
         # pad to a power-of-two multiple of the shard count: bounds the set
         # of compile shapes (remote-TPU compiles can take minutes for
         # unlucky sizes) and keeps shards equal
@@ -429,12 +431,11 @@ class ShardedMinHashLSH:
             self._sorted_ids,
             self._sigs,
             jax.device_put(jnp.asarray(q_sigs), rep),
-            jnp.int32(self._n_real),
+            self._n_real_dev,
             self._alive_mask_dev(),
         )
-        self.last_truncated = int(trunc)
-        ids_host = np.asarray(ids)
-        sc_host = np.asarray(scores)
+        ids_host, sc_host, trunc_h = jax.device_get((ids, scores, trunc))
+        self.last_truncated = int(trunc_h)
         cutoff = self.threshold if threshold is None else threshold
         out = []
         for qi in range(q_sigs.shape[0]):
@@ -474,12 +475,11 @@ class ShardedMinHashLSH:
             self._sorted_ids,
             self._sigs,
             jax.device_put(jnp.asarray(q_sigs), rep),
-            jnp.int32(self._n_real),
+            self._n_real_dev,
             self._alive_mask_dev(),
         )
-        self.last_truncated = int(trunc)
-        ids_host = np.asarray(ids)
-        sc_host = np.asarray(scores)
+        ids_host, sc_host, trunc_h = jax.device_get((ids, scores, trunc))
+        self.last_truncated = int(trunc_h)
         out = []
         for row_ids, row_sc in zip(ids_host, sc_host):
             hits = [

@@ -2,6 +2,7 @@
 host/storage MinHashLSH on the same data, truncation reporting, top-k."""
 
 import numpy as np
+import pytest
 
 from datasketch_tpu import MinHash, MinHashLSH
 from datasketch_tpu.models.tpu_lsh import TpuMinHashLSH
@@ -320,3 +321,39 @@ class TestMergeAndStatus:
         empty = type(idx)(threshold=0.5, num_perm=128)
         st0 = empty.status()
         assert st0["n_live"] == 0 and st0["device_bytes"] == 0
+
+
+def test_topk_scan_matches_bruteforce_and_bands():
+    """method='scan' must equal host brute force over stored signatures
+    (score multisets; ties may reorder) and respect tombstones."""
+    rng = np.random.RandomState(0)
+    docs = [
+        [int(t).to_bytes(8, "little") for t in rng.choice(5000, size=80, replace=False)]
+        for _ in range(300)
+    ]
+    sigs = MinHash.bulk_signatures(docs, num_perm=128)
+    mhs = [MinHash(num_perm=128, hashvalues=r) for r in sigs]
+    ix = TpuMinHashLSH(threshold=0.2, num_perm=128, bucket_cap=64)
+    ix.index(list(range(len(mhs))), mhs)
+    qs = mhs[:6]
+
+    scan = ix.top_k(qs, k=5, method="scan")
+    auto = ix.top_k(qs, k=5)  # N=300 <= Q*b*cap -> auto picks scan
+    bands = ix.top_k(qs, k=5, method="bands")
+    H = sigs.astype(np.int64)
+    for i in range(6):
+        assert scan[i][0][0] == i and abs(scan[i][0][1] - 1.0) < 1e-6
+        assert auto[i] == scan[i]
+        assert bands[i][0][0] == i
+        jac = (H == H[i]).mean(axis=1)
+        want = sorted(np.round(np.sort(jac)[::-1][:5], 6))
+        got = sorted(round(s, 6) for _, s in scan[i])
+        assert want == got, (i, want, got)
+
+    ix.remove(0)
+    after = ix.top_k([mhs[0]], k=5, method="scan")[0]
+    assert all(key != 0 for key, _ in after)
+    assert ix.last_truncated == 0
+
+    with pytest.raises(ValueError):
+        ix.top_k(qs, k=5, method="bogus")
