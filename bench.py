@@ -136,9 +136,16 @@ def bench_lsh_topk(n_sets: int = 2000, n_queries: int = 50, k: int = 10):
         best = min(best, time.perf_counter() - t0)
     recall = float(np.mean(butils.compute_recalls(rows, gt)))
     ours_qps = n_queries / best
+    # pipelined serving: 16 batches in flight hide the tunnel round trip
+    n_stream = 16
+    t0 = time.perf_counter()
+    stream_rows = list(index.top_k_stream([queries] * n_stream, k=k))
+    stream_qps = n_stream * n_queries / (time.perf_counter() - t0)
+    assert stream_rows[0] == rows
     exact_qps = 1.0 / float(np.mean(exact_times))
     return {
         "queries_per_sec": round(ours_qps, 1),
+        "pipelined_queries_per_sec": round(stream_qps, 1),
         "recall_at_10": round(recall, 3),
         "exact_scan_queries_per_sec": round(exact_qps, 1),
         "vs_exact_scan": round(ours_qps / exact_qps, 2),

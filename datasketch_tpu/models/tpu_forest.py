@@ -161,6 +161,35 @@ class TpuMinHashLSHForest:
         Returns a list per query of keys — or of (key, jaccard) pairs when
         ``return_scores`` — nearest first.
         """
+        out = self._query_dispatch(minhashes, k)
+        if isinstance(out, list):
+            return out
+        return self._query_finish(out, k, return_scores)
+
+    def query_stream(self, batches, k: int, return_scores: bool = False,
+                     depth: int = 4):
+        """Pipelined :meth:`query_batch` over an iterable of batches:
+        keeps ``depth`` batches in flight with eager async D2H copies,
+        hiding the per-batch host<->device round trip (see
+        :mod:`datasketch_tpu.utils.pipeline`). Keep batch sizes uniform —
+        each distinct padded shape compiles once."""
+        from datasketch_tpu.utils.pipeline import stream_batches
+
+        if k <= 0:
+            raise ValueError("k must be positive")
+
+        def _finish(out):
+            if isinstance(out, list):
+                return out
+            return self._query_finish(out, k, return_scores)
+
+        return stream_batches(
+            batches, lambda b: self._query_dispatch(b, k), _finish, depth=depth
+        )
+
+    def _query_dispatch(self, minhashes, k: int):
+        """Dispatch one batch; returns (device packed, nq) or a ready
+        host result (empty-index / empty-batch short-circuits)."""
         if k <= 0:
             raise ValueError("k must be positive")
         if self._sorted_fps is None:
@@ -179,31 +208,34 @@ class TpuMinHashLSHForest:
         if q_pad != nq:
             q = np.pad(q, ((0, q_pad - nq), (0, 0)))
         k_pad = max(8, 1 << (k - 1).bit_length())
-        packed = np.asarray(
-            _fused_packed(
-                self._sorted_fps,
-                self._sorted_ids,
-                self._sigs_dev,
-                jnp.asarray(q),
-                self.l,
-                self.k,
-                self.cap,
-                k_pad,
-                self._n_real_dev,
-            )
+        packed = _fused_packed(
+            self._sorted_fps,
+            self._sorted_ids,
+            self._sigs_dev,
+            jnp.asarray(q),
+            self.l,
+            self.k,
+            self.cap,
+            k_pad,
+            self._n_real_dev,
         )
+        return packed, nq
+
+    def _query_finish(self, out, k: int, return_scores: bool):
+        packed, nq = out
+        packed = np.asarray(packed)
         ids = packed[:nq, 0, :k]
         jac = packed[:nq, 1, :k].astype(np.float64) / _JAC_FX
         self.last_truncated = int(packed[0, 3, 0])
-        out = []
+        result = []
         for row_ids, row_jac in zip(ids, jac):
             hits = [
                 (self._keys[i], float(s))
                 for i, s in zip(row_ids, row_jac)
                 if i >= 0
             ]
-            out.append(hits if return_scores else [kk for kk, _ in hits])
-        return out
+            result.append(hits if return_scores else [kk for kk, _ in hits])
+        return result
 
     # ------------------------------------------------------------- plumbing
 

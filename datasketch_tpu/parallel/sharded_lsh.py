@@ -459,6 +459,29 @@ class ShardedMinHashLSH:
         """Top-k (key, score) per query: per-shard device dedupe+top-k,
         then one k-wide all_gather — candidate traffic over ICI is k per
         shard instead of bands*bucket_cap."""
+        out = self._top_k_dispatch(minhashes, k)
+        if isinstance(out, list):
+            return out
+        return self._top_k_finish(out, return_scores)
+
+    def top_k_stream(self, batches, k: int, return_scores: bool = True,
+                     depth: int = 4):
+        """Pipelined :meth:`top_k` over an iterable of query batches —
+        ``depth`` batches in flight, eager async D2H copies (see
+        :mod:`datasketch_tpu.utils.pipeline`). Keep batch sizes uniform."""
+        from datasketch_tpu.utils.pipeline import stream_batches
+
+        def _finish(out):
+            if isinstance(out, list):
+                return out
+            return self._top_k_finish(out, return_scores)
+
+        return stream_batches(
+            batches, lambda b: self._top_k_dispatch(b, k), _finish,
+            depth=depth,
+        )
+
+    def _top_k_dispatch(self, minhashes, k: int):
         if self._sigs is None or not self._n_real:
             return [[] for _ in minhashes]
         q_sigs = _as_signature_matrix(minhashes)
@@ -470,7 +493,7 @@ class ShardedMinHashLSH:
         if k not in self._topk_fns:
             self._topk_fns[k] = self._make_topk_fn(k)
         rep = NamedSharding(self.mesh, P(None, None))
-        ids, scores, trunc = self._topk_fns[k](
+        return self._topk_fns[k](
             self._sorted_fp,
             self._sorted_ids,
             self._sigs,
@@ -478,14 +501,17 @@ class ShardedMinHashLSH:
             self._n_real_dev,
             self._alive_mask_dev(),
         )
+
+    def _top_k_finish(self, out, return_scores: bool) -> list:
+        ids, scores, trunc = out
         ids_host, sc_host, trunc_h = jax.device_get((ids, scores, trunc))
         self.last_truncated = int(trunc_h)
-        out = []
+        result = []
         for row_ids, row_sc in zip(ids_host, sc_host):
             hits = [
                 (self._keys[int(p)], float(s))
                 for p, s in zip(row_ids, row_sc)
                 if p >= 0
             ]
-            out.append(hits if return_scores else [kk for kk, _ in hits])
-        return out
+            result.append(hits if return_scores else [kk for kk, _ in hits])
+        return result

@@ -238,3 +238,21 @@ def test_sharded_lsh_merge_and_status(mesh):
     assert st["n_live"] == 39 and st["n_tombstoned"] == 1
     assert st["rows_per_shard"] * st["n_shards"] == 39 + 1 + st["n_padded"]
     assert st["device_bytes"] > 0 and st["max_bucket"] >= 1
+
+
+def test_sharded_top_k_stream_matches_sync():
+    import numpy as np
+
+    from datasketch_tpu import MinHash
+    from datasketch_tpu.parallel import ShardedMinHashLSH, make_mesh
+
+    mesh = make_mesh(8)
+    rng = np.random.RandomState(11)
+    sigs = rng.randint(0, 1 << 32, size=(96, 128), dtype=np.uint64).astype(np.uint32)
+    mhs = [MinHash(num_perm=128, hashvalues=r) for r in sigs]
+    ix = ShardedMinHashLSH(mesh, threshold=0.5, num_perm=128, bucket_cap=16)
+    ix.index([f"d{i}" for i in range(96)], mhs)
+    qs = mhs[:6]
+    sync = ix.top_k(qs, k=4)
+    out = list(ix.top_k_stream([qs, qs], k=4, depth=3))
+    assert out == [sync, sync]

@@ -249,3 +249,30 @@ def test_forest_status_counters():
     assert st["n_padded"] == 128 - 20
     assert st["trees"] == 8 and st["prefix_len"] == 16
     assert st["device_bytes"] > 0 and st["max_leaf_run"] >= 1
+
+
+def test_query_stream_matches_batch():
+    import numpy as np
+
+    from datasketch_tpu import MinHash
+    from datasketch_tpu.models.tpu_forest import TpuMinHashLSHForest
+
+    rng = np.random.RandomState(5)
+    docs = [
+        [int(t).to_bytes(8, "little") for t in rng.choice(2000, size=50, replace=False)]
+        for _ in range(150)
+    ]
+    mhs = [
+        MinHash(num_perm=128, hashvalues=r)
+        for r in MinHash.bulk_signatures(docs, num_perm=128)
+    ]
+    f = TpuMinHashLSHForest(num_perm=128)
+    for i, m in enumerate(mhs):
+        f.add(i, m)
+    f.index()
+    qs = mhs[:8]
+    sync = f.query_batch(qs, k=5, return_scores=True)
+    out = list(f.query_stream([qs, qs[:8]], k=5, return_scores=True, depth=3))
+    assert out == [sync, sync]
+    empty = TpuMinHashLSHForest(num_perm=128)
+    assert list(empty.query_stream([qs], k=5)) == [[[] for _ in qs]]

@@ -357,3 +357,30 @@ def test_topk_scan_matches_bruteforce_and_bands():
 
     with pytest.raises(ValueError):
         ix.top_k(qs, k=5, method="bogus")
+
+
+def test_top_k_stream_matches_sync():
+    rng = np.random.RandomState(3)
+    docs = [
+        [int(t).to_bytes(8, "little") for t in rng.choice(3000, size=60, replace=False)]
+        for _ in range(200)
+    ]
+    mhs = [
+        MinHash(num_perm=128, hashvalues=r)
+        for r in MinHash.bulk_signatures(docs, num_perm=128)
+    ]
+    ix = TpuMinHashLSH(threshold=0.2, num_perm=128, bucket_cap=64)
+    ix.index(list(range(len(mhs))), mhs)
+    qs = mhs[:8]
+    sync = ix.top_k(qs, k=4)
+    # depth > number of batches exercises the drain loop; varying batch
+    # content exercises per-batch formatting
+    batches = [qs, qs[:8], list(reversed(qs))]
+    out = list(ix.top_k_stream(batches, k=4, depth=5))
+    assert out[0] == sync and out[1] == sync
+    assert out[2] == list(reversed(sync))
+    # empty index yields empty rows per batch
+    empty = TpuMinHashLSH(threshold=0.2, num_perm=128)
+    assert list(empty.top_k_stream([qs[:3]], k=4)) == [[[], [], []]]
+    with pytest.raises(ValueError):
+        list(empty.top_k_stream([qs], k=4, method="nope"))
