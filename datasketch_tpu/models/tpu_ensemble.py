@@ -3,27 +3,41 @@
 The device form of :class:`datasketch_tpu.models.lshensemble.
 MinHashLSHEnsemble` (reference: ``/root/reference/datasketch/
 lshensemble.py:61``): same DP size-partitioner and per-x/q (b, r)
-parameter tables, but each (partition, r) sub-index is a
-:class:`~datasketch_tpu.models.tpu_lsh.TpuMinHashLSH` — bulk-built with one
-device sort per band and probed with batched band-limited lookups.
+parameter tables, but the ``num_part x {unique r}`` grid of sub-indexes
+(``lshensemble.py:137-151``) is re-shaped for the accelerator — per
+unique r, ALL partitions' band tables live in ONE stacked device array
+``[parts, b, N_pad]``, built by one vmapped program and probed by one
+dispatch with per-(query, partition) dynamic band masks.
+
+Why stacked: the reference queries every partition per lookup anyway
+(``lshensemble.py:230-249``); materializing the partition axis turns
+``num_part`` Python-loop probes (each a host<->device round trip, each
+(partition, b, r) combination its own XLA compile) into |unique r|
+programs total. Remote-TPU compiles are minutes-scale, so this is the
+difference between a usable and an unusable cold start.
 """
 
 from __future__ import annotations
 
 from collections import Counter
-from typing import Iterable
-
+from typing import Hashable, Iterable
 
 import numpy as np
+import jax
+import jax.numpy as jnp
 
-from datasketch_tpu.models.lshensemble import MinHashLSHEnsemble, optimal_partitions
-from datasketch_tpu.models.tpu_lsh import TpuMinHashLSH
+from datasketch_tpu.models.lshensemble import (
+    MinHashLSHEnsemble,
+    optimal_partitions,
+)
+from datasketch_tpu.models.tpu_lsh import _as_signature_matrix
+from datasketch_tpu.ops import lsh_ops
 
 __all__ = ["TpuMinHashLSHEnsemble"]
 
 
 class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
-    """Containment index with device-resident sub-indexes.
+    """Containment index with stacked device-resident partitions.
 
     Constructor args mirror :class:`MinHashLSHEnsemble` (storage_config /
     prepickle are not applicable and rejected if passed).
@@ -47,25 +61,24 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
         self.threshold = threshold
         self.h = num_perm
         self.m = m
-        rs = self._init_optimal_params(weights)
-        self.indexes = [
-            {
-                r: TpuMinHashLSH(
-                    num_perm=num_perm,
-                    params=(int(num_perm / r), r),
-                    bucket_cap=bucket_cap,
-                    rerank=False,
-                )
-                for r in rs
-            }
-            for _ in range(num_part)
-        ]
-        self.lowers = [None for _ in self.indexes]
-        self.uppers = [None for _ in self.indexes]
+        self.num_part = num_part
+        self.bucket_cap = bucket_cap
+        self.rs = sorted(self._init_optimal_params(weights))
+        self.lowers = [None] * num_part
+        self.uppers = [None] * num_part
+
+        self._keys_per_part: list = [[] for _ in range(num_part)]
+        self._key_set: set = set()
+        self._n_pad = 0
+        self._n_valid_dev = None  # int32[parts] device row counts
+        self._tables: dict = {}  # r -> (sorted_fp, sorted_ids) [parts,b,N]
+        self.last_truncated = 0
+
+    # ------------------------------------------------------------------ build
 
     def index(self, entries: Iterable) -> None:
-        """One-shot bulk build: size partitions by DP, then ONE device
-        build per (partition, r) sub-index."""
+        """One-shot bulk build: size partitions by DP, then ONE stacked
+        device build per unique r."""
         if not self.is_empty():
             raise ValueError("Cannot call index again on a non-empty index")
         entries = list(entries)
@@ -77,23 +90,47 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
         sizes, counts = np.array(
             sorted(Counter(e[2] for e in entries).most_common())
         ).T
-        partitions = optimal_partitions(sizes, counts, len(self.indexes))
+        partitions = optimal_partitions(sizes, counts, self.num_part)
         for i, (lower, upper) in enumerate(partitions):
             self.lowers[i], self.uppers[i] = lower, upper
         entries.sort(key=lambda e: e[2])
-        groups = [[] for _ in self.indexes]
+        groups: list = [[] for _ in range(self.num_part)]
         curr = 0
         for key, minhash, size in entries:
             if size > self.uppers[curr]:
                 curr += 1
             groups[curr].append((key, minhash))
+
+        n_pad = 128
+        while n_pad < max((len(g) for g in groups), default=0):
+            n_pad *= 2
+        self._n_pad = n_pad
+        rng = np.random.RandomState(n_pad & 0x7FFFFFFF)
+        stack = np.empty((self.num_part, n_pad, self.h), dtype=np.uint32)
+        n_valid = np.zeros(self.num_part, dtype=np.int32)
         for part, group in enumerate(groups):
-            if not group:
-                continue
-            keys = [k for k, _ in group]
-            mhs = [m for _, m in group]
-            for r, sub in self.indexes[part].items():
-                sub.index(keys, mhs)
+            self._keys_per_part[part] = [k for k, _ in group]
+            self._key_set.update(self._keys_per_part[part])
+            n_valid[part] = len(group)
+            if group:
+                stack[part, : len(group)] = _as_signature_matrix(
+                    [m for _, m in group]
+                )
+            # padded rows get pseudo-random signatures so they spread
+            # across buckets instead of forming one mega-run; n_valid
+            # masks them out of every query
+            if len(group) < n_pad:
+                stack[part, len(group):] = rng.randint(
+                    0, 1 << 32, size=(n_pad - len(group), self.h),
+                    dtype=np.uint64,
+                ).astype(np.uint32)
+        sigs_dev = jnp.asarray(stack)  # one upload for every partition
+        self._n_valid_dev = jnp.asarray(n_valid)
+        for r in self.rs:
+            b = self.h // r
+            self._tables[r] = lsh_ops.build_tables_stacked(sigs_dev, b, r)
+
+    # ------------------------------------------------------------------ query
 
     def query(self, minhash, size: int):
         """Yield candidate keys (containment >= threshold likely)."""
@@ -101,22 +138,79 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
             yield from row
 
     def query_batch(self, queries) -> list:
-        """Batched containment query: ``queries`` is a list of
-        (minhash, size) pairs; one device probe per (partition, b) group."""
+        """Batched containment query over ``(minhash, size)`` pairs.
+
+        One dispatch per unique r (every partition probed inside it);
+        all dispatches issued before any result is fetched, results come
+        back with eager async D2H copies — |unique r| programs and one
+        round-trip wave regardless of num_part."""
         queries = list(queries)
-        results = [set() for _ in queries]
-        for i, index in enumerate(self.indexes):
-            u = self.uppers[i]
-            if u is None:
+        if not queries or not self._tables:
+            return [[] for _ in queries]
+        q_sigs = _as_signature_matrix([mh for mh, _ in queries])
+        if q_sigs.shape[1] != self.h:
+            raise ValueError(
+                "Expecting minhash with length %d, got %d"
+                % (self.h, q_sigs.shape[1])
+            )
+        nq = q_sigs.shape[0]
+        q_pad = 8
+        while q_pad < nq:
+            q_pad *= 2
+        if q_pad != nq:
+            q_sigs = np.pad(q_sigs, ((0, q_pad - nq), (0, 0)))
+
+        # per (query, partition): which (b, r) does the x/q ratio pick
+        b_keep = {r: np.zeros((q_pad, self.num_part), dtype=np.int32)
+                  for r in self.rs}
+        for qi, (_, size) in enumerate(queries):
+            for part in range(self.num_part):
+                u = self.uppers[part]
+                if u is None:
+                    continue
+                bb, rr = self._get_optimal_param(u, size)
+                b_keep[int(rr)][qi, part] = int(bb)
+
+        q_dev = jnp.asarray(q_sigs)
+        probes = []
+        for r in self.rs:
+            if not b_keep[r].any():
                 continue
-            # group queries by the (b, r) their x/q ratio selects
-            by_param = {}
-            for qi, (mh, size) in enumerate(queries):
-                b, r = self._get_optimal_param(u, size)
-                by_param.setdefault((int(b), int(r)), []).append(qi)
-            for (b, r), qidx in by_param.items():
-                sub = index[r]
-                rows = sub.query_b([queries[qi][0] for qi in qidx], b)
-                for qi, row in zip(qidx, rows):
-                    results[qi] |= row
+            sorted_fp, sorted_ids = self._tables[r]
+            out = lsh_ops.query_stacked_masked(
+                sorted_fp,
+                sorted_ids,
+                q_dev,
+                self.h // r,
+                r,
+                self.bucket_cap,
+                jnp.asarray(b_keep[r]),
+                self._n_valid_dev,
+            )
+            for arr in out:
+                arr.copy_to_host_async()
+            probes.append(out)
+
+        results = [set() for _ in queries]
+        total_trunc = 0
+        for out in probes:
+            ids_host, trunc = jax.device_get(out)
+            total_trunc += int(trunc)
+            for qi in range(nq):
+                row = ids_host[qi]
+                for g in np.unique(row[row >= 0]):
+                    part, local = divmod(int(g), self._n_pad)
+                    results[qi].add(self._keys_per_part[part][local])
+        self.last_truncated = total_trunc
         return [list(r) for r in results]
+
+    # -------------------------------------------------------------- plumbing
+
+    def __contains__(self, key: Hashable) -> bool:
+        return key in self._key_set
+
+    def is_empty(self) -> bool:
+        return not self._key_set
+
+    def __len__(self) -> int:
+        return len(self._key_set)

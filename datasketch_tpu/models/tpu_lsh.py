@@ -92,6 +92,12 @@ class TpuMinHashLSH:
         self.bucket_cap = bucket_cap
         self.rerank = rerank
 
+        # floor for the padded row count: sibling sub-indexes (the
+        # containment ensemble's partitions) set a COMMON floor so they
+        # all share one compiled program per (b, r) instead of one per
+        # partition size
+        self.min_rows = 0
+
         self._keys: list = []  # position -> user key
         self._key_to_pos: dict = {}
         self._sigs_dev = None  # uint32[N, P] on device
@@ -129,7 +135,7 @@ class TpuMinHashLSH:
             self._key_to_pos[k] = base + i
         self._keys.extend(keys)
         if self._sigs_dev is None:
-            all_sigs = jnp.asarray(sigs)
+            all_sigs = sigs  # numpy: _rebuild pads on host, one upload
         else:
             # concat on device: no D2H round-trip of the existing corpus
             all_sigs = jnp.concatenate(
@@ -156,7 +162,7 @@ class TpuMinHashLSH:
         tail = np.stack(self._pending_sigs)
         self._pending_sigs = []
         if self._sigs_dev is None:
-            all_sigs = jnp.asarray(tail)
+            all_sigs = tail  # numpy: _rebuild pads on host, one upload
         else:
             all_sigs = jnp.concatenate(
                 [self._sigs_dev[: self._n_real], jnp.asarray(tail)], axis=0
@@ -170,17 +176,24 @@ class TpuMinHashLSH:
         # shapes. Padded rows get pseudo-random signatures (so they spread
         # across buckets instead of forming one mega-run) and their ids are
         # masked out of every query via n_valid / the alive mask.
-        all_sigs = jnp.asarray(all_sigs)
         n_real = all_sigs.shape[0]
         n_pad = 128
-        while n_pad < n_real:
+        while n_pad < max(n_real, self.min_rows):
             n_pad *= 2
         if n_pad != n_real:
             rng = np.random.RandomState(n_pad & 0x7FFFFFFF)
             filler = rng.randint(
                 0, 1 << 32, size=(n_pad - n_real, self.h), dtype=np.uint64
             ).astype(np.uint32)
-            all_sigs = jnp.concatenate([all_sigs, jnp.asarray(filler)], axis=0)
+            if isinstance(all_sigs, np.ndarray):
+                # host corpus: pad in numpy, ONE upload — a device concat
+                # would compile a tiny program per distinct size
+                all_sigs = np.concatenate([all_sigs, filler], axis=0)
+            else:
+                all_sigs = jnp.concatenate(
+                    [all_sigs, jnp.asarray(filler)], axis=0
+                )
+        all_sigs = jnp.asarray(all_sigs)
         self._n_real = n_real
         # device scalar cached: a fresh jnp.int32(...) per query is a tiny
         # H2D transfer whose latency is visible through the axon tunnel
@@ -605,6 +618,22 @@ class TpuMinHashLSH:
         containment ensemble where different partitions probe different
         band counts of the same r-index.
         """
+        out = self.query_b_dispatch(minhashes, b)
+        if isinstance(out, list):
+            return out
+        return self.query_b_finish(out)
+
+    def query_b_dispatch(self, minhashes, b: int):
+        """Async half of :meth:`query_b`: returns device (flat ids,
+        truncated, n_queries) without forcing a transfer, so callers
+        probing many sub-indexes (the containment ensemble) can pipeline
+        the round trips instead of paying one per probe.
+
+        Shape economy: all ``self.b`` bands are probed with the kept
+        count ``b`` applied as a DYNAMIC mask, and the query batch is
+        padded to a power of two — one compiled program per (index,
+        query-bucket) no matter how many distinct band counts callers
+        use (remote-TPU compiles are the expensive resource)."""
         if b > self.b:
             raise ValueError("b must be less or equal to the number of bands")
         self._flush_pending()
@@ -615,15 +644,29 @@ class TpuMinHashLSH:
             raise ValueError(
                 "Expecting minhash with length %d, got %d" % (self.h, q_sigs.shape[1])
             )
-        q_dev = jnp.asarray(q_sigs)
-        q_fps = lsh_ops.band_fingerprints(q_dev, self.b, self.r)[:, :b]
-        ids, truncated = lsh_ops.query_tables(
-            self._sorted_fp[:b], self._sorted_ids[:b], q_fps, cap=self.bucket_cap
+        nq = q_sigs.shape[0]
+        q_pad = 8
+        while q_pad < nq:
+            q_pad *= 2
+        if q_pad != nq:
+            q_sigs = np.pad(q_sigs, ((0, q_pad - nq), (0, 0)))
+        flat, truncated = lsh_ops.query_bands_masked(
+            self._sorted_fp,
+            self._sorted_ids,
+            jnp.asarray(q_sigs),
+            self.b,
+            self.r,
+            self.bucket_cap,
+            jnp.int32(b),
         )
-        flat = self._mask_dead(ids.reshape(q_sigs.shape[0], -1))
+        flat = self._mask_dead(flat)
+        return flat, truncated, nq
+
+    def query_b_finish(self, out) -> list:
+        flat, truncated, nq = out
         ids_host, trunc = jax.device_get((flat, truncated))
         self.last_truncated = int(trunc)
-        out = []
-        for row in ids_host:
-            out.append({self._keys[int(p)] for p in np.unique(row[row >= 0])})
-        return out
+        result = []
+        for row in ids_host[:nq]:
+            result.append({self._keys[int(p)] for p in np.unique(row[row >= 0])})
+        return result

@@ -34,6 +34,9 @@ __all__ = [
     "bucket_stats",
     "query_tables",
     "query_tables_direct",
+    "query_bands_masked",
+    "build_tables_stacked",
+    "query_stacked_masked",
     "rerank_jaccard",
     "topk_candidates",
     "topk_fused",
@@ -258,6 +261,87 @@ def topk_candidates(scores, ids, k: int, max_dup: int = 0):
         top_ids = jnp.pad(top_ids, ((0, 0), (0, pad)), constant_values=-1)
         top_sc = jnp.pad(top_sc, ((0, 0), (0, pad)), constant_values=-1.0)
     return top_ids, top_sc
+
+
+@functools.partial(jax.jit, static_argnames=("b", "r", "cap"))
+def query_bands_masked(sorted_fp, sorted_ids, q_sigs, b: int, r: int,
+                       cap: int, n_bands):
+    """Probe ALL ``b`` bands, keep only the first ``n_bands`` (dynamic).
+
+    The containment ensemble probes one r-index with a different band
+    count per x/q ratio (``/root/reference/datasketch/lsh.py:545-558``);
+    slicing tables to ``[:n_bands]`` would compile one program per
+    distinct band count (expensive through a remote-TPU tunnel, and
+    there are up to 10 counts per r-index). Probing every band and
+    masking keeps ONE compiled program per (r, query-bucket) shape.
+
+    Note: ``truncated`` counts cap overflow across all b bands, so it can
+    overreport relative to an exact first-``n_bands`` probe — 0 still
+    means the kept results are exact.
+
+    Returns (flat ids int32[Q, b*cap], truncated int32[]).
+    """
+    q_fps = band_fingerprints(q_sigs, b, r)
+    ids, trunc = query_tables(sorted_fp, sorted_ids, q_fps, cap=cap)
+    keep = jnp.arange(b, dtype=jnp.int32)[None, :, None] < n_bands
+    ids = jnp.where(keep, ids, -1)
+    return ids.reshape(q_sigs.shape[0], -1), trunc
+
+
+@functools.partial(jax.jit, static_argnames=("b", "r"))
+def build_tables_stacked(sigs_stack, b: int, r: int):
+    """Band tables for a STACK of equally-padded sub-indexes in one
+    program: ``sigs_stack`` is uint32[parts, N_pad, P]; returns
+    (sorted_fp, sorted_ids) each [parts, b, N_pad].
+
+    The containment ensemble's partitions (``/root/reference/datasketch/
+    lshensemble.py:137-151``) become one vmapped build per unique r —
+    one XLA program + one dispatch instead of ``num_part`` of each
+    (remote-TPU compiles are minutes-scale; this is the difference
+    between a usable and an unusable cold start)."""
+
+    def per_part(sigs):
+        return build_tables(band_fingerprints(sigs, b, r))
+
+    return jax.vmap(per_part)(sigs_stack)
+
+
+@functools.partial(jax.jit, static_argnames=("b", "r", "cap"))
+def query_stacked_masked(sorted_fp, sorted_ids, q_sigs, b: int, r: int,
+                         cap: int, b_keep, n_valid):
+    """Probe every partition of a stacked r-index with per-(query,
+    partition) DYNAMIC band counts.
+
+    Args:
+        sorted_fp / sorted_ids: [parts, b, N_pad] stacked tables.
+        q_sigs: uint32[Q, P] queries.
+        b_keep: int32[Q, parts] — how many leading bands to keep for
+            this (query, partition); 0 disables the pair entirely (the
+            ensemble assigns each query a possibly different (b, r) per
+            partition; pairs whose chosen r differs from this stack's r
+            are passed as 0).
+        n_valid: int32[parts] real row count per partition.
+
+    Returns:
+        (flat global ids int32[Q, parts*b*cap] where global id =
+        part * N_pad + local, -1 where masked; truncated int32[]).
+    """
+    n_pad = sorted_fp.shape[2]
+    q_fps = band_fingerprints(q_sigs, b, r)
+
+    def per_part(fp_t, id_t, nv, kb, off):
+        ids, trunc = query_tables(fp_t, id_t, q_fps, cap=cap)  # [Q,b,cap]
+        keep = jax.lax.broadcasted_iota(jnp.int32, ids.shape, 1) < kb[:, None, None]
+        valid = keep & (ids >= 0) & (ids < nv)
+        return jnp.where(valid, ids + off, -1), trunc
+
+    parts = sorted_fp.shape[0]
+    offs = jnp.arange(parts, dtype=jnp.int32) * jnp.int32(n_pad)
+    ids, trunc = jax.vmap(per_part, in_axes=(0, 0, 0, 1, 0))(
+        sorted_fp, sorted_ids, n_valid, b_keep, offs
+    )  # ids: [parts, Q, b, cap]
+    ids = jnp.transpose(ids, (1, 0, 2, 3)).reshape(q_sigs.shape[0], -1)
+    return ids, jnp.sum(trunc)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile"))

@@ -158,3 +158,41 @@ def test_tpu_ensemble_matches_host_candidates():
 
     with pytest.raises(ValueError):
         tpu.index(entries)  # one-shot
+
+
+def test_tpu_ensemble_mixed_r_queries():
+    """Queries whose x/q ratios select DIFFERENT (b, r) pairs must each
+    probe with their own parameters inside the stacked per-r dispatch."""
+    import numpy as np
+
+    from datasketch_tpu import MinHash
+    from datasketch_tpu.models.tpu_ensemble import TpuMinHashLSHEnsemble
+
+    rng = np.random.RandomState(4)
+    universe = rng.randint(0, 2**31, size=30000)
+    entries, sets = [], []
+    # extreme size spread forces several partitions AND several r picks
+    for i, size in enumerate([10, 12, 15, 40, 45, 60, 300, 350, 420,
+                              1500, 1800, 2400]):
+        items = rng.choice(universe, size=size, replace=False)
+        m = MinHash(num_perm=128)
+        m.update_batch([int(v).to_bytes(8, "little") for v in items])
+        entries.append((f"k{i}", m, size))
+        sets.append(items)
+    ens = TpuMinHashLSHEnsemble(threshold=0.7, num_perm=128, num_part=4,
+                                bucket_cap=32)
+    ens.index(entries)
+
+    # every entry must find itself (containment 1.0) regardless of which
+    # r its partition/ratio picks
+    pairs = [(m, s) for _, m, s in entries]
+    rows = ens.query_batch(pairs)
+    for i, row in enumerate(rows):
+        assert f"k{i}" in row, (i, row)
+
+    # a strict subset query: high containment in its superset
+    sub_items = sets[-1][:1200]
+    m = MinHash(num_perm=128)
+    m.update_batch([int(v).to_bytes(8, "little") for v in sub_items])
+    res = list(ens.query(m, len(sub_items)))
+    assert "k11" in res
