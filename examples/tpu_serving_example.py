@@ -37,6 +37,21 @@ def main():
     for i, row in enumerate(dup_rows):
         print(f"  copy {2000 + i}: {[(k, round(s, 2)) for k, s in row[:2]]}")
 
+    # 2b. continuous serving: pipeline batches so each round trip
+    # overlaps the next batches' compute + transfer (~3x the synchronous
+    # queries/sec at 50-query batches)
+    batches = [sigs[i : i + 50] for i in range(0, 500, 50)]
+    n_hits = sum(len(rows) for rows in index.top_k_stream(batches, k=3))
+    print("pipelined stream answered", n_hits, "queries")
+
+    # 2c. health probe before admitting traffic (a wedged device HANGS
+    # dispatches rather than raising; the probe is time-bounded)
+    from datasketch_tpu.utils import device_healthcheck
+
+    health = device_healthcheck(timeout=30.0)
+    print("device health:", health["ok"],
+          "latency %.1fms" % (1e3 * (health["latency_s"] or -1)))
+
     # 3. persistence round trip
     index.save("/tmp/serving_index.npz")
     restored = TpuMinHashLSH.load("/tmp/serving_index.npz")
