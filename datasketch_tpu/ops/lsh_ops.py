@@ -412,9 +412,17 @@ def topk_scan(db_sigs, q_sigs, k: int, n_valid=None, alive=None,
         top_ids = jnp.take_along_axis(idc, pos, axis=1)
         return (top_sc, top_ids), None
 
+    # carry init derived from the inputs so it carries their
+    # varying-manual-axes type inside shard_map (a plain jnp.full would
+    # be unvarying and fail lax.scan's carry check — see
+    # parallel/sharded_sketch._local_signatures); the &0 masks fold to
+    # constants under plain jit
+    zero = (
+        (db_sigs[:1, :1] & jnp.uint32(0)) | (q_sigs[:1, :1] & jnp.uint32(0))
+    ).astype(jnp.float32)
     init = (
-        jnp.full((q, k_eff), -1.0, jnp.float32),
-        jnp.full((q, k_eff), -1, jnp.int32),
+        jnp.broadcast_to(zero, (q, k_eff)) - 1.0,
+        jnp.broadcast_to(zero.astype(jnp.int32), (q, k_eff)) - 1,
     )
     xs = (
         db_sigs.reshape(n_tiles, tile, p),

@@ -74,7 +74,8 @@ class ShardedMinHashLSH:
         self._alive_dev = None  # cached replicated device mask [N_pad]
         self.last_truncated = 0
         self._query_fn = None
-        self._topk_fns: dict = {}  # k -> compiled fused top-k
+        self._topk_fns: dict = {}  # k -> compiled fused band top-k
+        self._topk_scan_fns: dict = {}  # k -> compiled streaming-scan top-k
 
     # ------------------------------------------------------------------ build
 
@@ -148,6 +149,7 @@ class ShardedMinHashLSH:
         self._sorted_fp, self._sorted_ids = build(self._sigs)
         self._query_fn = None  # shapes changed; retrace lazily
         self._topk_fns = {}
+        self._topk_scan_fns = {}
 
     # ----------------------------------------------------------- mutation
 
@@ -404,6 +406,41 @@ class ShardedMinHashLSH:
             )
         )
 
+    def _make_topk_scan_fn(self, k: int):
+        """Exact top-k: each shard STREAMS its slice of the signature
+        table (lsh_ops.topk_scan — sequential HBM reads, recall 1.0 over
+        stored sketches) and only k candidates per shard ride the
+        all_gather. Wins over band probing whenever the local slice is
+        smaller than the Q*b*cap gather budget; the crossover scales
+        with the shard count."""
+        mesh, axis = self.mesh, self.shard_axis
+
+        def body(db_sigs, q_sigs, n_real, alive):
+            local_n = db_sigs.shape[0]
+            base = jax.lax.axis_index(axis) * local_n
+            local_alive = jax.lax.dynamic_slice_in_dim(alive, base, local_n)
+            nv = jnp.clip(n_real - base, 0, local_n)
+            loc_ids, loc_sc = lsh_ops.topk_scan(
+                db_sigs, q_sigs, k, n_valid=nv, alive=local_alive
+            )
+            gids = jnp.where(loc_ids >= 0, loc_ids + base, -1)
+            g_ids = jax.lax.all_gather(gids, axis, axis=1, tiled=True)
+            g_sc = jax.lax.all_gather(loc_sc, axis, axis=1, tiled=True)
+            top_sc, pos = jax.lax.top_k(g_sc, k)
+            top_ids = jnp.take_along_axis(g_ids, pos, axis=1)
+            top_ids = jnp.where(top_sc >= 0, top_ids, -1)
+            return top_ids, top_sc, n_real * 0  # scan never truncates
+
+        return jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(axis, None), P(None, None), P(), P(None)),
+                out_specs=(P(None, None), P(None, None), P()),
+                check_vma=False,
+            )
+        )
+
     def query(self, minhash, threshold: Optional[float] = None) -> list:
         return self.query_batch([minhash], threshold=threshold)[0]
 
@@ -455,17 +492,23 @@ class ShardedMinHashLSH:
                 out.append([self._keys[int(p)] for p in uniq])
         return out
 
-    def top_k(self, minhashes, k: int, return_scores: bool = True) -> list:
-        """Top-k (key, score) per query: per-shard device dedupe+top-k,
+    def top_k(self, minhashes, k: int, return_scores: bool = True,
+              method: str = "auto") -> list:
+        """Top-k (key, score) per query: per-shard candidate generation,
         then one k-wide all_gather — candidate traffic over ICI is k per
-        shard instead of bands*bucket_cap."""
-        out = self._top_k_dispatch(minhashes, k)
+        shard either way.
+
+        method: ``'bands'`` probes the shard's band tables; ``'scan'``
+        streams the shard's whole signature slice (exact over stored
+        sketches); ``'auto'`` picks scan when the per-shard slice is
+        below the Q*b*cap gather budget."""
+        out = self._top_k_dispatch(minhashes, k, method)
         if isinstance(out, list):
             return out
         return self._top_k_finish(out, return_scores)
 
     def top_k_stream(self, batches, k: int, return_scores: bool = True,
-                     depth: int = 4):
+                     depth: int = 4, method: str = "auto"):
         """Pipelined :meth:`top_k` over an iterable of query batches —
         ``depth`` batches in flight, eager async D2H copies (see
         :mod:`datasketch_tpu.utils.pipeline`). Keep batch sizes uniform."""
@@ -477,11 +520,13 @@ class ShardedMinHashLSH:
             return self._top_k_finish(out, return_scores)
 
         return stream_batches(
-            batches, lambda b: self._top_k_dispatch(b, k), _finish,
+            batches, lambda b: self._top_k_dispatch(b, k, method), _finish,
             depth=depth,
         )
 
-    def _top_k_dispatch(self, minhashes, k: int):
+    def _top_k_dispatch(self, minhashes, k: int, method: str = "auto"):
+        if method not in ("auto", "bands", "scan"):
+            raise ValueError("method must be 'auto', 'bands' or 'scan'")
         if self._sigs is None or not self._n_real:
             return [[] for _ in minhashes]
         q_sigs = _as_signature_matrix(minhashes)
@@ -490,14 +535,29 @@ class ShardedMinHashLSH:
                 "Expecting minhash with length %d, got %d"
                 % (self.h, q_sigs.shape[1])
             )
-        if k not in self._topk_fns:
-            self._topk_fns[k] = self._make_topk_fn(k)
+        if method == "auto":
+            n_shards = self.mesh.shape[self.shard_axis]
+            local_rows = self._sigs.shape[0] // max(1, n_shards)
+            gather_slots = q_sigs.shape[0] * self.b * self.bucket_cap
+            method = "scan" if local_rows <= gather_slots else "bands"
+        fns = self._topk_scan_fns if method == "scan" else self._topk_fns
+        if k not in fns:
+            fns[k] = (
+                self._make_topk_scan_fn(k)
+                if method == "scan"
+                else self._make_topk_fn(k)
+            )
         rep = NamedSharding(self.mesh, P(None, None))
-        return self._topk_fns[k](
+        q_dev = jax.device_put(jnp.asarray(q_sigs), rep)
+        if method == "scan":
+            return fns[k](
+                self._sigs, q_dev, self._n_real_dev, self._alive_mask_dev()
+            )
+        return fns[k](
             self._sorted_fp,
             self._sorted_ids,
             self._sigs,
-            jax.device_put(jnp.asarray(q_sigs), rep),
+            q_dev,
             self._n_real_dev,
             self._alive_mask_dev(),
         )

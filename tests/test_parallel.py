@@ -256,3 +256,40 @@ def test_sharded_top_k_stream_matches_sync():
     sync = ix.top_k(qs, k=4)
     out = list(ix.top_k_stream([qs, qs], k=4, depth=3))
     assert out == [sync, sync]
+
+
+def test_sharded_top_k_scan_matches_bands_and_bruteforce():
+    import numpy as np
+
+    from datasketch_tpu import MinHash
+    from datasketch_tpu.parallel import ShardedMinHashLSH, make_mesh
+
+    mesh = make_mesh(8)
+    rng = np.random.RandomState(21)
+    sigs = rng.randint(0, 1 << 32, size=(200, 128), dtype=np.uint64).astype(np.uint32)
+    # plant near-duplicates so scores are non-trivial
+    sigs[150:] = np.where(rng.rand(50, 128) < 0.8, sigs[:50], sigs[150:])
+    mhs = [MinHash(num_perm=128, hashvalues=r) for r in sigs]
+    ix = ShardedMinHashLSH(mesh, threshold=0.5, num_perm=128, bucket_cap=16)
+    ix.index([f"d{i}" for i in range(200)], mhs)
+    qs = mhs[:6]
+
+    scan = ix.top_k(qs, k=5, method="scan")
+    assert ix.last_truncated == 0
+    H = sigs.astype(np.int64)
+    for i in range(6):
+        assert scan[i][0][0] == f"d{i}" and abs(scan[i][0][1] - 1.0) < 1e-6
+        jac = (H == H[i]).mean(axis=1)
+        want = sorted(np.round(np.sort(jac)[::-1][:5], 6))
+        got = sorted(round(s, 6) for _, s in scan[i])
+        assert want == got, (i, want, got)
+
+    bands = ix.top_k(qs, k=5, method="bands")
+    assert all(bands[i][0][0] == f"d{i}" for i in range(6))
+    auto = ix.top_k(qs, k=5)  # small corpus -> auto picks scan
+    assert auto == scan
+
+    # tombstones respected by the scan path
+    ix.remove("d0")
+    after = ix.top_k([mhs[0]], k=5, method="scan")[0]
+    assert all(key != "d0" for key, _ in after)
