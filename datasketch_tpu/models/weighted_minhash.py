@@ -146,26 +146,45 @@ class WeightedMinHashGenerator:
             return ret
         from datasketch_tpu.ops import cws_ops
 
+        from datasketch_tpu.utils.pipeline import stream_batches
+
         chunk = max(8, self._CHUNK_ELEMS // max(1, self.dim))
         chunk = 1 << (int(chunk) - 1).bit_length()  # pow2: one compile shape
-        for start in range(0, n, chunk):
+
+        def _dispatch(start):
             block = X[start : start + chunk]
             dense = np.asarray(
                 block.todense() if issparse else block, dtype=np.float32
             )
             rows = np.nonzero(~np.all(dense == 0, axis=1))[0]
             if rows.size == 0:
-                continue
+                return None
             sub = dense[rows]
             if sub.shape[0] != chunk:
                 # zero-fill to the fixed chunk shape (zero rows produce
                 # finite garbage that is sliced off below)
                 sub = np.pad(sub, ((0, chunk - sub.shape[0]), (0, 0)))
-            kt = np.asarray(
-                cws_ops.cws_many(sub, self.rs, self.ln_cs, self.betas)
-            )[: rows.size]
+            return (
+                start,
+                rows,
+                cws_ops.cws_many(sub, self.rs, self.ln_cs, self.betas),
+            )
+
+        def _finish(out):
+            if out is None:
+                return
+            start, rows, kt_dev = out
+            kt = np.asarray(kt_dev)[: rows.size]
             for out_i, row_i in enumerate(rows):
                 ret[start + row_i] = WeightedMinHash(
                     self.seed, kt[out_i].astype(int)
                 )
+
+        # pipelined: densifying chunk i+1 on host overlaps the device CWS
+        # kernel and D2H of chunk i (each synchronous fetch is a full
+        # round trip on tunnel-attached devices)
+        for _ in stream_batches(
+            range(0, n, chunk), _dispatch, _finish, depth=3
+        ):
+            pass
         return ret
