@@ -154,7 +154,31 @@ def bench_lsh_topk(n_sets: int = 2000, n_queries: int = 50, k: int = 10):
     }
 
 
+def wait_for_device(max_wait: float = 480.0) -> dict:
+    """Bounded device probe with retries: a wedged remote-TPU tunnel
+    HANGS dispatches instead of raising (observed — see BASELINE.md
+    round-2 notes), which would otherwise hang this whole benchmark.
+    Waits up to `max_wait` seconds for the device to answer."""
+    from datasketch_tpu.utils import device_healthcheck
+
+    deadline = time.time() + max_wait
+    while True:
+        budget = max(30.0, min(120.0, deadline - time.time()))
+        res = device_healthcheck(timeout=budget)
+        if res["ok"] or time.time() >= deadline:
+            return res
+        time.sleep(20)
+
+
 def main() -> None:
+    health = wait_for_device()
+    if not health["ok"]:
+        print(
+            "DEVICE UNREACHABLE — benchmark aborted rather than hung: %s"
+            % health["error"],
+            file=sys.stderr,
+        )
+        sys.exit(1)
     corpus = make_corpus(OUR_DOCS)
     ours = bench_ours(corpus)
     ref = bench_reference(corpus[:REF_DOCS])
