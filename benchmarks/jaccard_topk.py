@@ -29,7 +29,8 @@ def build_minhashes(sets, num_perm):
     return mhs, time.perf_counter() - t0
 
 
-def bench_tpu_lsh(mhs, query_idx, k, num_perm):
+def bench_tpu_lsh(mhs, query_idx, k, num_perm, method="bands",
+                  pipelined=False):
     from datasketch_tpu.models.tpu_lsh import TpuMinHashLSH
 
     # top-k tuning: low banding threshold casts a wide candidate net and the
@@ -41,10 +42,19 @@ def bench_tpu_lsh(mhs, query_idx, k, num_perm):
     indexing = time.perf_counter() - t0
 
     queries = [mhs[i] for i in query_idx]
-    index.top_k(queries, k)  # warm the query program (jit compile)
-    t0 = time.perf_counter()
-    batch = index.top_k(queries, k)
-    total = time.perf_counter() - t0
+    index.top_k(queries, k, method=method)  # warm the query program
+    if pipelined:
+        # continuous serving: 16 batches in flight amortize the
+        # dispatch+fetch round trip (top_k_stream, async D2H copies)
+        n_rep = 16
+        t0 = time.perf_counter()
+        reps = list(index.top_k_stream([queries] * n_rep, k, method=method))
+        total = (time.perf_counter() - t0) / n_rep
+        batch = reps[0]
+    else:
+        t0 = time.perf_counter()
+        batch = index.top_k(queries, k, method=method)
+        total = time.perf_counter() - t0
     times = [total / len(queries)] * len(queries)
     results = [[(key, score) for key, score in row] for row in batch]
     return results, times, indexing
@@ -194,12 +204,16 @@ def main():
 
     for name, fn, params in [
         ("tpu_lsh", bench_tpu_lsh, {"num_perm": num_perm}),
+        ("tpu_scan", bench_tpu_lsh, {"num_perm": num_perm, "method": "scan"}),
+        ("tpu_scan_stream", bench_tpu_lsh,
+         {"num_perm": num_perm, "method": "scan", "pipelined": True}),
         ("lshforest", bench_forest, {"num_perm": num_perm}),
         ("hnsw", bench_hnsw, {"num_perm": num_perm, "m": 16, "ef": 100}),
         ("hnsw_tpu", bench_hnsw_tpu, {"num_perm": num_perm, "m": 16, "ef": 100}),
         ("nsw_tpu", bench_nsw_tpu, {"num_perm": num_perm, "m": 16, "ef": 100}),
     ]:
-        results, times, indexing = fn(mhs, query_idx, k, num_perm)
+        extra = {kk: v for kk, v in params.items() if kk != "num_perm"}
+        results, times, indexing = fn(mhs, query_idx, k, num_perm, **extra)
         recalls = utils.compute_recalls(results, gt)
         utils.save_run(conn, name, k, None, params, indexing, times, recalls,
                        results, query_keys)
