@@ -70,6 +70,8 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
         self._keys_per_part: list = [[] for _ in range(num_part)]
         self._key_set: set = set()
         self._n_pad = 0
+        self._sigs_dev = None  # uint32[parts, N_pad, P] stacked signatures
+        self._n_valid = None  # int32[parts] host row counts
         self._n_valid_dev = None  # int32[parts] device row counts
         self._tables: dict = {}  # r -> (sorted_fp, sorted_ids) [parts,b,N]
         self.last_truncated = 0
@@ -125,6 +127,8 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
                     dtype=np.uint64,
                 ).astype(np.uint32)
         sigs_dev = jnp.asarray(stack)  # one upload for every partition
+        self._sigs_dev = sigs_dev
+        self._n_valid = n_valid
         self._n_valid_dev = jnp.asarray(n_valid)
         for r in self.rs:
             b = self.h // r
@@ -203,6 +207,67 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
                     results[qi].add(self._keys_per_part[part][local])
         self.last_truncated = total_trunc
         return [list(r) for r in results]
+
+    # ------------------------------------------------------------ persistence
+
+    def save(self, path: str) -> None:
+        """Persist to ``.npz``: stacked signatures, partition bounds, keys.
+
+        Band tables are rebuilt on load (|unique r| vmapped programs) —
+        the same state/derived-data split as ``TpuMinHashLSH.save``.
+        """
+        if self.is_empty():
+            raise ValueError("Cannot save an empty index")
+        np.savez_compressed(
+            path,
+            kind=np.array("tpu_ensemble"),
+            threshold=np.float64(self.threshold),
+            num_perm=np.int64(self.h),
+            num_part=np.int64(self.num_part),
+            m=np.int64(self.m),
+            bucket_cap=np.int64(self.bucket_cap),
+            lowers=np.array(
+                [-1 if x is None else int(x) for x in self.lowers], np.int64
+            ),
+            uppers=np.array(
+                [-1 if x is None else int(x) for x in self.uppers], np.int64
+            ),
+            n_valid=self._n_valid,
+            sigs=np.asarray(self._sigs_dev),
+            keys=np.array(
+                [np.array(k, dtype=object) for k in self._keys_per_part],
+                dtype=object,
+            ),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "TpuMinHashLSHEnsemble":
+        data = np.load(path, allow_pickle=True)
+        if str(data["kind"]) != "tpu_ensemble":
+            raise ValueError("not a TpuMinHashLSHEnsemble checkpoint")
+        obj = cls(
+            threshold=float(data["threshold"]),
+            num_perm=int(data["num_perm"]),
+            num_part=int(data["num_part"]),
+            m=int(data["m"]),
+            bucket_cap=int(data["bucket_cap"]),
+        )
+        obj.lowers = [None if x < 0 else int(x) for x in data["lowers"]]
+        obj.uppers = [None if x < 0 else int(x) for x in data["uppers"]]
+        obj._n_valid = data["n_valid"].astype(np.int32)
+        obj._n_valid_dev = jnp.asarray(obj._n_valid)
+        sigs = data["sigs"]
+        obj._n_pad = sigs.shape[1]
+        obj._sigs_dev = jnp.asarray(sigs)
+        obj._keys_per_part = [list(k) for k in data["keys"]]
+        obj._key_set = set().union(*map(set, obj._keys_per_part)) if len(
+            obj._keys_per_part
+        ) else set()
+        for r in obj.rs:
+            obj._tables[r] = lsh_ops.build_tables_stacked(
+                obj._sigs_dev, obj.h // r, r
+            )
+        return obj
 
     # -------------------------------------------------------------- plumbing
 

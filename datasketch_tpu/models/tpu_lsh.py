@@ -543,6 +543,26 @@ class TpuMinHashLSH:
 
         return stream_batches(batches, _dispatch, _finish, depth=depth)
 
+    def warmup(self, batch_sizes=(8, 64), k: int = 10,
+               method: str = "auto") -> None:
+        """Pay per-shape XLA compiles before serving traffic.
+
+        Each distinct query-batch shape compiles its own program — on
+        remote-attached TPUs that is seconds to minutes of first-request
+        latency. Runs one synthetic ``top_k`` and one ``query_batch``
+        per batch size (results discarded). No-op on an empty index.
+        """
+        self._flush_pending()
+        if self._sigs_dev is None or not len(self._keys):
+            return
+        rng = np.random.RandomState(0)
+        for q in batch_sizes:
+            sigs = rng.randint(
+                0, 1 << 32, size=(int(q), self.h), dtype=np.uint64
+            ).astype(np.uint32)
+            self.top_k(sigs, k, method=method)
+            self.query_batch(sigs)
+
     # ------------------------------------------------------------ persistence
 
     def save(self, path: str) -> None:

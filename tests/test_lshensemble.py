@@ -196,3 +196,36 @@ def test_tpu_ensemble_mixed_r_queries():
     m.update_batch([int(v).to_bytes(8, "little") for v in sub_items])
     res = list(ens.query(m, len(sub_items)))
     assert "k11" in res
+
+
+def test_tpu_ensemble_save_load_roundtrip(tmp_path):
+    import numpy as np
+
+    from datasketch_tpu import MinHash
+    from datasketch_tpu.models.tpu_ensemble import TpuMinHashLSHEnsemble
+
+    rng = np.random.RandomState(9)
+    universe = rng.randint(0, 2**31, size=3000)
+    entries = []
+    for i in range(40):
+        size = rng.randint(10, 300)
+        items = rng.choice(universe, size=size, replace=False)
+        m = MinHash(num_perm=128)
+        m.update_batch([int(v).to_bytes(8, "little") for v in items])
+        entries.append((f"k{i}", m, size))
+    ens = TpuMinHashLSHEnsemble(threshold=0.6, num_perm=128, num_part=4,
+                                bucket_cap=32)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        ens.save(str(tmp_path / "empty.npz"))
+    ens.index(entries)
+    path = str(tmp_path / "ens.npz")
+    ens.save(path)
+    back = TpuMinHashLSHEnsemble.load(path)
+    assert len(back) == len(ens) and "k0" in back
+    pairs = [(m, s) for _, m, s in entries[:10]]
+    a = [set(r) for r in ens.query_batch(pairs)]
+    b = [set(r) for r in back.query_batch(pairs)]
+    assert a == b

@@ -384,3 +384,13 @@ def test_top_k_stream_matches_sync():
     assert list(empty.top_k_stream([qs[:3]], k=4)) == [[[], [], []]]
     with pytest.raises(ValueError):
         list(empty.top_k_stream([qs], k=4, method="nope"))
+
+
+def test_warmup_noop_and_compiles():
+    ix = TpuMinHashLSH(threshold=0.5, num_perm=64)
+    ix.warmup()  # empty index: no-op
+    ms, _ = _make_minhashes(n_docs=20)
+    ix.index([f"w{i}" for i in range(20)], ms)
+    ix.warmup(batch_sizes=(4,), k=3)
+    # warmed shapes answer without error and with correct self-recall
+    assert ix.top_k(ms[:4], k=3)[0][0][0] == "w0"
