@@ -25,6 +25,7 @@ from datasketch_tpu.models.hnsw import HNSW
 from datasketch_tpu.models.tpu_lsh import TpuMinHashLSH
 from datasketch_tpu.models.tpu_ensemble import TpuMinHashLSHEnsemble
 from datasketch_tpu.models.tpu_forest import TpuMinHashLSHForest
+from datasketch_tpu.models.tpu_hnsw import TpuHNSW
 from datasketch_tpu.models.lsh_bloom import TpuMinHashLSHBloom
 from datasketch_tpu.aio import AsyncMinHashLSH  # instantiation gates optional deps
 from datasketch_tpu.storage import (
@@ -59,6 +60,7 @@ __all__ = [
     "TpuMinHashLSH",
     "TpuMinHashLSHEnsemble",
     "TpuMinHashLSHForest",
+    "TpuHNSW",
     "TpuMinHashLSHBloom",
     "AsyncMinHashLSH",
     "sha1_hash32",
