@@ -18,6 +18,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -177,8 +178,12 @@ def main() -> None:
             "DEVICE UNREACHABLE — benchmark aborted rather than hung: %s"
             % health["error"],
             file=sys.stderr,
+            flush=True,
         )
-        sys.exit(1)
+        sys.stdout.flush()
+        # skip atexit: jax/PJRT teardown joins the hung dispatch thread
+        # and would block this exit indefinitely
+        os._exit(1)
     corpus = make_corpus(OUR_DOCS)
     ours = bench_ours(corpus)
     ref = bench_reference(corpus[:REF_DOCS])

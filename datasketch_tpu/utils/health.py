@@ -16,24 +16,103 @@ one remote TPU tunnel can wedge the server such that even
 
 from __future__ import annotations
 
+import json
+import os
+import signal
+import subprocess
+import sys
+import tempfile
 import threading
 import time
 from typing import Optional
 
 __all__ = ["device_healthcheck", "HealthMonitor"]
 
+# Child probe: measures only the device op (imports excluded), prints one
+# JSON line, and os._exit's so a post-probe PJRT teardown can't hang it.
+# DATASKETCH_TPU_PROBE_PLATFORM forces the child's backend via
+# jax.config (the only override that sticks when a remote-TPU plugin is
+# pre-registered by sitecustomize — env JAX_PLATFORMS is not enough);
+# tests set it to "cpu" so probes never touch real hardware.
+_PROBE_SRC = """
+import json, os, time
+import jax
+_p = os.environ.get("DATASKETCH_TPU_PROBE_PLATFORM")
+if _p:
+    jax.config.update("jax_platforms", _p)
+import jax.numpy as jnp
+t0 = time.perf_counter()
+x = jnp.asarray([1.0, 2.0, 3.0])
+v = float(x.sum())
+out = {"ok": v == 6.0, "latency_s": time.perf_counter() - t0}
+if v != 6.0:
+    out["error"] = "wrong result: %r" % v
+print(json.dumps(out), flush=True)
+os._exit(0)
+"""
 
-def device_healthcheck(timeout: float = 10.0, device=None) -> dict:
+
+def device_healthcheck(timeout: float = 10.0, device=None,
+                       isolate: bool = True) -> dict:
     """Probe a device with a trivial dependent op, bounded by `timeout`.
 
-    Runs the probe in a daemon thread: a healthy device answers in
-    milliseconds (~30ms through a remote tunnel); a wedged one never
-    answers, and the bound converts that into ``ok=False``.
+    ``isolate=True`` (default) probes in a SUBPROCESS: a wedged device
+    can block inside a C call while holding the GIL (observed on a
+    remote-TPU tunnel), in which case no in-process thread or signal can
+    fire — killing a child process is the only reliable bound. Costs
+    interpreter + jax import (~5-10s) per probe; the reported latency
+    covers only the device op itself.
+
+    ``isolate=False`` probes in a daemon thread — near-zero overhead for
+    high-frequency monitoring of a device that is currently healthy, but
+    only bounds hangs that happen with the GIL released, and interpreter
+    exit after a failed probe may then hang in PJRT atexit teardown
+    (flush output and use ``os._exit`` to exit for certain).
 
     Returns ``{"ok": bool, "latency_s": float | None, "error": str | None}``.
-    Note: a timed-out probe thread cannot be cancelled — it parks on the
-    hung dispatch until the process exits (daemon thread, harmless).
     """
+    if isolate:
+        result = {"ok": False, "latency_s": None, "error": None}
+        # Child stdout/stderr go to TEMP FILES, not pipes, and the child
+        # gets its own process group: a runtime plugin can spawn helper
+        # processes that inherit the pipes, so after a timeout-kill of the
+        # direct child a pipe drain (subprocess.run's behavior) blocks on
+        # the still-open write end — observed as a probe that outlived its
+        # own bound by minutes on a wedged tunnel. killpg + files cannot.
+        with tempfile.TemporaryFile() as out_f, \
+                tempfile.TemporaryFile() as err_f:
+            try:
+                proc = subprocess.Popen(
+                    [sys.executable, "-c", _PROBE_SRC],
+                    stdout=out_f,
+                    stderr=err_f,
+                    start_new_session=True,
+                )
+            except Exception as exc:  # noqa: BLE001 - report, don't crash
+                result["error"] = repr(exc)
+                return result
+            try:
+                rc = proc.wait(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                try:
+                    os.killpg(proc.pid, signal.SIGKILL)
+                except (ProcessLookupError, PermissionError):
+                    proc.kill()
+                proc.wait()
+                result["error"] = (
+                    f"device probe exceeded {timeout}s (hung dispatch)"
+                )
+                return result
+            out_f.seek(0)
+            stdout = out_f.read().decode("utf-8", "replace").strip()
+            err_f.seek(0)
+            stderr = err_f.read().decode("utf-8", "replace").strip()
+        line = stdout.splitlines()[-1] if stdout else ""
+        try:
+            result.update(json.loads(line))
+        except Exception:
+            result["error"] = "probe exited rc=%d: %s" % (rc, stderr[-300:])
+        return result
     result: dict = {"ok": False, "latency_s": None, "error": None}
     done = threading.Event()
 
@@ -75,16 +154,18 @@ class HealthMonitor:
     """
 
     def __init__(self, timeout: float = 10.0, max_failures: int = 3,
-                 device=None) -> None:
+                 device=None, isolate: bool = True) -> None:
         self.timeout = timeout
         self.max_failures = max_failures
         self.device = device
+        self.isolate = isolate
         self.consecutive_failures = 0
         self.last_result: Optional[dict] = None
         self.history: list = []  # (timestamp, ok, latency_s)
 
     def check(self) -> dict:
-        result = device_healthcheck(self.timeout, self.device)
+        result = device_healthcheck(self.timeout, self.device,
+                                    isolate=self.isolate)
         self.last_result = result
         self.history.append((time.time(), result["ok"], result["latency_s"]))
         if len(self.history) > 256:

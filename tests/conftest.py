@@ -17,6 +17,9 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Subprocess device probes (utils/health.py) must not touch the real TPU
+# tunnel from the test suite either.
+os.environ["DATASKETCH_TPU_PROBE_PLATFORM"] = "cpu"
 
 import jax  # noqa: E402
 
