@@ -28,7 +28,10 @@ import jax.numpy as jnp
 
 __all__ = ["DeviceGraph", "export_graph", "batch_query"]
 
-_BIG = jnp.float32(3.4e38)
+# Host-side constant ON PURPOSE: a module-level jnp scalar would initialize
+# the device backend at import time (through a remote tunnel, `import
+# datasketch_tpu` would then hang whenever the device is wedged).
+_BIG = np.float32(3.4e38)
 
 
 @functools.lru_cache(maxsize=16)
