@@ -28,6 +28,7 @@ from datasketch_tpu.models.tpu_forest import TpuMinHashLSHForest
 from datasketch_tpu.models.tpu_hnsw import TpuHNSW
 from datasketch_tpu.models.lsh_bloom import TpuMinHashLSHBloom
 from datasketch_tpu.aio import AsyncMinHashLSH  # instantiation gates optional deps
+from datasketch_tpu.serving import FailoverIndex
 from datasketch_tpu.storage import (
     ordered_storage,
     unordered_storage,
@@ -63,6 +64,7 @@ __all__ = [
     "TpuHNSW",
     "TpuMinHashLSHBloom",
     "AsyncMinHashLSH",
+    "FailoverIndex",
     "sha1_hash32",
     "sha1_hash64",
     "ordered_storage",

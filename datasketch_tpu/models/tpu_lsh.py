@@ -565,6 +565,25 @@ class TpuMinHashLSH:
 
     # ------------------------------------------------------------ persistence
 
+    def host_snapshot(self) -> dict:
+        """Host-side copy of the queryable state: ``{"keys", "sigs",
+        "alive"}`` (``alive`` is None when nothing is tombstoned).
+
+        One D2H fetch while the device is healthy; feeds
+        :class:`datasketch_tpu.serving.FailoverIndex`'s degraded-mode
+        exact scan so queries survive a wedged device.
+        """
+        self._flush_pending()
+        sigs = (
+            np.asarray(self._sigs_dev)[: self._n_real]
+            if self._sigs_dev is not None
+            else np.zeros((0, self.h), np.uint32)
+        )
+        alive = None
+        if self._alive is not None and not bool(self._alive.all()):
+            alive = self._alive.copy()
+        return {"keys": list(self._keys), "sigs": sigs, "alive": alive}
+
     def save(self, path: str) -> None:
         """Persist the index to an ``.npz`` (device state exported to host).
 
