@@ -58,11 +58,16 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
             raise ValueError("num_part must be at least 1")
         if m < 2 or m > num_perm:
             raise ValueError("m must be in the range of [2, num_perm]")
+        if any(w < 0.0 or w > 1.0 for w in weights):
+            raise ValueError("Weight must be in [0.0, 1.0]")
+        if sum(weights) != 1.0:
+            raise ValueError("Weights must sum to 1.0")
         self.threshold = threshold
         self.h = num_perm
         self.m = m
         self.num_part = num_part
         self.bucket_cap = bucket_cap
+        self.weights = tuple(weights)  # persisted: params/xqs derive from it
         self.rs = sorted(self._init_optimal_params(weights))
         self.lowers = [None] * num_part
         self.uppers = [None] * num_part
@@ -216,6 +221,8 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
         Band tables are rebuilt on load (|unique r| vmapped programs) —
         the same state/derived-data split as ``TpuMinHashLSH.save``.
         """
+        import pickle as _pickle
+
         if self.is_empty():
             raise ValueError("Cannot save an empty index")
         np.savez_compressed(
@@ -226,6 +233,7 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
             num_part=np.int64(self.num_part),
             m=np.int64(self.m),
             bucket_cap=np.int64(self.bucket_cap),
+            weights=np.asarray(self.weights, dtype=np.float64),
             lowers=np.array(
                 [-1 if x is None else int(x) for x in self.lowers], np.int64
             ),
@@ -234,23 +242,37 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
             ),
             n_valid=self._n_valid,
             sigs=np.asarray(self._sigs_dev),
-            keys=np.array(
-                [np.array(k, dtype=object) for k in self._keys_per_part],
-                dtype=object,
+            # pickled byte payload, NOT nested object arrays: those
+            # flatten tuple keys into 2-D object arrays that come back
+            # as unhashable ndarrays
+            keys=np.frombuffer(
+                _pickle.dumps(self._keys_per_part), dtype=np.uint8
             ),
         )
 
     @classmethod
     def load(cls, path: str) -> "TpuMinHashLSHEnsemble":
-        data = np.load(path, allow_pickle=True)
+        """SECURITY: the key lists inside the file are a pickle payload —
+        only load index files you created or trust."""
+        import pickle as _pickle
+
+        data = np.load(path, allow_pickle=False)
         if str(data["kind"]) != "tpu_ensemble":
             raise ValueError("not a TpuMinHashLSHEnsemble checkpoint")
+        # weights shape the per-x/q (b, r) tables; a load that fell back
+        # to the defaults would silently re-tune every post-load query
+        weights = (
+            tuple(float(w) for w in data["weights"])
+            if "weights" in data
+            else (0.5, 0.5)
+        )
         obj = cls(
             threshold=float(data["threshold"]),
             num_perm=int(data["num_perm"]),
             num_part=int(data["num_part"]),
             m=int(data["m"]),
             bucket_cap=int(data["bucket_cap"]),
+            weights=weights,
         )
         obj.lowers = [None if x < 0 else int(x) for x in data["lowers"]]
         obj.uppers = [None if x < 0 else int(x) for x in data["uppers"]]
@@ -259,7 +281,7 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
         sigs = data["sigs"]
         obj._n_pad = sigs.shape[1]
         obj._sigs_dev = jnp.asarray(sigs)
-        obj._keys_per_part = [list(k) for k in data["keys"]]
+        obj._keys_per_part = _pickle.loads(data["keys"].tobytes())
         obj._key_set = set().union(*map(set, obj._keys_per_part)) if len(
             obj._keys_per_part
         ) else set()

@@ -64,6 +64,12 @@ class TpuMinHashLSHForest:
         self.l = l
         self.k = int(num_perm / l)
         self.num_perm = num_perm
+        # Effective signature width. The reference accepts any minhash of
+        # length >= k*l and reads only the first k*l values
+        # (lshforest.py:46-66); when num_perm % l != 0 that is SHORTER
+        # than num_perm, so storing num_perm-wide rows would crash on
+        # reference-valid input. All rows/queries are sliced to width.
+        self.width = self.k * self.l
         self.cap = cap
         self._keys: list = []  # position -> user key (indexed rows)
         self._key_set: set = set()
@@ -80,12 +86,12 @@ class TpuMinHashLSHForest:
     def add(self, key: Hashable, minhash) -> None:
         """Stage (key, minhash); searchable after the next :meth:`index`."""
         row = _as_signature_matrix([minhash])[0]
-        if row.shape[0] < self.k * self.l:
+        if row.shape[0] < self.width:
             raise ValueError("The num_perm of MinHash out of range")
         if key in self._key_set:
             raise ValueError("The given key has already been added")
         self._key_set.add(key)
-        self._pending.append((key, row[: self.num_perm]))
+        self._pending.append((key, row[: self.width]))
 
     def index(self, keys: Optional[Sequence[Hashable]] = None,
               minhashes=None) -> None:
@@ -102,13 +108,13 @@ class TpuMinHashLSHForest:
             sigs = _as_signature_matrix(minhashes)
             if sigs.shape[0] != len(keys):
                 raise ValueError("keys and minhashes must have equal length")
-            if sigs.shape[0] and sigs.shape[1] < self.num_perm:
+            if sigs.shape[0] and sigs.shape[1] < self.width:
                 raise ValueError("The num_perm of MinHash out of range")
             for k in keys:
                 if k in self._key_set:
                     raise ValueError("The given key has already been added")
                 self._key_set.add(k)
-            self._pending.extend(zip(keys, sigs[:, : self.num_perm]))
+            self._pending.extend(zip(keys, sigs[:, : self.width]))
         if not self._pending:
             return
         new_keys, new_rows = zip(*self._pending)
@@ -135,7 +141,7 @@ class TpuMinHashLSHForest:
         if n_pad != n_real:
             rng = np.random.RandomState(n_pad & 0x7FFFFFFF)
             filler = rng.randint(
-                0, 1 << 32, size=(n_pad - n_real, self.num_perm), dtype=np.uint64
+                0, 1 << 32, size=(n_pad - n_real, self.width), dtype=np.uint64
             ).astype(np.uint32)
             sigs_np = np.concatenate([sigs_np, filler], axis=0)
         self._n_real = n_real
@@ -197,9 +203,9 @@ class TpuMinHashLSHForest:
         q = _as_signature_matrix(minhashes)
         if q.shape[0] == 0:
             return []
-        if q.shape[1] < self.num_perm:
+        if q.shape[1] < self.width:
             raise ValueError("The num_perm of MinHash out of range")
-        q = q[:, : self.num_perm]
+        q = q[:, : self.width]
         nq = q.shape[0]
         # bucket the query batch (shape-stability, same rationale as rows)
         q_pad = 8
@@ -292,22 +298,36 @@ class TpuMinHashLSHForest:
         return out
 
     def save(self, path: str) -> None:
-        """Persist signatures + keys as .npz (tables rebuild on load)."""
+        """Persist signatures + keys as .npz (tables rebuild on load).
+
+        Staged-but-unindexed keys are flushed first (``index()``) so
+        nothing silently vanishes from the round trip.
+        """
+        import pickle as _pickle
+
+        self.index()
         np.savez_compressed(
             path,
             sigs=np.asarray(self._sigs_dev)[: self._n_real]
             if self._sigs_dev is not None
-            else np.zeros((0, self.num_perm), dtype=np.uint32),
-            keys=np.asarray(self._keys, dtype=object),
+            else np.zeros((0, self.width), dtype=np.uint32),
+            # pickled byte payload, NOT np.asarray(keys, dtype=object):
+            # the latter flattens tuple keys into 2-D object arrays that
+            # come back as unhashable ndarrays
+            keys=np.frombuffer(_pickle.dumps(self._keys), dtype=np.uint8),
             params=np.array([self.num_perm, self.l, self.cap], dtype=np.int64),
         )
 
     @classmethod
     def load(cls, path: str) -> "TpuMinHashLSHForest":
-        data = np.load(path, allow_pickle=True)
+        """SECURITY: the key list inside the file is a pickle payload —
+        only load index files you created or trust."""
+        import pickle as _pickle
+
+        data = np.load(path, allow_pickle=False)
         num_perm, l, cap = (int(x) for x in data["params"])
         forest = cls(num_perm=num_perm, l=l, cap=cap)
-        keys = list(data["keys"])
+        keys = _pickle.loads(data["keys"].tobytes())
         sigs = data["sigs"]
         if len(keys):
             forest.index(keys, sigs)

@@ -118,8 +118,19 @@ class TpuHNSW:
         (including its soft-delete tombstones) for device serving."""
         obj = cls(distance_metric=distance_metric, ef=ef)
         obj._graph = hnsw_ops.export_graph(host_index)
-        obj._key_to_pos = {k: i for i, k in enumerate(obj._graph.keys)}
-        obj._deleted_host = np.asarray(obj._graph.deleted)
+        if obj._graph.deleted is not None:
+            obj._deleted_host = np.asarray(obj._graph.deleted)
+        else:
+            obj._deleted_host = np.zeros(len(obj._graph.keys), dtype=bool)
+        # Tombstoned keys stay OUT of _key_to_pos (same invariant as
+        # load()/remove()): they must read as absent, and a later
+        # index() rebuild — which re-derives the corpus from
+        # _key_to_pos — must not resurrect them.
+        obj._key_to_pos = {
+            k: i
+            for i, k in enumerate(obj._graph.keys)
+            if not obj._deleted_host[i]
+        }
         return obj
 
     # ------------------------------------------------------------ mutation
@@ -236,6 +247,8 @@ class TpuHNSW:
 
     def save(self, path: str) -> None:
         """Persist graph + points + tombstones as ``.npz``."""
+        import pickle as _pickle
+
         self._flush_pending()
         if self._graph is None:
             raise ValueError("Cannot save an empty index")
@@ -251,7 +264,12 @@ class TpuHNSW:
             "points": np.asarray(g.points),
             "adj0": np.asarray(g.adj0),
             "deleted": self._deleted_host,
-            "keys": np.array(list(g.keys), dtype=object),
+            # pickled byte payload, NOT np.array(keys, dtype=object): the
+            # latter flattens tuple keys into 2-D object arrays that come
+            # back as unhashable ndarrays
+            "keys": np.frombuffer(
+                _pickle.dumps(list(g.keys)), dtype=np.uint8
+            ),
             "n_upper": np.int64(len(g.upper_nodes)),
         }
         for i, (nodes, adj) in enumerate(zip(g.upper_nodes, g.upper_adj)):
@@ -262,7 +280,11 @@ class TpuHNSW:
     @classmethod
     def load(cls, path: str, distance_metric: Optional[
             Union[str, Callable]] = None) -> "TpuHNSW":
-        data = np.load(path, allow_pickle=True)
+        """SECURITY: the key list inside the file is a pickle payload —
+        only load index files you created or trust."""
+        import pickle as _pickle
+
+        data = np.load(path, allow_pickle=False)
         if str(data["kind"]) != "tpu_hnsw":
             raise ValueError("not a TpuHNSW checkpoint")
         metric = distance_metric
@@ -274,7 +296,7 @@ class TpuHNSW:
                     "pass distance_metric= to load()"
                 )
         obj = cls(distance_metric=metric, m=int(data["m"]), ef=int(data["ef"]))
-        keys = list(data["keys"])
+        keys = _pickle.loads(data["keys"].tobytes())
         deleted = data["deleted"].astype(bool)
         obj._graph = hnsw_ops.DeviceGraph(
             points=jnp.asarray(data["points"]),

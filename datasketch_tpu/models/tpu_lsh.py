@@ -289,8 +289,11 @@ class TpuMinHashLSH:
                 + self._sorted_ids.size * 4
             )
             max_run, n_distinct = lsh_ops.bucket_stats(self._sorted_fp)
-            out["max_bucket"] = int(np.asarray(max_run).max())
-            out["distinct_buckets_min"] = int(np.asarray(n_distinct).min())
+            # one D2H round trip for both stats (each separate fetch
+            # costs a full tunnel RTT)
+            max_run, n_distinct = jax.device_get((max_run, n_distinct))
+            out["max_bucket"] = int(max_run.max())
+            out["distinct_buckets_min"] = int(n_distinct.min())
         return out
 
     def compact(self) -> None:

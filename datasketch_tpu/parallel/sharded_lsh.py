@@ -172,6 +172,12 @@ class ShardedMinHashLSH:
                 "Cannot merge indexes with different initialization "
                 "parameters."
             )
+        # A TpuMinHashLSH may hold buffered inserts whose rows are not in
+        # _sigs_dev yet; merging without flushing would register their keys
+        # with no signature rows (corrupt index, out-of-range removes).
+        flush = getattr(other, "_flush_pending", None)
+        if flush is not None:
+            flush()
         other_keys = getattr(other, "_keys")
         if check_overlap and set(self._key_to_pos) & {
             k for k in other_keys if k is not None
@@ -263,10 +269,15 @@ class ShardedMinHashLSH:
             if self._sigs is not None
             else np.zeros((0, self.h), dtype=np.uint32)
         )
+        import pickle as _pickle
+
         np.savez_compressed(
             path,
             sigs=sigs,
-            keys=np.asarray(self._keys, dtype=object),
+            # pickled byte payload, NOT np.asarray(keys, dtype=object):
+            # the latter flattens tuple/sequence keys into 2-D object
+            # arrays that come back as unhashable ndarrays
+            keys=np.frombuffer(_pickle.dumps(self._keys), dtype=np.uint8),
             alive=self._alive
             if self._alive is not None
             else np.ones(0, dtype=bool),
@@ -282,7 +293,9 @@ class ShardedMinHashLSH:
              ) -> "ShardedMinHashLSH":
         """Rebuild on `mesh` — the shard count may differ from the saving
         mesh; tables are re-derived from the signatures."""
-        data = np.load(path, allow_pickle=True)
+        import pickle as _pickle
+
+        data = np.load(path, allow_pickle=False)
         h, b, r, cap, rerank = (int(x) for x in data["params"])
         index = cls(
             mesh,
@@ -293,7 +306,7 @@ class ShardedMinHashLSH:
             rerank=bool(rerank),
             shard_axis=shard_axis,
         )
-        keys = list(data["keys"])
+        keys = _pickle.loads(data["keys"].tobytes())
         if keys:
             index._keys = keys
             index._key_to_pos = {

@@ -43,6 +43,14 @@ if _p:
 import jax.numpy as jnp
 t0 = time.perf_counter()
 x = jnp.asarray([1.0, 2.0, 3.0])
+_d = os.environ.get("DATASKETCH_TPU_PROBE_DEVICE_ID")
+if _d is not None:
+    matches = [d for d in jax.devices() if d.id == int(_d)]
+    if not matches:
+        print(json.dumps({"ok": False, "latency_s": None,
+                          "error": "no device with id %s" % _d}), flush=True)
+        os._exit(0)
+    x = jax.device_put(x, matches[0])
 v = float(x.sum())
 out = {"ok": v == 6.0, "latency_s": time.perf_counter() - t0}
 if v != 6.0:
@@ -79,6 +87,12 @@ def device_healthcheck(timeout: float = 10.0, device=None,
         # direct child a pipe drain (subprocess.run's behavior) blocks on
         # the still-open write end — observed as a probe that outlived its
         # own bound by minutes on a wedged tunnel. killpg + files cannot.
+        env = None
+        if device is not None:
+            # the child probes a SPECIFIC device by id (a Device object
+            # cannot cross the process boundary)
+            env = dict(os.environ)
+            env["DATASKETCH_TPU_PROBE_DEVICE_ID"] = str(device.id)
         with tempfile.TemporaryFile() as out_f, \
                 tempfile.TemporaryFile() as err_f:
             try:
@@ -87,6 +101,7 @@ def device_healthcheck(timeout: float = 10.0, device=None,
                     stdout=out_f,
                     stderr=err_f,
                     start_new_session=True,
+                    env=env,
                 )
             except Exception as exc:  # noqa: BLE001 - report, don't crash
                 result["error"] = repr(exc)
