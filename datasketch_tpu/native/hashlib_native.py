@@ -2,12 +2,18 @@
 
 The shared library is compiled once from ``src/hashing.cpp`` into the
 package directory (or ``DATASKETCH_TPU_CACHE`` if set) and memoized.
+A failed build (no ``g++``, read-only cache dir, ...) is memoized too and
+every entry point degrades to a bit-identical pure-Python path — the
+stock ``MinHash``/``HyperLogLog`` bulk APIs call these unconditionally,
+so a missing toolchain must cost speed, never a crash.
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
+import struct
 import subprocess
 import threading
 
@@ -21,6 +27,7 @@ _LIB_PATH = os.path.join(_LIB_DIR, "libdshash.so")
 
 _lock = threading.Lock()
 _lib = None
+_lib_failed = False
 
 
 def _build() -> str:
@@ -43,25 +50,34 @@ def _build() -> str:
 
 
 def _load():
-    global _lib
-    if _lib is not None:
+    """The ctypes lib, or None (memoized) if it can't be built/loaded."""
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
         return _lib
     with _lock:
-        if _lib is not None:
+        if _lib is not None or _lib_failed:
             return _lib
-        src_mtime = max(os.path.getmtime(_SRC), os.path.getmtime(_HDR))
-        if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < src_mtime:
-            _build()
-        lib = ctypes.CDLL(_LIB_PATH)
-        i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
-        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C")
-        u32p = np.ctypeslib.ndpointer(np.uint32, flags="C")
-        u64p = np.ctypeslib.ndpointer(np.uint64, flags="C")
-        lib.batch_sha1_32.argtypes = [u8p, i64p, ctypes.c_int64, u32p]
-        lib.batch_sha1_64.argtypes = [u8p, i64p, ctypes.c_int64, u64p]
-        lib.batch_xxhash32.argtypes = [u8p, i64p, ctypes.c_int64, ctypes.c_uint32, u32p]
-        _lib = lib
-        return lib
+        try:
+            src_mtime = max(os.path.getmtime(_SRC), os.path.getmtime(_HDR))
+            if (
+                not os.path.exists(_LIB_PATH)
+                or os.path.getmtime(_LIB_PATH) < src_mtime
+            ):
+                _build()
+            lib = ctypes.CDLL(_LIB_PATH)
+            i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
+            u8p = np.ctypeslib.ndpointer(np.uint8, flags="C")
+            u32p = np.ctypeslib.ndpointer(np.uint32, flags="C")
+            u64p = np.ctypeslib.ndpointer(np.uint64, flags="C")
+            lib.batch_sha1_32.argtypes = [u8p, i64p, ctypes.c_int64, u32p]
+            lib.batch_sha1_64.argtypes = [u8p, i64p, ctypes.c_int64, u64p]
+            lib.batch_xxhash32.argtypes = [
+                u8p, i64p, ctypes.c_int64, ctypes.c_uint32, u32p
+            ]
+            _lib = lib
+        except Exception:
+            _lib_failed = True
+        return _lib
 
 
 def _pack(tokens) -> tuple:
@@ -79,8 +95,65 @@ def _pack(tokens) -> tuple:
     return data, offsets
 
 
+# --- pure-Python fallbacks (bit-identical; used when the build fails) ---
+
+_XXP1, _XXP2, _XXP3 = 2654435761, 2246822519, 3266489917
+_XXP4, _XXP5 = 668265263, 374761393
+_M32 = 0xFFFFFFFF
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def _py_xxh32(data: bytes, seed: int) -> int:
+    """Scalar XXH32 (bit-identical to the C implementation; verified in
+    tests/test_native_corpus.py when the native lib is available)."""
+    n = len(data)
+    i = 0
+    if n >= 16:
+        v1 = (seed + _XXP1 + _XXP2) & _M32
+        v2 = (seed + _XXP2) & _M32
+        v3 = seed & _M32
+        v4 = (seed - _XXP1) & _M32
+        while i + 16 <= n:
+            v1 = (_rotl32((v1 + int.from_bytes(data[i:i + 4], "little")
+                           * _XXP2) & _M32, 13) * _XXP1) & _M32
+            v2 = (_rotl32((v2 + int.from_bytes(data[i + 4:i + 8], "little")
+                           * _XXP2) & _M32, 13) * _XXP1) & _M32
+            v3 = (_rotl32((v3 + int.from_bytes(data[i + 8:i + 12], "little")
+                           * _XXP2) & _M32, 13) * _XXP1) & _M32
+            v4 = (_rotl32((v4 + int.from_bytes(data[i + 12:i + 16], "little")
+                           * _XXP2) & _M32, 13) * _XXP1) & _M32
+            i += 16
+        h = (_rotl32(v1, 1) + _rotl32(v2, 7)
+             + _rotl32(v3, 12) + _rotl32(v4, 18)) & _M32
+    else:
+        h = (seed + _XXP5) & _M32
+    h = (h + n) & _M32
+    while i + 4 <= n:
+        h = (_rotl32((h + int.from_bytes(data[i:i + 4], "little")
+                      * _XXP3) & _M32, 17) * _XXP4) & _M32
+        i += 4
+    while i < n:
+        h = (_rotl32((h + data[i] * _XXP5) & _M32, 11) * _XXP1) & _M32
+        i += 1
+    h ^= h >> 15
+    h = (h * _XXP2) & _M32
+    h ^= h >> 13
+    h = (h * _XXP3) & _M32
+    h ^= h >> 16
+    return h
+
+
 def batch_sha1_hash32(tokens) -> np.ndarray:
     lib = _load()
+    if lib is None:
+        return np.array(
+            [struct.unpack("<I", hashlib.sha1(t).digest()[:4])[0]
+             for t in tokens],
+            dtype=np.uint32,
+        ).reshape(len(tokens))
     data, offsets = _pack(tokens)
     out = np.empty(len(tokens), dtype=np.uint32)
     lib.batch_sha1_32(data, offsets, len(tokens), out)
@@ -89,6 +162,12 @@ def batch_sha1_hash32(tokens) -> np.ndarray:
 
 def batch_sha1_hash64(tokens) -> np.ndarray:
     lib = _load()
+    if lib is None:
+        return np.array(
+            [struct.unpack("<Q", hashlib.sha1(t).digest()[:8])[0]
+             for t in tokens],
+            dtype=np.uint64,
+        ).reshape(len(tokens))
     data, offsets = _pack(tokens)
     out = np.empty(len(tokens), dtype=np.uint64)
     lib.batch_sha1_64(data, offsets, len(tokens), out)
@@ -97,6 +176,10 @@ def batch_sha1_hash64(tokens) -> np.ndarray:
 
 def batch_xxhash32(tokens, seed: int = 0) -> np.ndarray:
     lib = _load()
+    if lib is None:
+        return np.array(
+            [_py_xxh32(bytes(t), seed) for t in tokens], dtype=np.uint32
+        ).reshape(len(tokens))
     data, offsets = _pack(tokens)
     out = np.empty(len(tokens), dtype=np.uint32)
     lib.batch_xxhash32(data, offsets, len(tokens), seed, out)

@@ -743,10 +743,18 @@ struct TokenCache {
 // shingles) repeat the same PyObject, so (pointer, len) alone identifies
 // the content — skipping even the xxh64 content key. Pointers are only
 // stable while the caller holds references (one hash_corpus call), so
-// entries are tagged with an epoch the owner bumps per call: stale-epoch
-// entries read as empty without any table zeroing. Content-fresh tokens
-// (tokenizers that allocate new bytes each time) miss here and fall
-// through to the content-addressed cache, which stays authoritative.
+// entries are tagged with a SESSION epoch: each call claims its own via
+// begin_session() and passes it to every lookup/insert. Sessions must be
+// compared against the caller's claimed epoch, not the cache's current
+// counter — token collection can re-enter Python (lazy sequences,
+// __buffer__ hooks) and yield the GIL, so a second call may start (and
+// finish, freeing its tokens) while the first is mid-collection; with a
+// single shared "current" epoch the first call would then match the
+// second call's entries for reused heap addresses and silently emit
+// wrong hashes. Stale-session entries read as empty without any table
+// zeroing. Content-fresh tokens (tokenizers that allocate new bytes each
+// time) miss here and fall through to the content-addressed cache, which
+// stays authoritative.
 struct IdentCache {
   static constexpr size_t kBits = 16;
   static constexpr size_t kSlots = 1ULL << kBits;
@@ -760,7 +768,8 @@ struct IdentCache {
   uint64_t epoch = 0;
   IdentCache() : slots(kSlots, Entry{nullptr, 0, 0, 0}) {}
 
-  void new_epoch() { epoch++; }
+  // Claim a fresh session id (GIL-serialized).
+  uint64_t begin_session() { return ++epoch; }
 
   static inline size_t slot_of(const void* p) {
     uintptr_t x = reinterpret_cast<uintptr_t>(p) >> 4;
@@ -768,17 +777,19 @@ struct IdentCache {
     return static_cast<size_t>(x >> (64 - kBits));
   }
 
-  inline bool lookup(const void* p, uint32_t len, uint32_t* out) const {
+  inline bool lookup(const void* p, uint32_t len, uint32_t* out,
+                     uint64_t session) const {
     const Entry& e = slots[slot_of(p)];
-    if (e.epoch == epoch && e.ptr == p && e.len == len) {
+    if (e.epoch == session && e.ptr == p && e.len == len) {
       *out = e.val;
       return true;
     }
     return false;
   }
 
-  inline void insert(const void* p, uint32_t len, uint32_t v) {
-    slots[slot_of(p)] = Entry{p, len, v, epoch};
+  inline void insert(const void* p, uint32_t len, uint32_t v,
+                     uint64_t session) {
+    slots[slot_of(p)] = Entry{p, len, v, session};
   }
 };
 

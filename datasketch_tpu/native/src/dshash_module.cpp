@@ -71,6 +71,7 @@ struct TokenSink {
   bool use_x2 = false;
   dshash::TokenCache* cache = nullptr;  // sha1_32 memoization (optional)
   dshash::IdentCache* ident = nullptr;  // pointer-identity layer above it
+  uint64_t ident_epoch = 0;             // this call's claimed session id
   TokenRef pending{nullptr, 0, 0};
   uint64_t pending_key = 0;
   bool has_pending = false;
@@ -85,7 +86,7 @@ struct TokenSink {
         uint64_t ck = 0;
         if (ident) {
           uint32_t v;
-          if (ident->lookup(ptr, len, &v)) {
+          if (ident->lookup(ptr, len, &v, ident_epoch)) {
             out32[pos] = v;
             return;
           }
@@ -95,7 +96,7 @@ struct TokenSink {
           uint32_t v;
           if (cache->lookup(ck, len, &v)) {
             out32[pos] = v;
-            if (ident) ident->insert(ptr, len, v);
+            if (ident) ident->insert(ptr, len, v, ident_epoch);
             return;
           }
         }
@@ -116,8 +117,9 @@ struct TokenSink {
               if (ck) cache->insert(ck, len, out32[pos]);
             }
             if (ident) {
-              ident->insert(pending.ptr, pending.len, out32[pending.out_pos]);
-              ident->insert(ptr, len, out32[pos]);
+              ident->insert(pending.ptr, pending.len, out32[pending.out_pos],
+                            ident_epoch);
+              ident->insert(ptr, len, out32[pos], ident_epoch);
             }
           }
           return;
@@ -125,7 +127,7 @@ struct TokenSink {
 #endif
         out32[pos] = dshash::sha1_32(ptr, len, compress);
         if (cache && ck) cache->insert(ck, len, out32[pos]);
-        if (ident) ident->insert(ptr, len, out32[pos]);
+        if (ident) ident->insert(ptr, len, out32[pos], ident_epoch);
         return;
       }
       case 1:
@@ -143,7 +145,8 @@ struct TokenSink {
       if (cache && pending_key)
         cache->insert(pending_key, pending.len, out32[pending.out_pos]);
       if (ident)
-        ident->insert(pending.ptr, pending.len, out32[pending.out_pos]);
+        ident->insert(pending.ptr, pending.len, out32[pending.out_pos],
+                      ident_epoch);
       has_pending = false;
     }
   }
@@ -229,7 +232,11 @@ void init_sink(TokenSink& sink, std::vector<TokenRef>* refs, int algo,
   sink.cache = (algo == 0 && inline_mode) ? cache : nullptr;
   if (sink.cache) {
     sink.ident = global_ident_cache();
-    sink.ident->new_epoch();
+    // per-call SESSION id: a concurrent call that starts while this one
+    // is mid-collection (GIL released inside PySequence_Fast /
+    // PyObject_GetBuffer on lazy inputs) claims a different session, so
+    // its entries can never match this call's lookups
+    sink.ident_epoch = sink.ident->begin_session();
   }
 }
 
@@ -336,15 +343,23 @@ PyObject* hash_flat(PyObject*, PyObject* args) {
   std::vector<TokenRef> refs;
   Keepalive keep;
   TokenSink sink;
-  Py_ssize_t size_hint = PySequence_Check(tokens) ? PySequence_Size(tokens) : 0;
+  // PySequence_Size can FAIL (-1 with a pending exception) on objects
+  // that pass PySequence_Check but lack __len__; treat that as "no hint"
+  // or the pending exception later surfaces as a bogus SystemError.
+  Py_ssize_t size_hint = 0;
+  if (PySequence_Check(tokens)) {
+    size_hint = PySequence_Size(tokens);
+    if (size_hint < 0) {
+      PyErr_Clear();
+      size_hint = 0;
+    }
+  }
   dshash::TokenCache* cache =
       (algo == 0 && size_hint >= 4096) ? global_token_cache() : nullptr;
   init_sink(sink, &refs, algo, seed, static_cast<uint32_t*>(view.buf),
             static_cast<uint64_t*>(view.buf), mode, cache);
-  if (sink.refs && PySequence_Check(tokens)) {
-    Py_ssize_t hint = PySequence_Size(tokens);
-    if (hint > 0) refs.reserve(static_cast<size_t>(hint));
-  }
+  if (sink.refs && size_hint > 0)
+    refs.reserve(static_cast<size_t>(size_hint));
   const Py_ssize_t n = collect_tokens(tokens, 0, capacity, sink, keep);
   if (n < 0) {
     PyBuffer_Release(&view);

@@ -21,17 +21,16 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["oph_signatures"]
+from datasketch_tpu.ops.hashing import mix32
+from datasketch_tpu.ops.u64 import MAX_HASH, umul32_wide
 
-MAX_HASH = (1 << 32) - 1
+
+__all__ = ["oph_signatures"]
 
 
 def _mix(h, salt):
     """fmix32 finalizer over h ^ salt (uniform rehash)."""
-    h = h ^ jnp.uint32(salt)
-    h = (h ^ (h >> 16)) * jnp.uint32(0x85EBCA6B)
-    h = (h ^ (h >> 13)) * jnp.uint32(0xC2B2AE35)
-    return h ^ (h >> 16)
+    return mix32(h ^ jnp.uint32(salt))
 
 
 @functools.partial(jax.jit, static_argnames=("num_perm", "seed"))
@@ -51,10 +50,13 @@ def oph_signatures(hashes, lengths, num_perm: int, seed: int = 1):
     h = _mix(hashes.astype(jnp.uint32), salt)
     mask = jax.lax.broadcasted_iota(jnp.int32, hashes.shape, 1) < lengths[:, None]
 
-    # fair bin assignment: floor(h * k / 2^32) via 64-bit-free mulhi
-    hi16 = (h >> 16) * jnp.uint32(num_perm)
-    lo16 = (h & jnp.uint32(0xFFFF)) * jnp.uint32(num_perm)
-    bins = ((hi16 + (lo16 >> 16)) >> 16).astype(jnp.int32)  # [B, T] in [0, k)
+    # fair bin assignment: floor(h * k / 2^32) = mulhi(h, k). The full
+    # 32x32 limb product is overflow-safe for ANY num_perm < 2^32 — a
+    # 16-bit shortcut ((h>>16)*k) wraps once num_perm > 2^16, silently
+    # leaving bins >= 65536 permanently empty.
+    k_arr = jnp.full_like(h, jnp.uint32(num_perm))
+    bins, _ = umul32_wide(h, k_arr)
+    bins = bins.astype(jnp.int32)  # [B, T] in [0, k)
 
     # per-bin min value: a second independent mix decorrelates bin choice
     # from the stored minimum

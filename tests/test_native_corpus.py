@@ -147,3 +147,58 @@ def test_token_caches_persist_and_never_staleness():
                                       mode=corpus.MODE_INLINE)
     assert p5[0, 0] == sha32(a) and p5[0, 1] == sha32(b)
     assert p5[0, 0] != p5[0, 1]
+
+
+def test_hash_flat_sequence_without_len():
+    """A __getitem__-only sequence passes PySequence_Check but fails
+    PySequence_Size; the failed size probe must not leave a pending
+    exception (previously surfaced as SystemError)."""
+    if not corpus.available():
+        pytest.skip("extension unavailable")
+
+    class NoLen:
+        def __getitem__(self, i):
+            if i >= 3:
+                raise IndexError
+            return b"tok%d" % i
+
+    mod = corpus._load()
+    out = np.zeros(8, dtype=np.uint32)
+    n = mod.hash_flat(NoLen(), out, corpus.ALGO_SHA1_32, 0)
+    assert n == 3
+    ref = [
+        struct.unpack("<I", hashlib.sha1(b"tok%d" % i).digest()[:4])[0]
+        for i in range(3)
+    ]
+    assert list(out[:3]) == ref
+
+
+def test_pure_python_fallback_bit_exact(monkeypatch):
+    """When the ctypes lib can't build, every entry point must degrade to
+    a bit-identical pure-Python path instead of raising."""
+    from datasketch_tpu.native import hashlib_native as hn
+
+    # sanity: native and fallback agree while native IS available
+    toks = [b"", b"a", b"hello world", b"x" * 100, bytes(range(37))]
+    native32 = hn.batch_sha1_hash32(toks)
+    native64 = hn.batch_sha1_hash64(toks)
+    nativexx = hn.batch_xxhash32(toks, seed=7)
+
+    monkeypatch.setattr(hn, "_lib", None)
+    monkeypatch.setattr(hn, "_lib_failed", True)  # simulate failed build
+    assert np.array_equal(hn.batch_sha1_hash32(toks), native32)
+    assert np.array_equal(hn.batch_sha1_hash64(toks), native64)
+    assert np.array_equal(hn.batch_xxhash32(toks, seed=7), nativexx)
+    # empty input
+    assert hn.batch_sha1_hash32([]).shape == (0,)
+
+
+def test_pure_python_xxh32_reference_vectors():
+    """Known-answer tests for the scalar XXH32 fallback (covers all three
+    loop regimes: stripes, 4-byte tail, byte tail)."""
+    from datasketch_tpu.native.hashlib_native import _py_xxh32
+
+    # canonical xxhash test vectors
+    assert _py_xxh32(b"", 0) == 0x02CC5D05
+    assert _py_xxh32(b"", 0x9E3779B1) == 0x36B78AE7
+    assert _py_xxh32(b"Hello World", 0) == 0xB1FD16EE

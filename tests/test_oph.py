@@ -80,3 +80,34 @@ def test_bulk_scheme_oph():
     assert abs(est - true_j) < 0.2
     with pytest.raises(ValueError):
         MinHash.bulk(docs, num_perm=128, scheme="bogus")
+
+
+def test_bins_above_65536_reachable():
+    """The bin assignment is mulhi(h, k): with num_perm > 2^16 a 16-bit
+    shortcut wraps and leaves bins >= 65536 permanently empty. White-box:
+    a single-token doc's stored min must land at floor(mix(h)*k / 2^32),
+    including bins in the upper half."""
+    import jax.numpy as jnp
+
+    num_perm = 1 << 17
+    seed = 1
+    salt = (0x9E3779B1 ^ (seed * 0x45D9F3B)) & 0xFFFFFFFF
+    rng = np.random.RandomState(0)
+    token_hashes = rng.randint(0, 1 << 32, size=64, dtype=np.uint64).astype(
+        np.uint32
+    )
+    h = np.asarray(oph._mix(jnp.asarray(token_hashes), salt))
+    expected_bins = ((h.astype(np.uint64) * num_perm) >> 32).astype(np.int64)
+    expected_vals = np.asarray(
+        oph._mix(jnp.asarray(h), (0x27D4EB2F ^ seed) & 0xFFFFFFFF)
+    )
+    assert (expected_bins >= 65536).any(), "test vectors must hit upper bins"
+
+    padded, lengths = _pad([[int(t)] for t in token_hashes])
+    sigs = np.asarray(
+        oph.oph_signatures(padded, lengths, num_perm, seed=seed)
+    )
+    for i in range(len(token_hashes)):
+        assert sigs[i, expected_bins[i]] == expected_vals[i], (
+            i, expected_bins[i]
+        )
