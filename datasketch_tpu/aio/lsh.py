@@ -249,16 +249,25 @@ class AsyncMinHashLSH:
         )
 
     async def get_subset_counts(self, *keys) -> list:
-        """Bucket counts restricted to the given keys (lsh.py:572-589)."""
+        """Bucket counts restricted to the given keys (lsh.py:572-589).
+
+        Input keys are deduplicated and each bucket counts distinct keys
+        (set semantics) — matching the host class and the reference,
+        which insert into set-valued dict storage.
+        """
         await self._init_storages()
         if self.prepickle:
-            keys = [pickle.dumps(k) for k in keys]
-        key_hs = await asyncio.gather(*[self.keys.get(k) for k in keys])
-        counts = [dict() for _ in self.hashtables]
-        for Hs in key_hs:
+            key_set = [pickle.dumps(k) for k in set(keys)]
+        else:
+            key_set = list(set(keys))
+        key_hs = await asyncio.gather(*[self.keys.get(k) for k in key_set])
+        members = [dict() for _ in self.hashtables]
+        for key, Hs in zip(key_set, key_hs):
             for i, H in enumerate(Hs):
-                counts[i][H] = counts[i].get(H, 0) + 1
-        return counts
+                members[i].setdefault(H, set()).add(key)
+        return [
+            {H: len(ks) for H, ks in table.items()} for table in members
+        ]
 
     # -------------------------------------------------------------- sessions
 

@@ -197,6 +197,22 @@ class HNSW(MutableMapping):
                     batch_distance_func = lambda q, pts: np.linalg.norm(  # noqa: E731
                         np.asarray(pts) - q, axis=-1
                     )
+            elif metric == "cosine":
+                def distance_func(x, y):
+                    x = np.asarray(x, dtype=np.float64)
+                    y = np.asarray(y, dtype=np.float64)
+                    denom = np.linalg.norm(x) * np.linalg.norm(y)
+                    return float(1.0 - np.dot(x, y) / denom) if denom else 1.0
+
+                if batch_distance_func is None:
+                    def batch_distance_func(q, pts):
+                        q = np.asarray(q, dtype=np.float64)
+                        pts = np.asarray(pts, dtype=np.float64)
+                        denom = np.linalg.norm(pts, axis=-1) * np.linalg.norm(q)
+                        dots = pts @ q
+                        with np.errstate(invalid="ignore", divide="ignore"):
+                            sim = np.where(denom > 0, dots / denom, 0.0)
+                        return 1.0 - sim
             elif metric == "minhash_jaccard":
                 distance_func = lambda x, y: 1.0 - float(np.mean(x == y))  # noqa: E731
                 if batch_distance_func is None:

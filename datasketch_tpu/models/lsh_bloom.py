@@ -339,7 +339,9 @@ class TpuMinHashLSHBloom:
         h1 ^= h1 >> np.uint64(29)
         h1 *= np.uint64(0xBF58476D1CE4E5B9)
         h1 ^= h1 >> np.uint64(32)
-        h2 = (x * np.uint64(0xC2B2AE3D27D4EB4F)) | np.uint64(1)
+        h2 = x * np.uint64(0xC2B2AE3D27D4EB4F)
+        h2 ^= h2 >> np.uint64(33)  # same finalizer as BloomTable._positions:
+        h2 = h2 | np.uint64(1)  # bitmaps must be cross-checkable host<->device
         i = np.arange(self.num_hashes, dtype=np.uint64)
         pos = (h1[..., None] + i * h2[..., None]) % np.uint64(self.num_bits)
         return pos.astype(np.int64)

@@ -256,6 +256,8 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
         only load index files you created or trust."""
         import pickle as _pickle
 
+        if not str(path).endswith(".npz"):
+            path = str(path) + ".npz"  # np.savez appended it on write
         data = np.load(path, allow_pickle=False)
         if str(data["kind"]) != "tpu_ensemble":
             raise ValueError("not a TpuMinHashLSHEnsemble checkpoint")

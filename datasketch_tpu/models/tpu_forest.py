@@ -324,6 +324,8 @@ class TpuMinHashLSHForest:
         only load index files you created or trust."""
         import pickle as _pickle
 
+        if not str(path).endswith(".npz"):
+            path = str(path) + ".npz"  # np.savez appended it on write
         data = np.load(path, allow_pickle=False)
         num_perm, l, cap = (int(x) for x in data["params"])
         forest = cls(num_perm=num_perm, l=l, cap=cap)

@@ -66,7 +66,11 @@ class TpuHNSW:
         pts = np.asarray(points)
         if pts.shape[0] != len(keys):
             raise ValueError("keys and points must have equal length")
-        seen = set()
+        # Check buffered add()s too: a clash detected only when
+        # _flush_pending() later re-enters index() would raise from inside
+        # an unrelated query() AFTER the pending buffer was already
+        # cleared, losing every other buffered point.
+        seen = {k for k, _ in self._pending}
         for k in keys:
             if k in self._key_to_pos or k in seen:
                 raise ValueError("The given key already exists: %r" % (k,))
@@ -284,6 +288,8 @@ class TpuHNSW:
         only load index files you created or trust."""
         import pickle as _pickle
 
+        if not str(path).endswith(".npz"):
+            path = str(path) + ".npz"  # np.savez appended it on write
         data = np.load(path, allow_pickle=False)
         if str(data["kind"]) != "tpu_hnsw":
             raise ValueError("not a TpuHNSW checkpoint")

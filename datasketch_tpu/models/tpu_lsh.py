@@ -117,6 +117,11 @@ class TpuMinHashLSH:
 
         Replaces per-key ``insert`` loops: one device sort per band.
         """
+        # Buffered insert()s first: base positions below count self._keys,
+        # so unflushed rows would otherwise land AFTER this batch's rows
+        # while their keys sit BEFORE them — permanently swapping the
+        # key<->signature mapping.
+        self._flush_pending()
         keys = list(keys)
         sigs = _as_signature_matrix(minhashes)
         if sigs.shape[0] != len(keys):

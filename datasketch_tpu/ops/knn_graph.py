@@ -126,6 +126,20 @@ def build_nsw_graph(points, keys=None, m: int = 16, metric="l2",
     """
     points = jnp.asarray(points)
     n = points.shape[0]
+    if n == 0:
+        raise ValueError("cannot build a graph over zero points")
+    if n == 1:
+        # degenerate but legal (first add() before any other): a single
+        # node with no edges — k=0 top_k/reshape would divide by zero
+        return DeviceGraph(
+            points=points,
+            adj0=jnp.full((1, 2 * m), -1, dtype=jnp.int32),
+            upper_nodes=[],
+            upper_adj=[],
+            entry=0,
+            keys=list(keys) if keys is not None else [0],
+            deleted=jnp.zeros((1,), dtype=bool),
+        )
     dist = _distance_fn(metric)
     # 3m nearest candidates, then diversity-prune to m navigable edges
     kc = min(3 * m, n - 1)

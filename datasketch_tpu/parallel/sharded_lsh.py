@@ -89,9 +89,11 @@ class ShardedMinHashLSH:
             raise ValueError(
                 "Expecting minhash with length %d, got %d" % (self.h, sigs.shape[1])
             )
+        seen = set()
         for k in keys:
-            if k in self._key_to_pos:
+            if k in self._key_to_pos or k in seen:
                 raise ValueError("The given key already exists: %r" % (k,))
+            seen.add(k)
         base = len(self._keys)
         for i, k in enumerate(keys):
             self._key_to_pos[k] = base + i

@@ -256,7 +256,32 @@ class RedisStorage:
             self._pipe_len = 0
 
     def redis_key(self, key):
-        return self._name + b"/" + (key if isinstance(key, bytes) else bytes(key))
+        if not isinstance(key, bytes):
+            # bytes(5) is b'\x00'*5 (silent collisions) and bytes('x')
+            # raises a confusing encoding error — fail loudly instead;
+            # MinHashLSH prepickles keys to bytes before they reach here.
+            raise TypeError(
+                "redis storage keys must be bytes, got %s"
+                % type(key).__name__
+            )
+        return self._name + b"/" + key
+
+    def _keys_pattern(self) -> bytes:
+        """KEYS glob matching exactly this storage's namespace.
+
+        The name embeds ``struct.pack('>H', band_index)`` bytes, so for
+        b >= 43 bands it contains glob metacharacters ('*' at 42, '?' at
+        63, '[' at 91, '\\\\' at 92) — unescaped, bucket 42's pattern
+        would match EVERY bucket's keys.
+        """
+        specials = frozenset(b"*?[]\\")
+        out = bytearray()
+        for byte in self._name + b"/":
+            if byte in specials:
+                out.append(0x5C)  # backslash-escape (redis glob syntax)
+            out.append(byte)
+        out.append(0x2A)  # b"*"
+        return bytes(out)
 
     def __getstate__(self):
         state = self.__dict__.copy()
@@ -275,10 +300,21 @@ class RedisStorage:
 
 class RedisListStorage(RedisStorage, OrderedStorage):
     def keys(self):
-        return [k[len(self._name) + 1 :] for k in self._redis.keys(self._name + b"/*")]
+        return [
+            k[len(self._name) + 1 :]
+            for k in self._redis.keys(self._keys_pattern())
+        ]
 
     def get(self, key):
         return self._redis.lrange(self.redis_key(key), 0, -1)
+
+    def getmany(self, *keys):
+        # one pipelined round trip for the whole batch — the default
+        # base-class loop would pay one network RTT per key
+        pipe = self._redis.pipeline(transaction=False)
+        for k in keys:
+            pipe.lrange(self.redis_key(k), 0, -1)
+        return pipe.execute()
 
     def insert(self, key, *vals, buffer=False, **kwargs):
         if vals:
@@ -306,10 +342,19 @@ class RedisListStorage(RedisStorage, OrderedStorage):
 
 class RedisSetStorage(RedisStorage, UnorderedStorage):
     def keys(self):
-        return [k[len(self._name) + 1 :] for k in self._redis.keys(self._name + b"/*")]
+        return [
+            k[len(self._name) + 1 :]
+            for k in self._redis.keys(self._keys_pattern())
+        ]
 
     def get(self, key):
         return self._redis.smembers(self.redis_key(key))
+
+    def getmany(self, *keys):
+        pipe = self._redis.pipeline(transaction=False)
+        for k in keys:
+            pipe.smembers(self.redis_key(k))
+        return pipe.execute()
 
     def insert(self, key, *vals, buffer=False, **kwargs):
         if vals:

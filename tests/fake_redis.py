@@ -54,13 +54,23 @@ class FakeRedis:
         return int(key in self._lists or key in self._sets)
 
     def keys(self, pattern):
+        # emulate redis glob matching for the patterns our storages emit:
+        # a backslash-ESCAPED literal prefix followed by one trailing '*'
         assert pattern.endswith(b"*")
-        prefix = pattern[:-1]
+        escaped = pattern[:-1]
+        prefix = bytearray()
+        i = 0
+        while i < len(escaped):
+            if escaped[i] == 0x5C and i + 1 < len(escaped):  # backslash
+                i += 1
+            prefix.append(escaped[i])
+            i += 1
+        prefix = bytes(prefix)
         out = [k for k in list(self._lists) + list(self._sets)
                if k.startswith(prefix)]
         return out
 
-    def pipeline(self):
+    def pipeline(self, *args, **kwargs):
         return FakePipeline(self)
 
 
@@ -78,7 +88,10 @@ class FakePipeline:
         return queue
 
     def execute(self):
+        # real pipelines return each command's result (read pipelines
+        # such as RedisListStorage.getmany depend on this)
         ops, self._ops = self._ops, []
-        for name, args, kwargs in ops:
+        return [
             getattr(self._client, name)(*args, **kwargs)
-        return [True] * len(ops)
+            for name, args, kwargs in ops
+        ]

@@ -187,3 +187,168 @@ def test_healthcheck_subprocess_targets_device():
 
     res = device_healthcheck(timeout=120.0, device=FakeDevice())
     assert not res["ok"] and "no device with id" in res["error"]
+
+
+def test_tpu_lsh_index_after_buffered_insert_keeps_mapping():
+    """index() must flush buffered insert()s first: base positions count
+    self._keys, so unflushed rows previously landed AFTER the batch's
+    rows while their keys sat BEFORE them — swapping every mapping."""
+    mhs, sigs = _minhashes(4, seed=11)
+    lsh = TpuMinHashLSH(threshold=0.5, num_perm=128)
+    lsh.insert("a", mhs[0])          # buffered
+    lsh.index(["b"], [mhs[1]])       # previously corrupted the mapping
+    for key, m in [("a", mhs[0]), ("b", mhs[1])]:
+        top = lsh.top_k([m], k=1)[0]
+        assert top[0][0] == key, (key, top)
+
+
+def test_sharded_index_rejects_in_batch_duplicates(mesh):
+    mhs, _ = _minhashes(2, seed=12)
+    sh = ShardedMinHashLSH(mesh, threshold=0.5, num_perm=128)
+    with pytest.raises(ValueError, match="already exists"):
+        sh.index(["a", "a"], mhs)
+
+
+def test_tpu_hnsw_index_rejects_pending_duplicate():
+    rng = np.random.RandomState(13)
+    pts = rng.random_sample((4, 8)).astype(np.float32)
+    ix = TpuHNSW(distance_metric="l2")
+    ix.add("a", pts[0])
+    with pytest.raises(ValueError, match="already exists"):
+        ix.index(["a"], pts[1:2])
+    # the pending buffer survives the failed call
+    assert "a" in ix and len(ix) == 1
+    assert ix.query(pts[0], k=1)[0][0] == "a"
+
+
+def test_save_load_without_npz_suffix(tmp_path):
+    """save('x') writes 'x.npz' (numpy appends); load('x') must find it."""
+    mhs, _ = _minhashes(8, seed=14)
+    f = TpuMinHashLSHForest(num_perm=128, l=8)
+    f.index([f"k{i}" for i in range(8)], mhs)
+    f.save(str(tmp_path / "forest_noext"))
+    assert "k0" in TpuMinHashLSHForest.load(str(tmp_path / "forest_noext"))
+
+    rng = np.random.RandomState(15)
+    pts = rng.random_sample((8, 4)).astype(np.float32)
+    ix = TpuHNSW(distance_metric="l2")
+    ix.index(list(range(8)), pts)
+    ix.save(str(tmp_path / "hnsw_noext"))
+    assert 0 in TpuHNSW.load(str(tmp_path / "hnsw_noext"))
+
+
+def test_bloom_host_device_positions_agree():
+    """TpuMinHashLSHBloom must probe the same bit positions as the host
+    BloomTable (both docstrings promise one scheme) so bitmaps are
+    cross-checkable."""
+    from datasketch_tpu.models.lsh_bloom import BloomTable, TpuMinHashLSHBloom
+
+    host = BloomTable(item_count=1000, fp=0.01, band_size=8)
+    dev = TpuMinHashLSHBloom(threshold=0.5, num_perm=128, n=1000, fp=0.01)
+    assert host.num_bits == dev.num_bits
+    assert host.num_hashes == dev.num_hashes
+    keys = np.array([12345, 2**63 + 17, 999, 0], dtype=np.uint64)
+    host_pos = host._positions(keys)
+    dev_pos = np.asarray(dev._positions(keys))
+    np.testing.assert_array_equal(host_pos, dev_pos)
+
+
+def test_hnsw_from_points_cosine():
+    rng = np.random.RandomState(16)
+    pts = rng.random_sample((32, 8)).astype(np.float32)
+    ix = HNSW.from_points(pts, metric="cosine")
+    hits = ix.query(pts[3], k=3)
+    assert hits[0][0] == 3 and hits[0][1] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_redis_namespace_glob_isolation():
+    """Band names embed struct.pack('>H', i): name bytes like '*' (42),
+    '?' (63), '[' (91) previously made keys() match OTHER buckets."""
+    import struct
+    import sys
+    import types
+
+    from tests.fake_redis import FakeRedis
+
+    mod = types.ModuleType("redis")
+    mod.Redis = FakeRedis
+    saved = sys.modules.get("redis")
+    sys.modules["redis"] = mod
+    try:
+        from datasketch_tpu.storage import unordered_storage
+
+        cfg = {"type": "redis", "redis": {"host": "fake", "port": 0}}
+        stores = {}
+        for i in (41, 42, 63, 91, 92, 93):
+            name = b"base_bucket_" + struct.pack(">H", i)
+            stores[i] = unordered_storage(cfg, name=name)
+        shared = stores[42]._redis
+        for st in stores.values():
+            st._redis = shared  # one fake server for all buckets
+        for i, st in stores.items():
+            st.insert(b"k%d" % i, b"v")
+        for i, st in stores.items():
+            assert st.keys() == [b"k%d" % i], i
+            assert st.size() == 1
+            assert st.itemcounts() == {b"k%d" % i: 1}
+    finally:
+        if saved is None:
+            sys.modules.pop("redis", None)
+        else:
+            sys.modules["redis"] = saved
+
+
+def test_redis_getmany_pipelined_and_key_type_errors():
+    import sys
+    import types
+
+    from tests.fake_redis import FakeRedis
+
+    mod = types.ModuleType("redis")
+    mod.Redis = FakeRedis
+    saved = sys.modules.get("redis")
+    sys.modules["redis"] = mod
+    try:
+        from datasketch_tpu.storage import ordered_storage, unordered_storage
+
+        cfg = {"type": "redis", "redis": {"host": "fake", "port": 0}}
+        ls = ordered_storage(cfg, name=b"gm")
+        ls.insert(b"a", b"1", b"2")
+        ls.insert(b"b", b"3")
+        assert ls.getmany(b"a", b"b", b"missing") == [
+            [b"1", b"2"], [b"3"], []
+        ]
+        us = unordered_storage(cfg, name=b"gs")
+        us.insert(b"x", b"1")
+        got = us.getmany(b"x", b"y")
+        assert got[0] == {b"1"} and got[1] == set()
+        with pytest.raises(TypeError, match="bytes"):
+            ls.insert(5, b"v")
+        with pytest.raises(TypeError, match="bytes"):
+            us.get("strkey")
+    finally:
+        if saved is None:
+            sys.modules.pop("redis", None)
+        else:
+            sys.modules["redis"] = saved
+
+
+def test_async_get_subset_counts_set_semantics():
+    import asyncio
+
+    from datasketch_tpu import AsyncMinHashLSH
+
+    async def go():
+        async with AsyncMinHashLSH(
+            threshold=0.5, num_perm=128,
+            storage_config={"type": "aiodict"},
+        ) as lsh:
+            m = MinHash(num_perm=128)
+            m.update_batch([b"a", b"b", b"c"])
+            await lsh.insert("m1", m)
+            dup = await lsh.get_subset_counts("m1", "m1")
+            single = await lsh.get_subset_counts("m1")
+            assert dup == single
+            assert all(all(v == 1 for v in t.values()) for t in single)
+
+    asyncio.run(go())
