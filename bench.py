@@ -121,7 +121,7 @@ def bench_lsh_topk(n_sets: int = 2000, n_queries: int = 50, k: int = 10):
         n_sets=n_sets, n_queries=n_queries
     )
     gt, exact_times = butils.exact_topk(sets, query_sets, k)
-    docs = [[int(t).to_bytes(8, "little") for t in s] for s in sets]
+    docs = butils.sets_to_docs(sets)
     mhs = [
         MinHash(num_perm=NUM_PERM, hashvalues=row)
         for row in MinHash.bulk_signatures(docs, num_perm=NUM_PERM)
@@ -163,12 +163,15 @@ def wait_for_device(max_wait: float = 480.0) -> dict:
     from datasketch_tpu.utils import device_healthcheck
 
     deadline = time.time() + max_wait
-    while True:
-        budget = max(30.0, min(120.0, deadline - time.time()))
+    res = {"ok": False, "latency_s": None, "error": "max_wait <= 0"}
+    while time.time() < deadline:
+        # never probe past the deadline: the caller budgets around max_wait
+        budget = min(120.0, max(10.0, deadline - time.time()))
         res = device_healthcheck(timeout=budget)
-        if res["ok"] or time.time() >= deadline:
-            return res
+        if res["ok"] or time.time() + 20 >= deadline:
+            break
         time.sleep(20)
+    return res
 
 
 def main() -> None:

@@ -10,12 +10,13 @@ Usage: python benchmarks/containment_benchmark.py [n_sets] [threshold]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 from benchmarks import utils  # noqa: E402
 
@@ -51,9 +52,9 @@ def main():
             {j for j, s in enumerate(sets) if exact_containment(q, s) >= threshold}
         )
 
-    docs = [[int(t).to_bytes(8, "little") for t in s] for s in sets]
+    docs = utils.sets_to_docs(sets)
     mhs = MinHash.bulk(docs, num_perm=num_perm)
-    q_docs = [[int(t).to_bytes(8, "little") for t in s] for s in query_sets]
+    q_docs = utils.sets_to_docs(query_sets)
     q_mhs = MinHash.bulk(q_docs, num_perm=num_perm)
 
     for num_part in (8, 16, 32):

@@ -44,8 +44,10 @@ def read_sets(path: str, sample_ratio: float = 1.0, skip: int = 1,
                 continue
             if sample_ratio < 1.0 and rng.random() > sample_ratio:
                 continue
-            payload = line.strip().split("\t")[1]
-            s = np.unique(np.array(payload.split(","), dtype=np.int64))
+            parts = line.strip().split("\t")
+            if len(parts) < 2 or not parts[1]:
+                continue  # blank/trailing/malformed line: skip, don't abort
+            s = np.unique(np.array(parts[1].split(","), dtype=np.int64))
             sets.append(s)  # np.unique output is already sorted
             keys.append(i)
             if max_sets is not None and len(sets) >= max_sets:

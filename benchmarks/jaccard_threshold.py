@@ -11,12 +11,13 @@ Usage: python benchmarks/jaccard_threshold.py [n_sets] [threshold]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 from benchmarks import utils  # noqa: E402
 
@@ -66,7 +67,7 @@ def main():
         )
     truth = exact_threshold(sets, query_sets, threshold)
 
-    docs = [[int(t).to_bytes(8, "little") for t in s] for s in sets]
+    docs = utils.sets_to_docs(sets)
     mhs = MinHash.bulk(docs, num_perm=num_perm)
     queries = [mhs[i] for i in query_keys]
 

@@ -10,12 +10,13 @@ Usage: python benchmarks/jaccard_topk.py [n_sets] [out.db]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")  # repo root
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 from benchmarks import utils  # noqa: E402
 
@@ -23,7 +24,7 @@ from benchmarks import utils  # noqa: E402
 def build_minhashes(sets, num_perm):
     from datasketch_tpu import MinHash
 
-    docs = [[int(t).to_bytes(8, "little") for t in s] for s in sets]
+    docs = utils.sets_to_docs(sets)
     t0 = time.perf_counter()
     mhs = MinHash.bulk(docs, num_perm=num_perm)
     return mhs, time.perf_counter() - t0

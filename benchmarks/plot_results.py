@@ -9,6 +9,7 @@ Usage: python benchmarks/plot_results.py [topk_results.db]
 from __future__ import annotations
 
 import json
+import os
 import sqlite3
 import sys
 
@@ -57,7 +58,7 @@ def plot_topk(db_path: str, out: str) -> None:
 def plot_sketch_accuracy(out: str) -> None:
     """MinHash Jaccard error vs num_perm (reference minhash_benchmark.png
     analogue), measured live on small synthetic pairs."""
-    sys.path.insert(0, ".")
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
     from datasketch_tpu import MinHash
 
     rng = np.random.RandomState(7)

@@ -10,12 +10,13 @@ Usage: python benchmarks/scale_benchmark.py [n_docs] [n_queries]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 from benchmarks import utils  # noqa: E402,F401  (jit cache)
 

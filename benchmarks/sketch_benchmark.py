@@ -11,12 +11,13 @@ Usage: python benchmarks/sketch_benchmark.py
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 from benchmarks import utils  # noqa: E402,F401  (jit cache config)
 from datasketch_tpu import HyperLogLog, MinHash  # noqa: E402

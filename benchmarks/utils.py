@@ -81,6 +81,15 @@ def generate_sets(
     return sets, keys, query_sets, query_keys
 
 
+def sets_to_docs(sets):
+    """Encode int64 set elements as 8-byte little-endian byte tokens.
+
+    The shared corpus representation for every benchmark — width and
+    endianness must match across scripts for results to be comparable.
+    """
+    return [[int(t).to_bytes(8, "little") for t in s] for s in sets]
+
+
 def exact_jaccard(q: np.ndarray, s: np.ndarray) -> float:
     inter = np.intersect1d(q, s, assume_unique=True).shape[0]
     if inter == 0:

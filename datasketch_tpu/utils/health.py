@@ -77,6 +77,15 @@ def device_healthcheck(timeout: float = 10.0, device=None,
     exit after a failed probe may then hang in PJRT atexit teardown
     (flush output and use ``os._exit`` to exit for certain).
 
+    CAUTION (remote-attached devices): an ``isolate=True`` probe is a
+    SECOND process on the same tunnel. On the axon remote-TPU setup two
+    processes dispatching concurrently can wedge the server itself, so
+    from a live serving process run subprocess probes only while the
+    parent is quiescent (between batches — where a serving loop naturally
+    calls its health check), or use ``isolate=False`` for in-flight
+    monitoring and reserve the subprocess probe for confirming a
+    suspected hang.
+
     Returns ``{"ok": bool, "latency_s": float | None, "error": str | None}``.
     """
     if isolate:
@@ -128,7 +137,10 @@ def device_healthcheck(timeout: float = 10.0, device=None,
         except Exception:
             result["error"] = "probe exited rc=%d: %s" % (rc, stderr[-300:])
         return result
-    result: dict = {"ok": False, "latency_s": None, "error": None}
+    # The probe thread writes its OWN dict; the returned dict is built
+    # after the wait. A late-finishing thread must not mutate the
+    # already-returned timeout verdict into a self-contradictory one.
+    probe_result: dict = {"ok": False, "latency_s": None, "error": None}
     done = threading.Event()
 
     def _probe() -> None:
@@ -144,20 +156,24 @@ def device_healthcheck(timeout: float = 10.0, device=None,
             # transfers can return before bytes land
             value = float(x.sum())
             if value != 6.0:
-                result["error"] = f"wrong result: {value}"
+                probe_result["error"] = f"wrong result: {value}"
             else:
-                result["ok"] = True
-                result["latency_s"] = time.perf_counter() - t0
+                probe_result["ok"] = True
+                probe_result["latency_s"] = time.perf_counter() - t0
         except Exception as exc:  # noqa: BLE001 - report, don't crash
-            result["error"] = repr(exc)
+            probe_result["error"] = repr(exc)
         finally:
             done.set()
 
     thread = threading.Thread(target=_probe, daemon=True)
     thread.start()
     if not done.wait(timeout):
-        result["error"] = f"device probe exceeded {timeout}s (hung dispatch)"
-    return result
+        return {
+            "ok": False,
+            "latency_s": None,
+            "error": f"device probe exceeded {timeout}s (hung dispatch)",
+        }
+    return dict(probe_result)
 
 
 class HealthMonitor:

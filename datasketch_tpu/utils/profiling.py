@@ -40,15 +40,21 @@ def device_sync(out) -> None:
 
     Fetches one reduced scalar per leaf — unlike ``block_until_ready``,
     which on tunnel-attached devices may return before data movement
-    completes.
+    completes. All reductions are dispatched first and fetched with ONE
+    ``jax.device_get``: each separate blocking fetch pays a full tunnel
+    round trip (~30ms), which would otherwise be attributed to the op
+    being timed.
     """
+    scalars = []
     for leaf in jax.tree_util.tree_leaves(out):
         if hasattr(leaf, "dtype"):
             # sum/any have identities for empty arrays (max does not)
             if leaf.dtype == bool:
-                np.asarray(jnp.any(leaf))
+                scalars.append(jnp.any(leaf))
             else:
-                np.asarray(jnp.sum(leaf))
+                scalars.append(jnp.sum(leaf))
+    if scalars:
+        jax.device_get(scalars)
 
 
 def time_op(fn: Callable, *args, warmup: int = 1, iters: int = 3, **kwargs):

@@ -75,12 +75,20 @@ def main() -> int:
         return 2
     with tempfile.TemporaryDirectory(prefix="refsuite_") as tmp:
         tmpdir = pathlib.Path(tmp)
+        copied = []
         for name in FILES:
             src = REF_TESTS / name
             if not src.exists():
-                continue
+                continue  # older reference checkouts lack some files
             (tmpdir / name).write_text(rewrite(src.read_text()))
+            copied.append(name)
         (tmpdir / "conftest.py").write_text(CONFTEST.format(repo=str(REPO)))
+        # only list files that were actually copied: a missing path in
+        # argv is a pytest usage error (rc=4, nothing runs at all)
+        targets = [str(tmpdir / n) for n in copied if n.startswith("test_")]
+        if not targets:
+            print("no reference test files found to run")
+            return 2
         cmd = [
             sys.executable,
             "-m",
@@ -88,7 +96,7 @@ def main() -> int:
             "-q",
             "-p",
             "no:cacheprovider",
-            *[str(tmpdir / n) for n in FILES if n.startswith("test_")],
+            *targets,
             *sys.argv[1:],
         ]
         return subprocess.call(cmd, cwd=tmpdir)
