@@ -119,3 +119,35 @@ def test_async_lsh_over_fake_redis(fake_aioredis):
             assert not await lsh.has_key("m1")
 
     asyncio.run(go())
+
+
+def test_async_redis_namespace_glob_isolation(fake_aioredis):
+    """Band names embed struct.pack('>H', i) bytes: names containing glob
+    metacharacters ('*' at 42, '?' at 63, '[' at 91, '\\' at 92) must not
+    match other buckets' keys (the KEYS pattern is backslash-escaped)."""
+    import struct
+
+    from datasketch_tpu.aio.storage import async_unordered_storage
+
+    async def go():
+        shared = None
+        stores = {}
+        for i in (41, 42, 63, 91, 92):
+            name = b"base_bucket_" + struct.pack(">H", i)
+            st = async_unordered_storage(
+                {"type": "aioredis", "redis": {}}, name=name
+            )
+            await st.init()
+            if shared is None:
+                shared = st._redis
+            else:
+                st._redis = shared  # one fake server for every bucket
+            stores[i] = st
+        for i, st in stores.items():
+            await st.insert(b"k%d" % i, b"v")
+        for i, st in stores.items():
+            assert await st.keys() == [b"k%d" % i], i
+            assert await st.size() == 1
+            assert await st.itemcounts() == {b"k%d" % i: 1}
+
+    asyncio.run(go())
