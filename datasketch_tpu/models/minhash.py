@@ -45,6 +45,30 @@ _DEVICE_BATCH_THRESHOLD = 4096
 _TOKEN_BUDGET = 1 << 21
 
 
+_SCHEMES = ("permutation", "oph", "cminhash")
+
+
+def _alt_scheme_signatures(scheme: str, padded, lengths, num_perm: int,
+                           seed: int):
+    """Dispatch the non-default (not-reference-compatible) schemes."""
+    if scheme == "oph":
+        from datasketch_tpu.ops import oph
+
+        return oph.oph_signatures(padded, lengths, num_perm, seed=seed)
+    from datasketch_tpu.ops import cminhash
+
+    return cminhash.cminhash_signatures(padded, lengths, num_perm, seed=seed)
+
+
+def _check_scheme(scheme: str, custom_perms) -> None:
+    if scheme not in _SCHEMES:
+        raise ValueError("unknown signature scheme: %r" % (scheme,))
+    if scheme != "permutation" and custom_perms is not None:
+        raise ValueError(
+            "custom permutations are meaningless for scheme %r" % (scheme,)
+        )
+
+
 def _pow2_at_least(x: int, floor: int = 128) -> int:
     p = floor
     while p < x:
@@ -328,10 +352,14 @@ class MinHash:
 
         Args:
             scheme: ``"permutation"`` (default — reference-compatible
-                signatures) or ``"oph"`` (densified one-permutation hashing,
+                signatures), ``"oph"`` (densified one-permutation hashing,
                 :mod:`datasketch_tpu.ops.oph` — ~num_perm x less device
-                work; statistically equivalent Jaccard estimates but NOT
-                value-compatible with the reference).
+                work), or ``"cminhash"`` (circulant C-MinHash,
+                :mod:`datasketch_tpu.ops.cminhash` — provably lower
+                estimator variance, i.e. equal accuracy at smaller
+                num_perm). The non-default schemes give statistically
+                equivalent-or-better Jaccard estimates but are NOT
+                value-compatible with the reference.
 
         Docs are grouped by length before chunking (outputs keep input
         order): ragged corpora otherwise spread token-length buckets across
@@ -372,8 +400,7 @@ class MinHash:
                  for m in objs]
             )
         custom_perms = proto._custom_permutations()
-        if custom_perms is not None and scheme == "oph":
-            raise ValueError("custom permutations are meaningless for oph")
+        _check_scheme(scheme, custom_perms)
         order = sorted(range(len(docs)), key=lambda i: len(docs[i]))
         out = np.empty((len(docs), proto.num_perm), dtype=np.uint32)
         import itertools
@@ -408,11 +435,9 @@ class MinHash:
                 )
             else:
                 padded, lengths, n_real = proto._pad_corpus_for_device(chunk)
-                if scheme == "oph":
-                    from datasketch_tpu.ops import oph
-
-                    dev = oph.oph_signatures(
-                        padded, lengths, proto.num_perm, seed=proto.seed
+                if scheme != "permutation":
+                    dev = _alt_scheme_signatures(
+                        scheme, padded, lengths, proto.num_perm, proto.seed
                     )[:n_real]
                 else:
                     dev = minhash_ops.compute_signatures(
@@ -442,14 +467,13 @@ class MinHash:
         """
         proto = cls(**minhash_kwargs)
         custom_perms = proto._custom_permutations()
-        if custom_perms is not None and scheme == "oph":
-            raise ValueError("custom permutations are meaningless for oph")
+        _check_scheme(scheme, custom_perms)
         texts = texts if isinstance(texts, list) else list(texts)
         texts = [t.encode("utf-8") if isinstance(t, str) else t for t in texts]
         if not texts:
             return np.zeros((0, proto.num_perm), dtype=np.uint32)
         from datasketch_tpu.native import corpus
-        from datasketch_tpu.ops import minhash_ops, oph
+        from datasketch_tpu.ops import minhash_ops
 
         order = sorted(range(len(texts)), key=lambda i: len(texts[i]))
         out = np.empty((len(texts), proto.num_perm), dtype=np.uint32)
@@ -463,9 +487,9 @@ class MinHash:
             padded, lengths = corpus.hash_shingles_padded(
                 chunk, k, corpus.ALGO_SHA1_32, pad_multiple=t_bucket
             )
-            if scheme == "oph":
-                dev = oph.oph_signatures(
-                    padded, lengths, proto.num_perm, seed=proto.seed
+            if scheme != "permutation":
+                dev = _alt_scheme_signatures(
+                    scheme, padded, lengths, proto.num_perm, proto.seed
                 )[: len(idx)]
             else:
                 dev = minhash_ops.compute_signatures(
@@ -481,11 +505,8 @@ class MinHash:
     @classmethod
     def generator(cls, b: Iterable, scheme: str = "permutation", **minhash_kwargs):
         """Generator form of :meth:`bulk`, computing in device-sized chunks."""
-        if scheme not in ("permutation", "oph"):
-            raise ValueError("unknown signature scheme: %r" % (scheme,))
         proto = cls(**minhash_kwargs)
-        if scheme == "oph" and proto._custom_permutations() is not None:
-            raise ValueError("custom permutations are meaningless for oph")
+        _check_scheme(scheme, proto._custom_permutations())
         chunk: list = []
         chunk_docs = 1024
         for doc in b:
@@ -538,24 +559,24 @@ class MinHash:
                 device_mode=self._device_mode,
             )
 
-    def _bulk_chunk_oph(self, docs: list):
-        """Densified one-permutation signatures for a chunk
-        (:mod:`datasketch_tpu.ops.oph`). Signatures are valid MinHash
-        state (uint32 values, MAX_HASH-initialized) but not
-        value-compatible with the permutation scheme."""
-        from datasketch_tpu.ops import oph
-
+    def _bulk_chunk_alt(self, docs: list, scheme: str):
+        """Non-default-scheme signatures for a chunk (oph / cminhash).
+        Signatures are valid MinHash state (uint32 values,
+        MAX_HASH-initialized) but not value-compatible with the
+        permutation scheme."""
         padded, lengths, n_real = self._pad_corpus_for_device(docs)
         sigs = np.asarray(
-            oph.oph_signatures(padded, lengths, self.num_perm, seed=self.seed)
+            _alt_scheme_signatures(
+                scheme, padded, lengths, self.num_perm, self.seed
+            )
         ).astype(np.uint64)[:n_real]
         yield from self._yield_rows(sigs)
 
     def _bulk_chunk(self, docs: list, scheme: str = "permutation"):
         from datasketch_tpu.ops import minhash_ops
 
-        if scheme == "oph":
-            yield from self._bulk_chunk_oph(docs)
+        if scheme != "permutation":
+            yield from self._bulk_chunk_alt(docs, scheme)
             return
         if self._device_mode == "disable":
             for doc in docs:
