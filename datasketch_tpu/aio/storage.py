@@ -256,18 +256,10 @@ class AsyncRedisStorage(AsyncStorage):
             self._pipe_len = 0
 
     async def keys(self):
+        from datasketch_tpu.storage import glob_escaped_prefix_pattern
+
         name = self._name if isinstance(self._name, bytes) else self._name.encode()
-        # glob-escape the namespace: band names embed struct.pack('>H', i)
-        # bytes, so b >= 43 bands put '*'/'?'/'['/'\\' metacharacters in
-        # the KEYS pattern and an unescaped prefix matches OTHER buckets
-        specials = frozenset(b"*?[]\\")
-        pattern = bytearray()
-        for byte in name + b"/":
-            if byte in specials:
-                pattern.append(0x5C)
-            pattern.append(byte)
-        pattern.append(0x2A)  # b"*"
-        ks = await self._redis.keys(bytes(pattern))
+        ks = await self._redis.keys(glob_escaped_prefix_pattern(name + b"/"))
         return [k[len(name) + 1 :] for k in ks]
 
     async def size(self):

@@ -221,7 +221,7 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
         Band tables are rebuilt on load (|unique r| vmapped programs) —
         the same state/derived-data split as ``TpuMinHashLSH.save``.
         """
-        import pickle as _pickle
+        from datasketch_tpu.persist import pack_keys
 
         if self.is_empty():
             raise ValueError("Cannot save an empty index")
@@ -242,32 +242,26 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
             ),
             n_valid=self._n_valid,
             sigs=np.asarray(self._sigs_dev),
-            # pickled byte payload, NOT nested object arrays: those
-            # flatten tuple keys into 2-D object arrays that come back
-            # as unhashable ndarrays
-            keys=np.frombuffer(
-                _pickle.dumps(self._keys_per_part), dtype=np.uint8
-            ),
+            keys=pack_keys(self._keys_per_part),
         )
 
     @classmethod
     def load(cls, path: str) -> "TpuMinHashLSHEnsemble":
         """SECURITY: the key lists inside the file are a pickle payload —
         only load index files you created or trust."""
-        import pickle as _pickle
+        from datasketch_tpu.persist import npz_path, unpack_keys
 
-        if not str(path).endswith(".npz"):
-            path = str(path) + ".npz"  # np.savez appended it on write
-        data = np.load(path, allow_pickle=False)
+        data = np.load(npz_path(path), allow_pickle=False)
         if str(data["kind"]) != "tpu_ensemble":
             raise ValueError("not a TpuMinHashLSHEnsemble checkpoint")
-        # weights shape the per-x/q (b, r) tables; a load that fell back
-        # to the defaults would silently re-tune every post-load query
-        weights = (
-            tuple(float(w) for w in data["weights"])
-            if "weights" in data
-            else (0.5, 0.5)
-        )
+        # weights shape the per-x/q (b, r) tables; defaulting here would
+        # silently re-tune every post-load query, so refuse instead
+        if "weights" not in data:
+            raise ValueError(
+                "checkpoint predates the weights field — re-save it with "
+                "the writing library version"
+            )
+        weights = tuple(float(w) for w in data["weights"])
         obj = cls(
             threshold=float(data["threshold"]),
             num_perm=int(data["num_perm"]),
@@ -283,7 +277,7 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
         sigs = data["sigs"]
         obj._n_pad = sigs.shape[1]
         obj._sigs_dev = jnp.asarray(sigs)
-        obj._keys_per_part = _pickle.loads(data["keys"].tobytes())
+        obj._keys_per_part = unpack_keys(data["keys"])
         obj._key_set = set().union(*map(set, obj._keys_per_part)) if len(
             obj._keys_per_part
         ) else set()

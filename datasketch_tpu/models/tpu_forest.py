@@ -303,7 +303,7 @@ class TpuMinHashLSHForest:
         Staged-but-unindexed keys are flushed first (``index()``) so
         nothing silently vanishes from the round trip.
         """
-        import pickle as _pickle
+        from datasketch_tpu.persist import pack_keys
 
         self.index()
         np.savez_compressed(
@@ -311,10 +311,7 @@ class TpuMinHashLSHForest:
             sigs=np.asarray(self._sigs_dev)[: self._n_real]
             if self._sigs_dev is not None
             else np.zeros((0, self.width), dtype=np.uint32),
-            # pickled byte payload, NOT np.asarray(keys, dtype=object):
-            # the latter flattens tuple keys into 2-D object arrays that
-            # come back as unhashable ndarrays
-            keys=np.frombuffer(_pickle.dumps(self._keys), dtype=np.uint8),
+            keys=pack_keys(self._keys),
             params=np.array([self.num_perm, self.l, self.cap], dtype=np.int64),
         )
 
@@ -322,14 +319,12 @@ class TpuMinHashLSHForest:
     def load(cls, path: str) -> "TpuMinHashLSHForest":
         """SECURITY: the key list inside the file is a pickle payload —
         only load index files you created or trust."""
-        import pickle as _pickle
+        from datasketch_tpu.persist import npz_path, unpack_keys
 
-        if not str(path).endswith(".npz"):
-            path = str(path) + ".npz"  # np.savez appended it on write
-        data = np.load(path, allow_pickle=False)
+        data = np.load(npz_path(path), allow_pickle=False)
         num_perm, l, cap = (int(x) for x in data["params"])
         forest = cls(num_perm=num_perm, l=l, cap=cap)
-        keys = _pickle.loads(data["keys"].tobytes())
+        keys = unpack_keys(data["keys"])
         sigs = data["sigs"]
         if len(keys):
             forest.index(keys, sigs)

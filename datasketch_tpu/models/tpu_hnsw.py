@@ -251,7 +251,7 @@ class TpuHNSW:
 
     def save(self, path: str) -> None:
         """Persist graph + points + tombstones as ``.npz``."""
-        import pickle as _pickle
+        from datasketch_tpu.persist import pack_keys
 
         self._flush_pending()
         if self._graph is None:
@@ -268,12 +268,7 @@ class TpuHNSW:
             "points": np.asarray(g.points),
             "adj0": np.asarray(g.adj0),
             "deleted": self._deleted_host,
-            # pickled byte payload, NOT np.array(keys, dtype=object): the
-            # latter flattens tuple keys into 2-D object arrays that come
-            # back as unhashable ndarrays
-            "keys": np.frombuffer(
-                _pickle.dumps(list(g.keys)), dtype=np.uint8
-            ),
+            "keys": pack_keys(list(g.keys)),
             "n_upper": np.int64(len(g.upper_nodes)),
         }
         for i, (nodes, adj) in enumerate(zip(g.upper_nodes, g.upper_adj)):
@@ -286,11 +281,9 @@ class TpuHNSW:
             Union[str, Callable]] = None) -> "TpuHNSW":
         """SECURITY: the key list inside the file is a pickle payload —
         only load index files you created or trust."""
-        import pickle as _pickle
+        from datasketch_tpu.persist import npz_path, unpack_keys
 
-        if not str(path).endswith(".npz"):
-            path = str(path) + ".npz"  # np.savez appended it on write
-        data = np.load(path, allow_pickle=False)
+        data = np.load(npz_path(path), allow_pickle=False)
         if str(data["kind"]) != "tpu_hnsw":
             raise ValueError("not a TpuHNSW checkpoint")
         metric = distance_metric
@@ -302,7 +295,7 @@ class TpuHNSW:
                     "pass distance_metric= to load()"
                 )
         obj = cls(distance_metric=metric, m=int(data["m"]), ef=int(data["ef"]))
-        keys = _pickle.loads(data["keys"].tobytes())
+        keys = unpack_keys(data["keys"])
         deleted = data["deleted"].astype(bool)
         obj._graph = hnsw_ops.DeviceGraph(
             points=jnp.asarray(data["points"]),

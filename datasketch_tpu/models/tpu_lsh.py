@@ -602,10 +602,9 @@ class TpuMinHashLSH:
         ``.npz`` is appended when missing (numpy does so on write anyway).
         """
         self._flush_pending()
-        import pickle as _pickle
+        from datasketch_tpu.persist import npz_path, pack_keys
 
-        if not str(path).endswith(".npz"):
-            path = str(path) + ".npz"
+        path = npz_path(path)
         np.savez_compressed(
             path,
             sigs=np.asarray(self._sigs_dev)[: self._n_real]
@@ -614,7 +613,7 @@ class TpuMinHashLSH:
             alive=self._alive
             if self._alive is not None
             else np.ones(0, dtype=bool),
-            keys=np.frombuffer(_pickle.dumps(self._keys), dtype=np.uint8),
+            keys=pack_keys(self._keys),
             meta=np.array(
                 [self.h, self.b, self.r, self.bucket_cap, int(self.rerank)],
                 dtype=np.int64,
@@ -630,11 +629,9 @@ class TpuMinHashLSH:
         load index files you created or trust (same caveat as the
         reference's pickled indexes).
         """
-        import pickle as _pickle
+        from datasketch_tpu.persist import npz_path, unpack_keys
 
-        if not str(path).endswith(".npz"):
-            path = str(path) + ".npz"
-        data = np.load(path, allow_pickle=False)
+        data = np.load(npz_path(path), allow_pickle=False)
         h, b, r, cap, rerank = (int(x) for x in data["meta"])
         index = cls(
             threshold=float(data["threshold"]),
@@ -643,7 +640,7 @@ class TpuMinHashLSH:
             bucket_cap=cap,
             rerank=bool(rerank),
         )
-        keys = _pickle.loads(data["keys"].tobytes())
+        keys = unpack_keys(data["keys"])
         sigs = data["sigs"]
         if sigs.shape[0]:
             index._keys = keys

@@ -271,15 +271,12 @@ class ShardedMinHashLSH:
             if self._sigs is not None
             else np.zeros((0, self.h), dtype=np.uint32)
         )
-        import pickle as _pickle
+        from datasketch_tpu.persist import pack_keys
 
         np.savez_compressed(
             path,
             sigs=sigs,
-            # pickled byte payload, NOT np.asarray(keys, dtype=object):
-            # the latter flattens tuple/sequence keys into 2-D object
-            # arrays that come back as unhashable ndarrays
-            keys=np.frombuffer(_pickle.dumps(self._keys), dtype=np.uint8),
+            keys=pack_keys(self._keys),
             alive=self._alive
             if self._alive is not None
             else np.ones(0, dtype=bool),
@@ -295,9 +292,9 @@ class ShardedMinHashLSH:
              ) -> "ShardedMinHashLSH":
         """Rebuild on `mesh` — the shard count may differ from the saving
         mesh; tables are re-derived from the signatures."""
-        import pickle as _pickle
+        from datasketch_tpu.persist import npz_path, unpack_keys
 
-        data = np.load(path, allow_pickle=False)
+        data = np.load(npz_path(path), allow_pickle=False)
         h, b, r, cap, rerank = (int(x) for x in data["params"])
         index = cls(
             mesh,
@@ -308,7 +305,7 @@ class ShardedMinHashLSH:
             rerank=bool(rerank),
             shard_axis=shard_axis,
         )
-        keys = _pickle.loads(data["keys"].tobytes())
+        keys = unpack_keys(data["keys"])
         if keys:
             index._keys = keys
             index._key_to_pos = {

@@ -36,6 +36,16 @@ from datasketch_tpu.utils.health import HealthMonitor
 __all__ = ["FailoverIndex", "host_topk_scan"]
 
 
+def _host_scores(sigs: np.ndarray, q_row: np.ndarray,
+                 alive: Optional[np.ndarray]) -> np.ndarray:
+    """Estimated Jaccard of one query row vs every stored signature
+    (matching-slot fraction); tombstoned rows score -1."""
+    scores = (sigs == q_row[None, :]).mean(axis=1)
+    if alive is not None:
+        scores = np.where(alive, scores, -1.0)
+    return scores
+
+
 def host_topk_scan(
     sigs: np.ndarray,
     q_sigs: np.ndarray,
@@ -58,9 +68,7 @@ def host_topk_scan(
     if n == 0:
         return ids_out, sc_out
     for qi in range(q):
-        scores = (sigs == q_sigs[qi][None, :]).mean(axis=1)
-        if alive is not None:
-            scores = np.where(alive, scores, -1.0)
+        scores = _host_scores(sigs, q_sigs[qi], alive)
         kk = min(k, n)
         part = np.argpartition(-scores, kk - 1)[:kk]
         order = part[np.argsort(-scores[part], kind="stable")]
@@ -123,11 +131,24 @@ class FailoverIndex:
         self.monitor.consecutive_failures = 0
 
     def _note_device_failure(self, exc: Exception) -> None:
+        import time
+
         self.monitor.consecutive_failures += 1
         self.monitor.last_result = {
             "ok": False, "latency_s": None, "error": repr(exc),
         }
+        # keep status()'s history consistent with the counters — an
+        # operator reading checks=0 next to consecutive_failures=3 would
+        # see self-contradictory monitor state
+        self.monitor.history.append((time.time(), False, None))
         self._forced_host = True
+
+    @staticmethod
+    def _is_caller_error(exc: Exception) -> bool:
+        """Input-validation errors mean a BAD QUERY, not a bad device:
+        failing over on them would flip a healthy replica into degraded
+        host serving (and then likely fail the host path too)."""
+        return isinstance(exc, (ValueError, TypeError, KeyError))
 
     def _require_snapshot(self) -> dict:
         if self._snapshot is None:
@@ -146,6 +167,8 @@ class FailoverIndex:
                 self.last_path = "device"
                 return self._index.top_k(minhashes, k, **kwargs)
             except Exception as exc:  # noqa: BLE001 — fail over, not crash
+                if self._is_caller_error(exc):
+                    raise
                 self._note_device_failure(exc)
         self.last_path = "host"
         snap = self._require_snapshot()
@@ -172,6 +195,8 @@ class FailoverIndex:
                     return_scores=return_scores, **kwargs
                 )
             except Exception as exc:  # noqa: BLE001 — fail over, not crash
+                if self._is_caller_error(exc):
+                    raise
                 self._note_device_failure(exc)
         self.last_path = "host"
         snap = self._require_snapshot()
@@ -186,9 +211,7 @@ class FailoverIndex:
             if sigs.shape[0] == 0:
                 out.append([])
                 continue
-            scores = (sigs == q_sigs[qi][None, :]).mean(axis=1)
-            if alive is not None:
-                scores = np.where(alive, scores, -1.0)
+            scores = _host_scores(sigs, q_sigs[qi], alive)
             hits = np.nonzero(scores >= cutoff)[0]
             order = hits[np.argsort(-scores[hits], kind="stable")]
             if return_scores:

@@ -191,6 +191,25 @@ class DictSetStorage(UnorderedStorage, DictListStorage):
         self._dict[key].update(vals)
 
 
+def glob_escaped_prefix_pattern(prefix: bytes) -> bytes:
+    """Redis KEYS pattern matching exactly ``prefix*``.
+
+    Storage names embed ``struct.pack('>H', band_index)`` bytes, so for
+    b >= 43 bands the prefix contains glob metacharacters ('*' at 42,
+    '?' at 63, '[' at 91, '\\\\' at 92) — unescaped, bucket 42's pattern
+    would match EVERY bucket's keys. Shared by the sync and async redis
+    storages so the escaping rules cannot drift.
+    """
+    specials = frozenset(b"*?[]\\")
+    out = bytearray()
+    for byte in prefix:
+        if byte in specials:
+            out.append(0x5C)  # backslash-escape (redis glob syntax)
+        out.append(byte)
+    out.append(0x2A)  # b"*"
+    return bytes(out)
+
+
 def _parse_redis_config(cfg):
     """Resolve env-var indirection in redis connection params.
 
@@ -267,21 +286,7 @@ class RedisStorage:
         return self._name + b"/" + key
 
     def _keys_pattern(self) -> bytes:
-        """KEYS glob matching exactly this storage's namespace.
-
-        The name embeds ``struct.pack('>H', band_index)`` bytes, so for
-        b >= 43 bands it contains glob metacharacters ('*' at 42, '?' at
-        63, '[' at 91, '\\\\' at 92) — unescaped, bucket 42's pattern
-        would match EVERY bucket's keys.
-        """
-        specials = frozenset(b"*?[]\\")
-        out = bytearray()
-        for byte in self._name + b"/":
-            if byte in specials:
-                out.append(0x5C)  # backslash-escape (redis glob syntax)
-            out.append(byte)
-        out.append(0x2A)  # b"*"
-        return bytes(out)
+        return glob_escaped_prefix_pattern(self._name + b"/")
 
     def __getstate__(self):
         state = self.__dict__.copy()

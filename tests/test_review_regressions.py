@@ -352,3 +352,43 @@ def test_async_get_subset_counts_set_semantics():
             assert all(all(v == 1 for v in t.values()) for t in single)
 
     asyncio.run(go())
+
+
+def test_sharded_save_load_without_npz_suffix(tmp_path, mesh):
+    mhs, _ = _minhashes(12, seed=21)
+    sh = ShardedMinHashLSH(mesh, threshold=0.5, num_perm=128)
+    sh.index([f"n{i}" for i in range(12)], mhs)
+    sh.save(str(tmp_path / "sh_noext"))
+    back = ShardedMinHashLSH.load(str(tmp_path / "sh_noext"), mesh)
+    assert "n3" in back
+
+
+def test_failover_reraises_caller_errors_without_tripping():
+    """A bad QUERY (wrong num_perm) must raise, not flip the replica
+    into degraded host serving."""
+    from datasketch_tpu import FailoverIndex
+    from tests.test_serving import _FixedMonitor, _build_index
+
+    index, mhs, _ = _build_index(n=16)
+    fo = FailoverIndex(index, monitor=_FixedMonitor([]))
+    bad = MinHash(num_perm=8)
+    with pytest.raises(ValueError, match="length"):
+        fo.top_k([bad], k=3)
+    assert not fo.serving_from_host
+    assert fo.monitor.consecutive_failures == 0
+    # well-formed queries still ride the device path
+    assert fo.top_k([mhs[0]], k=1)[0][0][0] == "doc0"
+    assert fo.last_path == "device"
+
+
+def test_failover_device_failure_recorded_in_history():
+    from datasketch_tpu import FailoverIndex
+    from tests.test_serving import _FixedMonitor, _build_index
+
+    index, mhs, _ = _build_index(n=16)
+    fo = FailoverIndex(index, monitor=_FixedMonitor([]))
+    index.top_k = lambda *a, **k: (_ for _ in ()).throw(RuntimeError("gone"))
+    fo.top_k(mhs[:1], k=2)
+    st = fo.status()["monitor"]
+    assert st["consecutive_failures"] == 1
+    assert st["checks"] == 1  # history stays consistent with the counter
