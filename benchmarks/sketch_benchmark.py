@@ -93,7 +93,60 @@ def hll_bulk_sweep(p=12, n_docs=512, tokens_per_doc=400, n_trials=3):
           f"({t_seq / t_bulk:.1f}x)  rel_err {err:.4f}")
 
 
+def scheme_sweep(num_perm=128, n_docs=512, tokens_per_doc=200, n_trials=3,
+                 n_pairs=60):
+    """Signature schemes head to head: kernel throughput + estimator
+    error at equal num_perm (permutation = reference-compatible;
+    oph / cminhash trade compatibility for device efficiency)."""
+    import jax
+
+    from datasketch_tpu.ops import cminhash, minhash_ops, oph
+
+    print(f"== Signature schemes (num_perm={num_perm}, "
+          f"{n_docs} docs x {tokens_per_doc} tokens)")
+    rng = np.random.RandomState(5)
+    hashes = rng.randint(
+        0, 1 << 32, size=(n_docs, tokens_per_doc), dtype=np.uint64
+    ).astype(np.uint32)
+    lengths = np.full(n_docs, tokens_per_doc, dtype=np.int32)
+
+    kernels = {
+        "permutation": lambda h, l: minhash_ops.compute_signatures(
+            h, l, 1, num_perm
+        ),
+        "oph": lambda h, l: oph.oph_signatures(h, l, num_perm, seed=1),
+        "cminhash": lambda h, l: cminhash.cminhash_signatures(
+            h, l, num_perm, seed=1
+        ),
+    }
+    # estimator error on planted 1/3-jaccard pairs
+    universe = rng.randint(
+        0, 1 << 32, size=(n_pairs, 900), dtype=np.uint64
+    ).astype(np.uint32)
+    pair_h = np.zeros((2 * n_pairs, 600), np.uint32)
+    pair_h[0::2] = universe[:, :600]
+    pair_h[1::2] = universe[:, 300:]
+    pair_l = np.full(2 * n_pairs, 600, dtype=np.int32)
+
+    print(f"{'scheme':>12} {'kernel_ms':>10} {'docs_per_s':>11} "
+          f"{'mean_abs_err':>12}")
+    for name, fn in kernels.items():
+        out = fn(hashes, lengths)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(n_trials):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(hashes, lengths))
+            best = min(best, time.perf_counter() - t0)
+        sigs = np.asarray(fn(pair_h, pair_l))
+        est = (sigs[0::2] == sigs[1::2]).mean(axis=1)
+        err = float(np.mean(np.abs(est - 1 / 3)))
+        print(f"{name:>12} {best * 1000:10.1f} {n_docs / best:11,.0f} "
+              f"{err:12.4f}")
+
+
 if __name__ == "__main__":
     minhash_sweep()
     hll_sweep()
     hll_bulk_sweep()
+    scheme_sweep()
