@@ -202,3 +202,44 @@ def test_pure_python_xxh32_reference_vectors():
     assert _py_xxh32(b"", 0) == 0x02CC5D05
     assert _py_xxh32(b"", 0x9E3779B1) == 0x36B78AE7
     assert _py_xxh32(b"Hello World", 0) == 0xB1FD16EE
+
+
+def test_fuzz_adversarial_inputs():
+    """Seeded fuzz: mixed valid/invalid token types, every mode — the C
+    extension must raise TypeError/ValueError or succeed, never crash or
+    corrupt interpreter state."""
+    import random
+
+    if not corpus.available():
+        pytest.skip("extension unavailable")
+    rng = random.Random(0)
+
+    def rand_token():
+        t = rng.random()
+        if t < 0.5:
+            return bytes(rng.randrange(0, 200)
+                         for _ in range(rng.randrange(0, 80)))
+        if t < 0.65:
+            return bytearray(rng.randrange(0, 60))
+        if t < 0.8:
+            return memoryview(bytes(rng.randrange(0, 30)))
+        if t < 0.9:
+            return rng.randrange(-5, 1000)  # invalid type
+        return "str-token"  # invalid type
+
+    for _ in range(100):
+        docs = [
+            [rand_token() for _ in range(rng.randrange(0, 12))]
+            for _ in range(rng.randrange(0, 6))
+        ]
+        try:
+            corpus.hash_corpus_padded(
+                docs, corpus.ALGO_SHA1_32, mode=rng.choice([0, 1, 2])
+            )
+        except (TypeError, ValueError):
+            pass  # expected for invalid tokens
+    # valid docs afterwards still hash correctly (no state corruption)
+    out, lengths = corpus.hash_corpus_padded([[b"Hello"]], corpus.ALGO_SHA1_32)
+    assert out[0, 0] == struct.unpack(
+        "<I", hashlib.sha1(b"Hello").digest()[:4]
+    )[0]
