@@ -27,7 +27,7 @@ would re-wedge the process on a flapping tunnel.
 
 from __future__ import annotations
 
-from typing import Hashable, Optional, Sequence
+from typing import Hashable, Optional
 
 import numpy as np
 
