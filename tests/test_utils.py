@@ -96,3 +96,14 @@ def test_time_op_returns_output_and_positive_time():
     best, out = time_op(lambda x: jnp.sum(x) * 2, jnp.arange(8.0), iters=2)
     assert best >= 0.0
     assert float(out) == 56.0
+
+
+def test_persist_helpers_round_trip():
+    from datasketch_tpu.persist import npz_path, pack_keys, unpack_keys
+
+    assert npz_path("x") == "x.npz"
+    assert npz_path("x.npz") == "x.npz"
+    for keys in ([1, "a", ("t", 2)], [], [None, b"bytes"], {"n": [1, 2]}):
+        arr = pack_keys(keys)
+        assert arr.dtype == np.uint8 and arr.ndim == 1
+        assert unpack_keys(arr) == keys
