@@ -21,6 +21,7 @@ import json
 import os
 import sys
 import time
+from typing import Optional
 
 import numpy as np
 
@@ -155,12 +156,20 @@ def bench_lsh_topk(n_sets: int = 2000, n_queries: int = 50, k: int = 10):
     }
 
 
-def wait_for_device(max_wait: float = 480.0) -> dict:
+def wait_for_device(max_wait: Optional[float] = None) -> dict:
     """Bounded device probe with retries: a wedged remote-TPU tunnel
     HANGS dispatches instead of raising (observed — see BASELINE.md
     round-2 notes), which would otherwise hang this whole benchmark.
-    Waits up to `max_wait` seconds for the device to answer."""
+    Waits up to `max_wait` seconds for the device to answer.
+
+    Default 300s (override: DATASKETCH_BENCH_MAX_WAIT): a healthy-but-
+    cold tunnel answers within one 30-90s probe, while a wedge outlasts
+    any wait (observed >7h) — waiting longer only eats into the caller's
+    own timeout budget before the CPU fallback can run."""
     from datasketch_tpu.utils import device_healthcheck
+
+    if max_wait is None:
+        max_wait = float(os.environ.get("DATASKETCH_BENCH_MAX_WAIT", "300"))
 
     deadline = time.time() + max_wait
     res = {"ok": False, "latency_s": None, "error": "max_wait <= 0"}
