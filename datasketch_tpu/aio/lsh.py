@@ -86,6 +86,12 @@ class AsyncMinHashLSH:
         self.prepickle = (
             storage_config["type"] == "aioredis" if prepickle is None else prepickle
         )
+        # Service-backed storages need bytes keys when prepickle is off
+        # (reference aio/lsh.py:67,251-254); the in-memory aiodict is
+        # exempt, mirroring the host class's dict exemption.
+        self._require_bytes_keys = (
+            not self.prepickle and storage_config["type"] != "aiodict"
+        )
         self.hashfunc = hashfunc
 
         self._storage_config = storage_config
@@ -95,20 +101,46 @@ class AsyncMinHashLSH:
             basename = basename.encode("ascii")
         self._basename = basename
         self.hashranges = [(i * self.r, (i + 1) * self.r) for i in range(self.b)]
+        self._make_storages()
+        self._initialized = False
+        self._init_lock = asyncio.Lock()
+
+    def _make_storages(self) -> None:
+        """(Re)create the storage objects from the persisted identity
+        (basename + config) — also the unpickle path, where reconnected
+        storages must resolve the SAME namespaces the data was written
+        under."""
         self.hashtables = [
             async_unordered_storage(
-                storage_config,
-                name=b"".join([basename, b"_bucket_", struct.pack(">H", i)]),
-                batch_size=batch_size,
+                self._storage_config,
+                name=b"".join(
+                    [self._basename, b"_bucket_", struct.pack(">H", i)]
+                ),
+                batch_size=self._batch_size,
             )
             for i in range(self.b)
         ]
         self.keys = async_ordered_storage(
-            storage_config, name=b"".join([basename, b"_keys"]),
-            batch_size=batch_size,
+            self._storage_config,
+            name=b"".join([self._basename, b"_keys"]),
+            batch_size=self._batch_size,
         )
-        self._initialized = False
+
+    def __getstate__(self):
+        """Pickling parity (reference aio/lsh.py:111-126): drop live
+        connections and locks; storages are rebuilt on unpickle from the
+        persisted basename/config."""
+        state = self.__dict__.copy()
+        state["_initialized"] = False
+        state.pop("_init_lock", None)
+        state.pop("hashtables", None)
+        state.pop("keys", None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
         self._init_lock = asyncio.Lock()
+        self._make_storages()
 
     # ------------------------------------------------------------ lifecycle
 
@@ -156,6 +188,12 @@ class AsyncMinHashLSH:
         if len(minhash) != self.h:
             raise ValueError(
                 "Expecting minhash with length %d, got %d" % (self.h, len(minhash))
+            )
+        if self._require_bytes_keys and not isinstance(key, bytes):
+            raise TypeError(
+                f"prepickle=False requires bytes keys for non-dict storage, "
+                f"got {type(key).__name__}. Either pass bytes keys or use "
+                "prepickle=True for automatic serialization."
             )
         if self.prepickle:
             key = pickle.dumps(key)
@@ -276,6 +314,11 @@ class AsyncMinHashLSH:
         return AsyncMinHashLSHInsertionSession(self, batch_size)
 
     def deletion_session(self, batch_size: Optional[int] = None):
+        return AsyncMinHashLSHDeletionSession(self, batch_size)
+
+    def delete_session(self, batch_size: Optional[int] = None):
+        """Reference spelling (``aio/lsh.py:214``) of
+        :meth:`deletion_session`."""
         return AsyncMinHashLSHDeletionSession(self, batch_size)
 
 

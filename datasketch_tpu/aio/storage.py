@@ -357,24 +357,46 @@ class AsyncMongoStorage(AsyncStorage):
         self._buffer = []
 
     def _collection_name(self):
+        """Reference collection-naming contract
+        (``/root/reference/datasketch/aio/storage.py:158-163``):
+        explicit ``collection_name`` > ``collection_prefix + name`` >
+        ``lsh_<name>``."""
+        cfg = self._mongo_cfg
+        if "collection_name" in cfg:
+            return cfg["collection_name"]
         name = self._name
         if isinstance(name, bytes):
             name = name.decode("latin1")
+        if "collection_prefix" in cfg:
+            return cfg["collection_prefix"] + name
         return "lsh_" + name
+
+    def _dsn(self) -> str:
+        """The reference's DSN forms (aio/storage.py:165-175): url >
+        replica set > username/password > host:port."""
+        cfg = self._mongo_cfg
+        if "url" in cfg:
+            return cfg["url"]
+        if "replica_set" in cfg:
+            return "mongodb://{replica_set_nodes}/?replicaSet={replica_set}".format(
+                **cfg
+            )
+        if "username" in cfg or "password" in cfg:
+            return "mongodb://{username}:{password}@{host}:{port}".format(**cfg)
+        return "mongodb://{host}:{port}".format(
+            host=cfg.get("host", "localhost"), port=cfg.get("port", 27017)
+        )
 
     async def init(self):
         if self._client is None:
-            cfg = dict(self._mongo_cfg)
-            url = cfg.pop("url", None)
-            db_name = cfg.pop("db", "db_0")
-            if url is not None:
-                self._client = self._motor.AsyncIOMotorClient(url, **cfg)
-            else:
-                host = cfg.pop("host", "localhost")
-                port = cfg.pop("port", 27017)
-                self._client = self._motor.AsyncIOMotorClient(host, port, **cfg)
-            db = self._client[db_name]
-            self._collection = db[self._collection_name()]
+            cfg = self._mongo_cfg
+            db_name = cfg.get("db", "db_0")
+            self._client = self._motor.AsyncIOMotorClient(
+                self._dsn(), **cfg.get("args", {})
+            )
+            # a db embedded in the url path takes precedence over db_name
+            db = self._client.get_default_database(db_name)
+            self._collection = db.get_collection(self._collection_name())
             await self._collection.create_index("key", background=True)
         self._initialized = True
         return self

@@ -82,19 +82,42 @@ class _AsyncIter:
 
 
 class FakeDatabase(dict):
+    def __init__(self, name=None, client=None):
+        super().__init__()
+        self.name = name
+        self.client = client
+
     def __missing__(self, key):
         self[key] = FakeCollection()
         return self[key]
+
+    def get_collection(self, name):
+        return self[name]
+
+    async def list_collection_names(self):
+        return list(self.keys())
 
 
 class FakeMotorClient:
     _dbs: dict = {}
 
-    def __init__(self, *args, **kwargs):
-        pass
+    def __init__(self, dsn=None, *args, **kwargs):
+        # remember a url-path database name if one was given
+        self._default_db = None
+        if isinstance(dsn, str) and dsn.startswith("mongodb://"):
+            path = dsn[len("mongodb://"):].partition("/")[2]
+            self._default_db = path.split("?")[0].strip("/") or None
 
     def __getitem__(self, name):
-        return self._dbs.setdefault(name, FakeDatabase())
+        db = self._dbs.setdefault(name, FakeDatabase(name=name))
+        db.client = self
+        return db
+
+    def get_default_database(self, default=None):
+        return self[self._default_db or default or "db_0"]
+
+    async def drop_database(self, name):
+        self._dbs.pop(name, None)
 
     def close(self):
         return None

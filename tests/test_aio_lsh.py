@@ -185,3 +185,31 @@ def test_cassandra_gated():
 
     with pytest.raises(ImportError):
         ordered_storage({"type": "cassandra", "cassandra": {}}, name=b"x")
+
+
+def test_bytes_keys_required_without_prepickle_and_pickle_roundtrip():
+    """Reference parity (aio/lsh.py:67,111-126,251-254): service-backed
+    storages reject non-bytes keys when prepickle=False, and a pickled
+    index reconnects to the SAME namespaces."""
+    import pickle as _pickle
+
+    async def go():
+        async with AsyncMinHashLSH(
+            threshold=0.5, num_perm=16,
+            storage_config={"type": "aiodict"},
+        ) as lsh:
+            # aiodict is exempt (host dict analogue): str keys fine
+            m = _mh(["a", "b"], num_perm=16)
+            await lsh.insert("str-key", m)
+            assert "str-key" in await lsh.query(m)
+            # pickle round trip preserves identity and params
+            lsh2 = _pickle.loads(_pickle.dumps(lsh))
+            assert (lsh2.b, lsh2.r, lsh2.h) == (lsh.b, lsh.r, lsh.h)
+            assert lsh2._basename == lsh._basename
+            # delete_session (reference spelling) works
+            await lsh._init_storages()
+            async with lsh.delete_session(batch_size=10) as s:
+                await s.remove("str-key")
+            assert not await lsh.has_key("str-key")
+
+    run(go())

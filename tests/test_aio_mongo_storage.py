@@ -74,9 +74,12 @@ def test_async_lsh_over_fake_mongo(fake_motor_modules):
             return m
 
         m1, m2 = mh(["a", "b", "c", "d"]), mh(["a", "b", "c", "e"])
+        # prepickle=True: non-bytes keys with a service backend otherwise
+        # raise TypeError (reference aio/lsh.py:251-254 semantics)
         async with AsyncMinHashLSH(
             threshold=0.5,
             num_perm=128,
+            prepickle=True,
             storage_config={"type": "aiomongo", "mongo": {"db": "lshdb"},
                             "basename": b"t"},
         ) as lsh:
