@@ -128,19 +128,24 @@ class AsyncMinHashLSH:
 
     def __getstate__(self):
         """Pickling parity (reference aio/lsh.py:111-126): drop live
-        connections and locks; storages are rebuilt on unpickle from the
-        persisted basename/config."""
+        connections and locks; service-backed storages are rebuilt on
+        unpickle from the persisted basename/config (the data lives
+        server-side). The in-memory aiodict backend's data lives IN the
+        storages, so those pickle along — dropping them would silently
+        lose the whole index."""
         state = self.__dict__.copy()
         state["_initialized"] = False
         state.pop("_init_lock", None)
-        state.pop("hashtables", None)
-        state.pop("keys", None)
+        if self._storage_config["type"] != "aiodict":
+            state.pop("hashtables", None)
+            state.pop("keys", None)
         return state
 
     def __setstate__(self, state):
         self.__dict__.update(state)
         self._init_lock = asyncio.Lock()
-        self._make_storages()
+        if "hashtables" not in self.__dict__:
+            self._make_storages()
 
     # ------------------------------------------------------------ lifecycle
 
@@ -319,7 +324,7 @@ class AsyncMinHashLSH:
     def delete_session(self, batch_size: Optional[int] = None):
         """Reference spelling (``aio/lsh.py:214``) of
         :meth:`deletion_session`."""
-        return AsyncMinHashLSHDeletionSession(self, batch_size)
+        return self.deletion_session(batch_size)
 
 
 class AsyncMinHashLSHInsertionSession:

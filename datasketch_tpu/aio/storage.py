@@ -194,14 +194,19 @@ class AsyncDictSetStorage(AsyncUnorderedStorage, AsyncDictListStorage):
 # ------------------------------------------------------------------ aioredis
 
 
-def _parse_redis_config(cfg):
-    """Env-var indirection, mirroring ``storage.py:907-919`` of the ref."""
+def _parse_env_config(cfg):
+    """Env-var indirection, mirroring ``storage.py:907-919`` of the ref
+    (same mechanism for redis AND mongo configs — the reference resolves
+    ``{'env': ..., 'default': ...}`` dicts in both)."""
     out = {}
     for key, value in cfg.items():
         if isinstance(value, dict) and "env" in value:
             value = os.environ.get(value["env"], value.get("default"))
         out[key] = value
     return out
+
+
+_parse_redis_config = _parse_env_config  # historical name
 
 
 class AsyncRedisStorage(AsyncStorage):
@@ -350,7 +355,9 @@ class AsyncMongoStorage(AsyncStorage):
                 "aiomongo storage requested but the 'motor' package is not installed"
             ) from exc
         self._motor = motor_asyncio
-        self._mongo_cfg = config.get("mongo", {})
+        # env-dict values ({'env': ..., 'default': ...}) resolve here, not
+        # at DSN build time — a raw dict in the DSN is a garbage URL
+        self._mongo_cfg = _parse_env_config(config.get("mongo", {}))
         self._batch_size = batch_size
         self._client = None
         self._collection = None

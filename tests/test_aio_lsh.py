@@ -213,3 +213,23 @@ def test_bytes_keys_required_without_prepickle_and_pickle_roundtrip():
             assert not await lsh.has_key("str-key")
 
     run(go())
+
+
+def test_aiodict_pickle_preserves_data():
+    """The in-memory backend's data lives IN the storages: pickling must
+    carry it (service backends re-fetch server-side on reconnect)."""
+    import pickle as _pickle
+
+    async def go():
+        async with AsyncMinHashLSH(
+            threshold=0.5, num_perm=16,
+            storage_config={"type": "aiodict"},
+        ) as lsh:
+            m = _mh(["a", "b", "c"], num_perm=16)
+            await lsh.insert("k1", m)
+            blob = _pickle.dumps(lsh)
+        async with _pickle.loads(blob) as lsh2:
+            assert await lsh2.has_key("k1")
+            assert "k1" in await lsh2.query(m)
+
+    run(go())

@@ -19,12 +19,13 @@ Usage: python tools/run_reference_aio_suite.py [extra pytest args]
 from __future__ import annotations
 
 import pathlib
-import re
 import subprocess
 import sys
 import tempfile
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "tools"))
+from refsuite_common import rewrite  # noqa: E402
 REF_AIO = pathlib.Path("/root/reference/test/aio/test_lsh.py")
 
 CONFTEST = '''
@@ -160,8 +161,9 @@ def pytest_fixture_setup(fixturedef, request):
     if inspect.isasyncgenfunction(func):
         def wrapper(*args, **kwargs):
             agen = func(*args, **kwargs)
-            asyncio.run(agen.__anext__())
-            yield
+            # hand the fixture's yielded VALUE through (a bare yield
+            # would silently give dependent tests None)
+            yield asyncio.run(agen.__anext__())
             try:
                 asyncio.run(agen.__anext__())
             except StopAsyncIteration:
@@ -180,16 +182,6 @@ def pytest_fixture_setup(fixturedef, request):
     yield
 '''
 
-
-def rewrite(text: str) -> str:
-    text = re.sub(r"from datasketch\.", "from datasketch_tpu.", text)
-    text = re.sub(r"import datasketch\.", "import datasketch_tpu.", text)
-    text = re.sub(
-        r"import datasketch\b(?!\.)", "import datasketch_tpu as datasketch",
-        text,
-    )
-    text = re.sub(r"from datasketch ", "from datasketch_tpu ", text)
-    return text
 
 
 def main() -> int:

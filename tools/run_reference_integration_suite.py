@@ -14,12 +14,13 @@ Usage: python tools/run_reference_integration_suite.py [extra pytest args]
 from __future__ import annotations
 
 import pathlib
-import re
 import subprocess
 import sys
 import tempfile
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "tools"))
+from refsuite_common import rewrite  # noqa: E402
 REF_TEST = pathlib.Path("/root/reference/test/test_integration.py")
 
 CONFTEST = '''
@@ -88,16 +89,6 @@ os.environ["DO_TEST_REDIS"] = "true"
 os.environ["DO_TEST_CASSANDRA"] = "true"
 '''
 
-
-def rewrite(text: str) -> str:
-    text = re.sub(r"from datasketch\.", "from datasketch_tpu.", text)
-    text = re.sub(r"import datasketch\.", "import datasketch_tpu.", text)
-    text = re.sub(
-        r"import datasketch\b(?!\.)", "import datasketch_tpu as datasketch",
-        text,
-    )
-    text = re.sub(r"from datasketch ", "from datasketch_tpu ", text)
-    return text
 
 
 def main() -> int:

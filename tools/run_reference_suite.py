@@ -14,12 +14,13 @@ Status at round 1: 157/157 pass.
 from __future__ import annotations
 
 import pathlib
-import re
 import subprocess
 import sys
 import tempfile
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "tools"))
+from refsuite_common import rewrite  # noqa: E402
 REF_TESTS = pathlib.Path("/root/reference/test")
 
 FILES = [
@@ -56,17 +57,6 @@ redis_mod.Redis = FakeRedis
 sys.modules.setdefault("redis", redis_mod)
 '''
 
-
-def rewrite(text: str) -> str:
-    text = re.sub(r"from datasketch\.", "from datasketch_tpu.", text)
-    text = re.sub(r"import datasketch\.", "import datasketch_tpu.", text)
-    text = re.sub(
-        r"import datasketch\b(?!\.)", "import datasketch_tpu as datasketch", text
-    )
-    text = re.sub(r"from datasketch ", "from datasketch_tpu ", text)
-    text = re.sub(r"from test\.utils import", "from utils import", text)
-    text = re.sub(r"from test\.utils", "from utils", text)
-    return text
 
 
 def main() -> int:
