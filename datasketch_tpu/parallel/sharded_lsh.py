@@ -263,6 +263,22 @@ class ShardedMinHashLSH:
 
     # -------------------------------------------------------- persistence
 
+    def host_snapshot(self) -> dict:
+        """Host-side copy of the queryable state (``{"keys", "sigs",
+        "alive"}``) — one cross-shard gather; feeds
+        :class:`datasketch_tpu.serving.FailoverIndex` so a sharded
+        deployment can keep answering from the host when the mesh is
+        unhealthy."""
+        sigs = (
+            np.asarray(self._sigs[: self._n_real])
+            if self._sigs is not None
+            else np.zeros((0, self.h), np.uint32)
+        )
+        alive = None
+        if self._alive is not None and not bool(self._alive.all()):
+            alive = self._alive.copy()
+        return {"keys": list(self._keys), "sigs": sigs, "alive": alive}
+
     def save(self, path: str) -> None:
         """Persist signatures/keys/tombstones as .npz; shard tables are
         rebuilt (and re-sharded to the loading mesh) on load."""

@@ -148,3 +148,37 @@ def test_failover_without_snapshot_raises():
     fo.check()
     with pytest.raises(RuntimeError, match="snapshot"):
         fo.top_k([mhs[0]], k=2)
+
+
+def test_failover_wraps_sharded_index():
+    """FailoverIndex works over a mesh-sharded index too: device path
+    while healthy, exact host scan from the cross-shard snapshot once
+    the monitor trips."""
+    import jax
+
+    from datasketch_tpu.parallel import ShardedMinHashLSH, make_mesh
+
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(8)
+    index, mhs, sigs = None, None, None
+    rng = np.random.RandomState(31)
+    raw = rng.randint(0, 1 << 32, size=(24, 32), dtype=np.uint64)
+    mhs = [MinHash(num_perm=32, hashvalues=row) for row in raw]
+    index = ShardedMinHashLSH(mesh, threshold=0.3, num_perm=32, bucket_cap=64)
+    index.index([f"doc{i}" for i in range(24)], mhs)
+    index.remove("doc5")
+
+    fo = FailoverIndex(index, monitor=_FixedMonitor([True]))
+    fo.check()
+    rows = fo.top_k(mhs[:3], k=3)
+    assert fo.last_path == "device"
+    assert rows[0][0][0] == "doc0"
+
+    fo.monitor._outcomes = [False]
+    fo.check()
+    rows = fo.top_k(mhs[:3], k=3)
+    assert fo.last_path == "host"
+    for i, row in enumerate(rows):
+        assert row[0][0] == f"doc{i}"
+    top5 = fo.top_k([mhs[5]], k=3)[0]
+    assert all(kk != "doc5" for kk, _ in top5)  # tombstone respected
