@@ -4,7 +4,9 @@ The reference library has no failure handling (SURVEY.md §5); a
 device-resident index adds a failure mode it never had — a wedged
 accelerator (or remote tunnel) HANGS dispatches rather than raising, so
 a serving replica silently stops answering. :class:`FailoverIndex`
-pairs a :class:`~datasketch_tpu.models.tpu_lsh.TpuMinHashLSH` with a
+pairs a :class:`~datasketch_tpu.models.tpu_lsh.TpuMinHashLSH` (or a
+mesh-sharded :class:`~datasketch_tpu.parallel.sharded_lsh.
+ShardedMinHashLSH`) with a
 :class:`~datasketch_tpu.utils.health.HealthMonitor` and a host-side
 snapshot of the signature matrix:
 
