@@ -17,11 +17,12 @@ and the slots become correlated (measured variance 1.29x the standard
 scheme); with fmix32, measured variance is ~0.87x standard at
 num_perm=128, matching the papers' uniformly-smaller-variance result.
 
-What it buys on TPU: equal estimation accuracy at a SMALLER num_perm
-(smaller signatures, smaller band tables, less HBM traffic at serving
-time), and the kernel itself is pure 32-bit — no u64 limb arithmetic at
-all — measuring ~6x the reference-compatible permutation scheme's
-throughput at equal num_perm.
+What it buys on TPU: slightly lower direct-Jaccard estimation variance
+at equal num_perm (in LSH pipelines banding dominates recall, so expect
+parity there — measured recall@10 0.888 vs 0.892 at num_perm=128), and
+the kernel itself is pure 32-bit — no u64 limb arithmetic at all —
+measuring ~6x the reference-compatible permutation scheme's throughput
+at equal num_perm.
 
 Signatures are NOT value-compatible with the reference scheme (same
 trade as ``scheme="oph"``); Jaccard estimation, merge-by-min, banding,
