@@ -172,12 +172,16 @@ def wait_for_device(max_wait: Optional[float] = None) -> dict:
         max_wait = float(os.environ.get("DATASKETCH_BENCH_MAX_WAIT", "300"))
 
     deadline = time.time() + max_wait
-    res = {"ok": False, "latency_s": None, "error": "max_wait <= 0"}
-    while time.time() < deadline:
-        # never probe past the deadline: the caller budgets around max_wait
-        budget = min(120.0, max(10.0, deadline - time.time()))
+    res = {"ok": False, "latency_s": None,
+           "error": "max_wait too small for one probe"}
+    # A probe shorter than ~30s cannot pass cold backend init even on a
+    # HEALTHY device (docstring above), so a final short probe would be a
+    # guaranteed-false "hung dispatch" that also overruns the deadline.
+    min_probe = 30.0
+    while deadline - time.time() >= min_probe:
+        budget = min(120.0, deadline - time.time())
         res = device_healthcheck(timeout=budget)
-        if res["ok"] or time.time() + 20 >= deadline:
+        if res["ok"] or deadline - time.time() < min_probe + 20:
             break
         time.sleep(20)
     return res

@@ -381,18 +381,25 @@ class TpuMinHashLSHBloom:
 
     # ------------------------------------------------------------ persistence
 
+    # Bumped when the probe-position scheme changes: a bitmap probed with
+    # a different scheme loads "cleanly" and then returns false negatives
+    # for everything previously inserted. v2 = h2 xor-shift finalizer
+    # (matching BloomTable._positions).
+    _PROBE_SCHEME = 2
+
     def save(self, path: str) -> None:
         """Persist bitmaps + params to ``.npz`` (the device analogue of the
         host class's file-backed band filters, lsh_bloom.py:74-83)."""
-        if not str(path).endswith(".npz"):
-            path = str(path) + ".npz"
+        from datasketch_tpu.persist import npz_path
+
         np.savez_compressed(
-            path,
+            npz_path(path),
             bits=np.asarray(self._bits),
             meta=np.array(
                 [self.h, self.b, self.r, self.num_bits, self.num_hashes],
                 dtype=np.int64,
             ),
+            probe_scheme=np.int64(self._PROBE_SCHEME),
             threshold=np.float64(self.threshold),
         )
 
@@ -400,9 +407,19 @@ class TpuMinHashLSHBloom:
     def load(cls, path: str) -> "TpuMinHashLSHBloom":
         import jax.numpy as jnp
 
-        if not str(path).endswith(".npz"):
-            path = str(path) + ".npz"
-        data = np.load(path, allow_pickle=False)
+        from datasketch_tpu.persist import npz_path
+
+        data = np.load(npz_path(path), allow_pickle=False)
+        saved_scheme = (
+            int(data["probe_scheme"]) if "probe_scheme" in data else 1
+        )
+        if saved_scheme != cls._PROBE_SCHEME:
+            raise ValueError(
+                "bloom bitmap was built with probe scheme v%d (current "
+                "v%d) — its bit positions no longer match and every "
+                "membership query would silently return False; rebuild "
+                "the filter from source data" % (saved_scheme, cls._PROBE_SCHEME)
+            )
         h, b, r, num_bits, num_hashes = (int(x) for x in data["meta"])
         obj = cls.__new__(cls)
         obj.threshold = float(data["threshold"])

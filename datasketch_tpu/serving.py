@@ -163,7 +163,13 @@ class FailoverIndex:
     # ------------------------------------------------------------- queries
 
     def top_k(self, minhashes, k: int, **kwargs) -> list:
-        """Per-query ``[(key, score), ...]`` rows, like the device index."""
+        """Per-query ``[(key, score), ...]`` rows, like the device index.
+
+        Extra kwargs pass through to the device index; the host fallback
+        honors ``return_scores`` (result SHAPE must not change
+        mid-failover) and ignores device-only tuning knobs like
+        ``method`` — the host scan is exact regardless.
+        """
         if not self.serving_from_host:
             try:
                 self.last_path = "device"
@@ -173,6 +179,7 @@ class FailoverIndex:
                     raise
                 self._note_device_failure(exc)
         self.last_path = "host"
+        return_scores = kwargs.get("return_scores", True)
         snap = self._require_snapshot()
         from datasketch_tpu.models.tpu_lsh import _as_signature_matrix
 
@@ -181,6 +188,10 @@ class FailoverIndex:
             snap["sigs"], q_sigs, k, alive=snap.get("alive")
         )
         keys = snap["keys"]
+        if not return_scores:
+            return [
+                [keys[int(p)] for p in row_ids if p >= 0] for row_ids in ids
+            ]
         return [
             [(keys[int(p)], float(s)) for p, s in zip(row_ids, row_sc) if p >= 0]
             for row_ids, row_sc in zip(ids, scores)

@@ -60,9 +60,15 @@ os._exit(0)
 """
 
 
-def device_healthcheck(timeout: float = 10.0, device=None,
+def device_healthcheck(timeout: Optional[float] = None, device=None,
                        isolate: bool = True) -> dict:
     """Probe a device with a trivial dependent op, bounded by `timeout`.
+
+    Default timeout: 120s for ``isolate=True`` (the bound covers the
+    child's WHOLE lifetime — interpreter + jax import ~5-10s plus a
+    30-90s cold-tunnel first dispatch on a HEALTHY device), 10s for the
+    in-process thread probe (the backend is already warm there). A 10s
+    subprocess bound would reliably flunk a healthy-but-cold device.
 
     ``isolate=True`` (default) probes in a SUBPROCESS: a wedged device
     can block inside a C call while holding the GIL (observed on a
@@ -88,6 +94,8 @@ def device_healthcheck(timeout: float = 10.0, device=None,
 
     Returns ``{"ok": bool, "latency_s": float | None, "error": str | None}``.
     """
+    if timeout is None:
+        timeout = 120.0 if isolate else 10.0
     if isolate:
         result = {"ok": False, "latency_s": None, "error": None}
         # Child stdout/stderr go to TEMP FILES, not pipes, and the child
@@ -184,8 +192,11 @@ class HealthMonitor:
     ...     evict_replica()
     """
 
-    def __init__(self, timeout: float = 10.0, max_failures: int = 3,
+    def __init__(self, timeout: Optional[float] = None, max_failures: int = 3,
                  device=None, isolate: bool = True) -> None:
+        # None -> device_healthcheck's mode-appropriate default (120s for
+        # subprocess probes; a 10s default would falsely evict a healthy
+        # cold device whose first dispatch takes 30-90s)
         self.timeout = timeout
         self.max_failures = max_failures
         self.device = device

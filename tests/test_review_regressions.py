@@ -392,3 +392,61 @@ def test_failover_device_failure_recorded_in_history():
     st = fo.status()["monitor"]
     assert st["consecutive_failures"] == 1
     assert st["checks"] == 1  # history stays consistent with the counter
+
+
+def test_bloom_load_refuses_old_probe_scheme(tmp_path):
+    """A bitmap probed under an older scheme loads 'cleanly' but returns
+    false negatives for everything — load must refuse instead."""
+    from datasketch_tpu import TpuMinHashLSHBloom
+
+    bloom = TpuMinHashLSHBloom(threshold=0.5, num_perm=128, n=100, fp=0.01)
+    path = str(tmp_path / "bloom.npz")
+    bloom.save(path)
+    assert TpuMinHashLSHBloom.load(path).num_bits == bloom.num_bits
+    # strip the scheme marker, simulating a pre-versioning save
+    data = dict(np.load(path, allow_pickle=False))
+    data.pop("probe_scheme")
+    np.savez_compressed(path, **data)
+    with pytest.raises(ValueError, match="probe scheme"):
+        TpuMinHashLSHBloom.load(path)
+
+
+def test_failover_host_path_honors_return_scores(mesh):
+    """Result SHAPE must not change mid-failover: return_scores=False on
+    a sharded index yields plain keys on BOTH paths."""
+    from datasketch_tpu import FailoverIndex
+    from tests.test_serving import _FixedMonitor
+
+    mhs, _ = _minhashes(16, seed=41)
+    sh = ShardedMinHashLSH(mesh, threshold=0.3, num_perm=128, bucket_cap=64)
+    sh.index([f"d{i}" for i in range(16)], mhs)
+    fo = FailoverIndex(sh, monitor=_FixedMonitor([False]))
+    dev_rows = fo.top_k(mhs[:2], k=3, return_scores=False)
+    assert fo.last_path == "device"
+    fo.check()
+    host_rows = fo.top_k(mhs[:2], k=3, return_scores=False)
+    assert fo.last_path == "host"
+    for rows in (dev_rows, host_rows):
+        assert all(isinstance(k, str) for row in rows for k in row)
+    assert host_rows[0][0] == "d0"
+
+
+def test_healthcheck_default_timeouts_per_mode(monkeypatch):
+    """None resolves to the mode-appropriate bound: 10s for the warm
+    in-process thread, 120s for the subprocess (whose bound must cover
+    interpreter + jax import + a cold first dispatch)."""
+    import time as _time
+
+    import datasketch_tpu.utils.health as health
+
+    real_thread = health.threading.Thread
+
+    class HangingThread(real_thread):
+        def run(self):
+            _time.sleep(60)
+
+    monkeypatch.setattr(health.threading, "Thread", HangingThread)
+    t0 = _time.perf_counter()
+    res = health.device_healthcheck(isolate=False)  # default timeout
+    assert 9 <= _time.perf_counter() - t0 < 20
+    assert "exceeded 10.0s" in res["error"]
