@@ -8,7 +8,7 @@ device, hot loops are JAX/XLA (with Pallas kernels on TPU), and scale-out is
 Public API parity target: ``/root/reference/datasketch/__init__.py:10-44``.
 """
 
-from datasketch_tpu.hashfunc import sha1_hash32, sha1_hash64
+from datasketch_tpu.hashfunc import device_hash, sha1_hash32, sha1_hash64
 from datasketch_tpu.models.minhash import MinHash
 from datasketch_tpu.models.lean_minhash import LeanMinHash
 from datasketch_tpu.models.weighted_minhash import (
@@ -65,6 +65,7 @@ __all__ = [
     "TpuMinHashLSHBloom",
     "AsyncMinHashLSH",
     "FailoverIndex",
+    "device_hash",
     "sha1_hash32",
     "sha1_hash64",
     "ordered_storage",

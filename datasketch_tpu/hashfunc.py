@@ -13,7 +13,37 @@ from __future__ import annotations
 import hashlib
 import struct
 
-__all__ = ["sha1_hash32", "sha1_hash64", "batch_sha1_hash32", "batch_sha1_hash64"]
+__all__ = [
+    "sha1_hash32",
+    "sha1_hash64",
+    "batch_sha1_hash32",
+    "batch_sha1_hash64",
+    "device_hash",
+]
+
+
+def device_hash(token_id) -> int:
+    """On-device token hash for PRE-TOKENIZED integer corpora.
+
+    Pass ``hashfunc=device_hash`` (or the string ``'device'``) to
+    :class:`~datasketch_tpu.models.minhash.MinHash` when your documents are
+    already integer token-id arrays: the bulk APIs then upload the raw ids
+    and apply the murmur3 fmix32 finalizer ON THE DEVICE, fused into the
+    signature kernel — the host does zero per-token work. This is the
+    TPU-native form of the reference's "plug in a faster hashfunc" escape
+    hatch (``/root/reference/docs/minhash.rst:79-121``,
+    ``/root/reference/datasketch/minhash.py:118``).
+
+    The callable itself is the host-side twin (bit-identical to the device
+    mix) so single-object ``update``/``update_batch`` stay consistent with
+    the bulk path. Signatures are NOT value-compatible with the reference's
+    SHA1-based ones (like the ``oph``/``cminhash`` schemes); Jaccard
+    estimation statistics are unchanged — fmix32 is a bijective scramble,
+    uniform over uint32.
+    """
+    from datasketch_tpu.ops.hashing import mix32_np
+
+    return int(mix32_np(int(token_id) & 0xFFFFFFFF))
 
 
 def sha1_hash32(data: bytes) -> int:

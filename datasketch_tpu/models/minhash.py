@@ -25,7 +25,7 @@ from typing import Callable, Iterable, Optional
 
 import numpy as np
 
-from datasketch_tpu.hashfunc import sha1_hash32
+from datasketch_tpu.hashfunc import device_hash, sha1_hash32
 
 __all__ = ["MinHash"]
 
@@ -143,6 +143,10 @@ class MinHash:
             )
         self.seed = seed
         self.num_perm = num_perm
+        if hashfunc == "device":
+            # pre-tokenized integer corpora: hash on-chip (fmix32), fused
+            # into the signature kernel — see datasketch_tpu.hashfunc
+            hashfunc = device_hash
         if not callable(hashfunc):
             raise ValueError("The hashfunc must be a callable.")
         self.hashfunc = hashfunc
@@ -254,6 +258,11 @@ class MinHash:
             from datasketch_tpu.native import corpus
 
             return corpus.hash_tokens(tokens, corpus.ALGO_SHA1_32)
+        if self.hashfunc is device_hash and tokens:
+            from datasketch_tpu.ops.hashing import mix32_np
+
+            # vectorized host twin of the on-device mix (bit-identical)
+            return mix32_np(np.asarray(tokens).astype(np.uint32))
         return np.array([self.hashfunc(t) for t in tokens], dtype=np.uint64).astype(
             np.uint32
         )
@@ -408,6 +417,11 @@ class MinHash:
         from datasketch_tpu.ops import minhash_ops
 
         use_flat = proto.hashfunc is sha1_hash32 and scheme == "permutation"
+        # Pre-tokenized integer corpora: ship the raw ids, hash ON-CHIP
+        # (fmix32 fused into the signature kernel) — the host does zero
+        # per-token work. ~10x headroom over the SHA1 path, whose
+        # end-to-end rate is bound by single-core host hashing.
+        use_ids = proto.hashfunc is device_hash and scheme == "permutation"
         # Phase 1: hash + dispatch every chunk, kicking off the async D2H
         # copy immediately — device compute of chunk i+1 and host hashing of
         # chunk i+2 overlap the result transfer of chunk i (D2H through the
@@ -417,21 +431,32 @@ class MinHash:
         for start, stop in _budget_chunks([len(docs[i]) for i in order]):
             idx = order[start:stop]
             chunk = [docs[i] for i in idx]
-            if use_flat:
-                # flat hashing + device-side padding: ships no padding bytes
-                from datasketch_tpu.native import corpus
-
-                chunk = [d if isinstance(d, list) else list(d) for d in chunk]
+            if use_flat or use_ids:
+                # flat layout + device-side padding: ships no padding bytes
                 lengths = np.fromiter(
                     map(len, chunk), np.int32, count=len(chunk)
                 )
-                flat = corpus.hash_tokens(
-                    list(itertools.chain.from_iterable(chunk)),
-                    corpus.ALGO_SHA1_32,
-                )
+                if use_ids:
+                    flat = (
+                        np.concatenate(
+                            [np.asarray(d).astype(np.uint32) for d in chunk]
+                        )
+                        if len(chunk)
+                        else np.zeros(0, dtype=np.uint32)
+                    )
+                else:
+                    from datasketch_tpu.native import corpus
+
+                    chunk = [
+                        d if isinstance(d, list) else list(d) for d in chunk
+                    ]
+                    flat = corpus.hash_tokens(
+                        list(itertools.chain.from_iterable(chunk)),
+                        corpus.ALGO_SHA1_32,
+                    )
                 dev = minhash_ops.compute_signatures_ragged(
                     flat, lengths, proto.seed, proto.num_perm,
-                    permutations=custom_perms,
+                    permutations=custom_perms, mix=use_ids,
                 )
             else:
                 padded, lengths, n_real = proto._pad_corpus_for_device(chunk)

@@ -38,6 +38,9 @@ def _as_signature_matrix(minhashes) -> np.ndarray:
     if isinstance(minhashes, np.ndarray) and minhashes.ndim == 2:
         # matrix fast path (MinHash.bulk_signatures output)
         return np.ascontiguousarray(minhashes, dtype=np.uint32)
+    if isinstance(minhashes, jax.Array) and minhashes.ndim == 2:
+        # device-resident matrix: keep it on device (no host round trip)
+        return minhashes.astype(jnp.uint32)
     rows = []
     for m in minhashes:
         hv = np.asarray(m.hashvalues if hasattr(m, "hashvalues") else m)
@@ -147,6 +150,33 @@ class TpuMinHashLSH:
                 [self._sigs_dev[: self._n_real], jnp.asarray(sigs)], axis=0
             )
         self._rebuild(all_sigs)
+
+    def index_tokens(self, keys: Sequence[Hashable], token_docs,
+                     seed: int = 1, scheme: str = "permutation") -> None:
+        """Bulk-build straight from PRE-TOKENIZED integer documents.
+
+        Token ids are uploaded raw and hashed ON-CHIP (fmix32 fused into
+        the signature kernel, ``hashfunc='device'``) — the host does zero
+        per-token work. The TPU-native form of the reference's pluggable
+        fast-hashfunc story (``/root/reference/docs/minhash.rst:79-121``).
+        Resulting signatures are not interoperable with SHA1-based ones;
+        query with sketches built the same way (``MinHash(
+        hashfunc='device')`` or another ``index_tokens`` corpus at equal
+        seed).
+
+        Args:
+            keys: one key per document.
+            token_docs: sequence of int arrays/lists (uint32 token ids).
+            seed: permutation-family seed (must match query sketches).
+            scheme: signature scheme, as :meth:`MinHash.bulk_signatures`.
+        """
+        from datasketch_tpu.models.minhash import MinHash
+
+        sigs = MinHash.bulk_signatures(
+            token_docs, scheme=scheme, num_perm=self.h, seed=seed,
+            hashfunc="device",
+        )
+        self.index(keys, sigs)
 
     def insert(self, key: Hashable, minhash, check_duplication: bool = True) -> None:
         """Insert one (key, minhash); buffers and reindexes lazily."""

@@ -10,9 +10,10 @@ those of a random hash function.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
-__all__ = ["mix32", "mix64"]
+__all__ = ["mix32", "mix64", "mix32_np"]
 
 
 def mix32(x):
@@ -24,6 +25,21 @@ def mix32(x):
     x *= jnp.uint32(0xC2B2AE35)
     x ^= x >> 16
     return x
+
+
+def mix32_np(x) -> np.ndarray:
+    """Host NumPy twin of :func:`mix32`, bit-identical.
+
+    Lets the object-level ``MinHash.update`` path (which hashes on host)
+    produce the same values as the on-device bulk path, so sketches built
+    either way stay comparable.
+    """
+    x = np.asarray(x).astype(np.uint32)
+    x = x ^ (x >> np.uint32(16))
+    x = np.multiply(x, np.uint32(0x85EBCA6B), dtype=np.uint32)
+    x = x ^ (x >> np.uint32(13))
+    x = np.multiply(x, np.uint32(0xC2B2AE35), dtype=np.uint32)
+    return x ^ (x >> np.uint32(16))
 
 
 def mix64(hi, lo):

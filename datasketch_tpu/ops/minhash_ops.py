@@ -115,7 +115,8 @@ def _permute_all(hashes, a_hi, a_lo, b_hi, b_lo):
 TOKEN_TILE = 128
 
 
-def _scan_min(state, hashes, lengths, a_hi, a_lo, b_hi, b_lo):
+def _scan_min(state, hashes, lengths, a_hi, a_lo, b_hi, b_lo,
+              mix: bool = False):
     """Permute+min folded over token tiles: state uint32[B, P] -> [B, P]."""
     b, t = hashes.shape
     if t % TOKEN_TILE:
@@ -130,6 +131,10 @@ def _scan_min(state, hashes, lengths, a_hi, a_lo, b_hi, b_lo):
         tile, off = inp  # [B, tile], []
         col = off + jax.lax.broadcasted_iota(jnp.int32, tile.shape, 1)
         mask = col < lengths[:, None]
+        if mix:
+            from datasketch_tpu.ops.hashing import mix32
+
+            tile = mix32(tile)
         phv = _permute_all(tile, a_hi, a_lo, b_hi, b_lo)  # [B, tile, P]
         phv = jnp.where(mask[..., None], phv, jnp.uint32(MAX_HASH))
         return jnp.minimum(carry, phv.min(axis=-2)), None
@@ -153,13 +158,13 @@ def update_signatures(state, hashes, lengths, a_hi, a_lo, b_hi, b_lo):
     return _scan_min(state, hashes, lengths, a_hi, a_lo, b_hi, b_lo)
 
 
-@jax.jit
-def _sign_batch(hashes, lengths, a_hi, a_lo, b_hi, b_lo):
+@functools.partial(jax.jit, static_argnames=("mix",))
+def _sign_batch(hashes, lengths, a_hi, a_lo, b_hi, b_lo, mix: bool = False):
     """Fresh signatures in ONE dispatch (state init fused into the jit)."""
     state = jnp.full(
         (hashes.shape[0], a_hi.shape[0]), MAX_HASH, dtype=jnp.uint32
     )
-    return _scan_min(state, hashes, lengths, a_hi, a_lo, b_hi, b_lo)
+    return _scan_min(state, hashes, lengths, a_hi, a_lo, b_hi, b_lo, mix=mix)
 
 
 def limbs_for(seed: int, num_perm: int, permutations=None):
@@ -178,7 +183,7 @@ def limbs_for(seed: int, num_perm: int, permutations=None):
 
 
 def compute_signatures(hashes, lengths, seed: int, num_perm: int,
-                       permutations=None) -> jax.Array:
+                       permutations=None, mix: bool = False) -> jax.Array:
     """Fresh signatures for a padded batch of token hashes.
 
     On TPU (when shapes tile), dispatches to the Pallas kernel
@@ -190,6 +195,9 @@ def compute_signatures(hashes, lengths, seed: int, num_perm: int,
         hashes: uint32[B, T] (numpy or jax), lengths: int32[B].
         permutations: optional explicit (a, b) uint64 arrays overriding the
             seed-derived family.
+        mix: inputs are raw token ids, not hashes — apply the fmix32 device
+            hash on-chip, fused into the kernel (the ``hashfunc='device'``
+            path; host does zero per-token work).
     Returns:
         uint32[B, P] device array.
     """
@@ -204,9 +212,9 @@ def compute_signatures(hashes, lengths, seed: int, num_perm: int,
         and num_perm % 128 == 0
     ):
         return pk.sign_batch_pallas(
-            jnp.asarray(hashes), jnp.asarray(lengths), *limbs
+            jnp.asarray(hashes), jnp.asarray(lengths), *limbs, mix=mix
         )
-    return _sign_batch(hashes, jnp.asarray(lengths), *limbs)
+    return _sign_batch(hashes, jnp.asarray(lengths), *limbs, mix=mix)
 
 
 @functools.partial(jax.jit, static_argnames=("t",))
@@ -222,12 +230,13 @@ def _gather_rows(flat, starts, t: int):
 
 
 def compute_signatures_ragged(flat, lengths, seed: int, num_perm: int,
-                              permutations=None):
+                              permutations=None, mix: bool = False):
     """Fresh signatures from flat concatenated token hashes.
 
     Args:
         flat: uint32[total] all docs' hashes back to back.
         lengths: int32[B] tokens per doc.
+        mix: ``flat`` holds raw token ids; hash them on-chip (fmix32).
     Returns:
         uint32[B, num_perm] (only the first len(lengths) rows are real).
     """
@@ -252,7 +261,7 @@ def compute_signatures_ragged(flat, lengths, seed: int, num_perm: int,
         flat = np.zeros(1, dtype=np.uint32)
     hashes = _gather_rows(jnp.asarray(flat), jnp.asarray(starts), t)
     return compute_signatures(hashes, lengths, seed, num_perm,
-                              permutations=permutations)[:n_real]
+                              permutations=permutations, mix=mix)[:n_real]
 
 
 @jax.jit

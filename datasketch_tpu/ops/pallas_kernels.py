@@ -43,12 +43,14 @@ def signature_kernel_available() -> bool:
 
 
 def _sign_kernel(h_ref, len_ref, a_hi_ref, a_lo_ref, b_hi_ref, b_lo_ref,
-                 out_ref):
+                 out_ref, *, mix: bool = False):
     """One (batch block, token tile) step: permute + mask + running min.
 
     h_ref: uint32[BLOCK_B, TILE_T]; len_ref: int32[BLOCK_B, 1];
     params: uint32[1, P]; out_ref: uint32[BLOCK_B, P] (revisited across the
-    token-tile grid axis).
+    token-tile grid axis). With ``mix``, inputs are raw token ids and the
+    fmix32 finalizer (:func:`datasketch_tpu.ops.hashing.mix32`) runs here,
+    fused — the device-hash path for pre-tokenized corpora.
     """
     j = pl.program_id(1)
 
@@ -56,9 +58,18 @@ def _sign_kernel(h_ref, len_ref, a_hi_ref, a_lo_ref, b_hi_ref, b_lo_ref,
     def _():
         out_ref[:] = jnp.full_like(out_ref, MAX_HASH)
 
+    h2 = h_ref[:]
+    if mix:
+        # fmix32 inline (constants materialized here: Mosaic kernels must
+        # not close over module-level jnp values)
+        h2 ^= h2 >> 16
+        h2 *= jnp.uint32(0x85EBCA6B)
+        h2 ^= h2 >> 13
+        h2 *= jnp.uint32(0xC2B2AE35)
+        h2 ^= h2 >> 16
     # [BB, T, 1] tokens broadcast against [P] params -> [BB, T, P]
     # (no reshapes: Mosaic rejects lane<->sublane shape casts).
-    h3 = h_ref[:][:, :, None]
+    h3 = h2[:, :, None]
     phv = u64.permute_hash(
         h3, a_hi_ref[0], a_lo_ref[0], b_hi_ref[0], b_lo_ref[0]
     )  # [BB, T, P] uint32
@@ -83,9 +94,9 @@ def _sign_kernel(h_ref, len_ref, a_hi_ref, a_lo_ref, b_hi_ref, b_lo_ref,
     out_ref[:] = pltpu.bitcast(new, jnp.uint32) ^ bias
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "mix"))
 def sign_batch_pallas(hashes, lengths, a_hi, a_lo, b_hi, b_lo,
-                      interpret: bool = False):
+                      interpret: bool = False, mix: bool = False):
     """MinHash signatures via the Pallas kernel.
 
     Args:
@@ -93,6 +104,7 @@ def sign_batch_pallas(hashes, lengths, a_hi, a_lo, b_hi, b_lo,
             pads; padding tokens are masked by lengths).
         lengths: int32[B].
         a_hi..b_lo: uint32[P] permutation limbs, P % 128 == 0.
+        mix: inputs are raw token ids; apply fmix32 on-chip first.
     Returns:
         uint32[B, P] signatures.
     """
@@ -106,7 +118,7 @@ def sign_batch_pallas(hashes, lengths, a_hi, a_lo, b_hi, b_lo,
     grid = (b // BLOCK_B, t // TILE_T)
     params2d = [x.reshape(1, p) for x in (a_hi, a_lo, b_hi, b_lo)]
     return pl.pallas_call(
-        _sign_kernel,
+        functools.partial(_sign_kernel, mix=mix),
         grid=grid,
         in_specs=[
             pl.BlockSpec(

@@ -1,0 +1,164 @@
+"""Device-hash sketching for pre-tokenized integer corpora.
+
+The TPU-native analogue of the reference's pluggable fast-hashfunc escape
+hatch (``/root/reference/docs/minhash.rst:79-121``,
+``/root/reference/datasketch/minhash.py:118``): raw token ids are uploaded
+and hashed ON-CHIP (fmix32 fused into the signature kernel), so the host
+does zero per-token work. These tests pin (a) bit-parity between the host
+twin, the XLA path, and the Pallas kernel (interpret mode), (b) consistency
+between the object path and the bulk path, and (c) the statistical
+acceptance bound: Jaccard estimation error tracks 1/sqrt(num_perm).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from datasketch_tpu import MinHash, TpuMinHashLSH, device_hash
+from datasketch_tpu.ops import minhash_ops
+from datasketch_tpu.ops.hashing import mix32, mix32_np
+
+
+def test_mix32_np_matches_device_mix():
+    rng = np.random.RandomState(7)
+    x = rng.randint(0, 1 << 32, size=4096, dtype=np.uint64).astype(np.uint32)
+    np.testing.assert_array_equal(np.asarray(mix32(x)), mix32_np(x))
+
+
+def test_device_hash_callable_matches_vector_twin():
+    rng = np.random.RandomState(8)
+    ids = rng.randint(0, 1 << 32, size=64, dtype=np.uint64)
+    vec = mix32_np(ids.astype(np.uint32))
+    for i, v in zip(ids, vec):
+        assert device_hash(int(i)) == int(v)
+    # ids wider than 32 bits wrap like a uint32 cast
+    assert device_hash((1 << 32) + 5) == device_hash(5)
+
+
+def test_constructor_accepts_device_string():
+    m = MinHash(num_perm=16, hashfunc="device")
+    assert m.hashfunc is device_hash
+
+
+def test_mix_flag_equals_prehashed_path():
+    """compute_signatures(ids, mix=True) == compute_signatures(fmix32(ids))."""
+    rng = np.random.RandomState(9)
+    ids = rng.randint(0, 1 << 32, size=(8, 128), dtype=np.uint64).astype(
+        np.uint32
+    )
+    lengths = rng.randint(1, 129, size=8).astype(np.int32)
+    mixed = minhash_ops.compute_signatures(ids, lengths, 1, 128, mix=True)
+    pre = minhash_ops.compute_signatures(
+        mix32_np(ids), lengths, 1, 128, mix=False
+    )
+    np.testing.assert_array_equal(np.asarray(mixed), np.asarray(pre))
+
+
+def test_pallas_kernel_mix_parity_interpret_mode():
+    from datasketch_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.RandomState(10)
+    b, t, p = pk.BLOCK_B, pk.TILE_T, 128
+    ids = rng.randint(0, 1 << 32, size=(b, t), dtype=np.uint64).astype(
+        np.uint32
+    )
+    lengths = rng.randint(1, t + 1, size=b).astype(np.int32)
+    limbs = minhash_ops.perm_limbs(1, p)
+    got = pk.sign_batch_pallas(ids, lengths, *limbs, interpret=True, mix=True)
+    want = minhash_ops._sign_batch(
+        mix32_np(ids), np.asarray(lengths), *limbs
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_bulk_matches_object_path():
+    rng = np.random.RandomState(11)
+    docs = [
+        rng.randint(0, 50000, size=n).astype(np.uint32)
+        for n in (3, 40, 170, 513)
+    ]
+    sigs = MinHash.bulk_signatures(docs, num_perm=128, hashfunc="device")
+    assert sigs.shape == (4, 128) and sigs.dtype == np.uint32
+    for row, doc in zip(sigs, docs):
+        m = MinHash(num_perm=128, hashfunc="device")
+        m.update_batch([int(x) for x in doc])
+        np.testing.assert_array_equal(
+            row, np.asarray(m.hashvalues, dtype=np.uint64).astype(np.uint32)
+        )
+
+
+def test_bulk_accepts_plain_int_lists():
+    docs = [[1, 2, 3], [2, 3, 4, 5]]
+    sigs = MinHash.bulk_signatures(docs, num_perm=32, hashfunc="device")
+    m = MinHash(num_perm=32, hashfunc="device")
+    for tok in docs[0]:
+        m.update(tok)
+    np.testing.assert_array_equal(
+        sigs[0], np.asarray(m.hashvalues, dtype=np.uint64).astype(np.uint32)
+    )
+
+
+def test_empty_and_missing_docs():
+    sigs = MinHash.bulk_signatures(
+        [np.zeros(0, np.uint32), np.array([5], np.uint32)],
+        num_perm=16,
+        hashfunc="device",
+    )
+    assert (sigs[0] == 0xFFFFFFFF).all()  # empty doc -> empty sketch
+    assert not (sigs[1] == 0xFFFFFFFF).all()
+    assert MinHash.bulk_signatures([], num_perm=16, hashfunc="device").shape \
+        == (0, 16)
+
+
+@pytest.mark.parametrize("num_perm", [64, 256])
+def test_jaccard_error_tracks_inv_sqrt_p(num_perm):
+    """Statistical acceptance: mean |est - true| ~ c/sqrt(P) with c < 1."""
+    rng = np.random.RandomState(12)
+    n_pairs = 40
+    errs = []
+    for _ in range(n_pairs):
+        size = 400
+        overlap = rng.randint(40, 360)
+        base = rng.randint(0, 1 << 31, size=2 * size - overlap).astype(
+            np.uint32
+        )
+        a, b = base[:size], base[size - overlap :]
+        true_j = overlap / (2 * size - overlap)
+        sa, sb = MinHash.bulk_signatures(
+            [a, b], num_perm=num_perm, hashfunc="device"
+        )
+        est = float((sa == sb).mean())
+        errs.append(abs(est - true_j))
+    # std of the estimator is sqrt(j(1-j)/P) <= 0.5/sqrt(P); mean abs error
+    # of 40 pairs stays comfortably under 1/sqrt(P)
+    assert float(np.mean(errs)) < 1.0 / np.sqrt(num_perm)
+
+
+def test_index_tokens_end_to_end():
+    rng = np.random.RandomState(13)
+    docs = [
+        rng.choice(5000, size=120, replace=False).astype(np.uint32)
+        for _ in range(60)
+    ]
+    # near-duplicates of the first 10 docs
+    dups = [
+        np.concatenate([d[:100], rng.randint(0, 5000, 20).astype(np.uint32)])
+        for d in docs[:10]
+    ]
+    index = TpuMinHashLSH(threshold=0.5, num_perm=128, bucket_cap=64)
+    index.index_tokens(list(range(60)), docs, seed=1)
+    qsigs = MinHash.bulk_signatures(
+        dups, num_perm=128, seed=1, hashfunc="device"
+    )
+    hits = index.query_batch(
+        [MinHash(hashvalues=row, hashfunc="device") for row in qsigs]
+    )
+    found = sum(1 for i, row in enumerate(hits) if i in row)
+    assert found >= 9  # ~0.71 true Jaccard; threshold 0.5 banding
+
+
+def test_index_tokens_rejects_mismatched_keys():
+    index = TpuMinHashLSH(threshold=0.5, num_perm=32)
+    with pytest.raises(ValueError):
+        index.index_tokens([1, 2], [np.array([1, 2, 3], np.uint32)])
