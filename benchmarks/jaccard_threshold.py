@@ -100,6 +100,22 @@ def main():
           f"q={1000 * t_query:.2f}ms index={t_index:.2f}s "
           f"truncated={tpu.last_truncated}")
 
+    # --- batched threshold vs top-k at equal batch size ---------------------
+    # Both paths now finish on device (threshold_select / topk_fused); the
+    # threshold path should be within ~2x of top-k queries/sec.
+    tpu.top_k(queries, k=10)  # warm
+    t0 = time.perf_counter()
+    tpu.top_k(queries, k=10)
+    t_topk = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    tpu.query_batch(queries)
+    t_thresh = time.perf_counter() - t0
+    print(
+        f"batched    threshold {len(queries) / t_thresh:.0f} q/s vs "
+        f"top-k {len(queries) / t_topk:.0f} q/s "
+        f"(ratio {t_thresh / t_topk:.2f}x)"
+    )
+
     # --- LSHBloom membership (is-duplicate boolean) -------------------------
     bloom = MinHashLSHBloom(
         threshold=threshold, num_perm=num_perm, n=n_sets, fp=0.01

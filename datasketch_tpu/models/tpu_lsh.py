@@ -69,6 +69,10 @@ class TpuMinHashLSH:
             results report truncation; raise this for skewed data.
         rerank: If True (default), filter candidates by MinHash-estimated
             Jaccard >= threshold on device before returning.
+        max_results: If set, threshold queries return at most this many
+            (highest-scoring) keys per query and only that many slots ride
+            the device->host fetch; overflow is counted in
+            ``last_truncated``. None (default) = exact, all candidates.
     """
 
     def __init__(
@@ -79,6 +83,7 @@ class TpuMinHashLSH:
         params: Optional[tuple] = None,
         bucket_cap: int = 128,
         rerank: bool = True,
+        max_results: Optional[int] = None,
     ):
         if threshold > 1.0 or threshold < 0.0:
             raise ValueError("threshold must be in [0.0, 1.0]")
@@ -94,6 +99,7 @@ class TpuMinHashLSH:
             self.b, self.r = _optimal_param(threshold, num_perm, *weights)
         self.bucket_cap = bucket_cap
         self.rerank = rerank
+        self.max_results = max_results
 
         # floor for the padded row count: sibling sub-indexes (the
         # containment ensemble's partitions) set a COMMON floor so they
@@ -382,12 +388,31 @@ class TpuMinHashLSH:
         minhashes,
         threshold: Optional[float] = None,
         return_scores: bool = False,
+        method: str = "auto",
     ) -> list:
         """Batched query: one device pass for any number of queries.
 
+        The whole pipeline — probe, rerank, dedupe, cutoff filter,
+        compaction — finishes ON DEVICE; the host receives one compact
+        buffer per batch (a per-query host ``np.unique`` loop would cap
+        batched threshold q/s far below the top-k path's).
+
+        method:
+            ``'bands'`` — band probe -> fused rerank/select in one
+            dispatch (``lsh_ops.query_fused``).
+            ``'scan'`` — exact streaming scan of every stored signature:
+            returns ALL keys whose estimated Jaccard >= threshold (up to
+            ``max_results`` / 1024 per query), recall 1.0 over stored
+            sketches. Requires ``rerank`` (it scores everything).
+            ``'auto'`` — scan when the corpus is smaller than the band
+            gather budget (same traffic model as :meth:`top_k`).
+
         Returns a list (per query) of keys, or of (key, score) pairs when
-        ``return_scores`` (scores are MinHash-estimated Jaccard).
+        ``return_scores`` (scores are MinHash-estimated Jaccard,
+        descending).
         """
+        if method not in ("auto", "bands", "scan"):
+            raise ValueError("method must be 'auto', 'bands' or 'scan'")
         self._flush_pending()
         if self._sigs_dev is None or not len(self._keys):
             return [[] for _ in minhashes]
@@ -396,49 +421,98 @@ class TpuMinHashLSH:
             raise ValueError(
                 "Expecting minhash with length %d, got %d" % (self.h, q_sigs.shape[1])
             )
+        cutoff = self.threshold if threshold is None else threshold
+        sel_ids, sel_sc, n_match, truncated, max_out = self._query_dispatch(
+            q_sigs, cutoff, method
+        )
+        # one D2H round trip for everything: each separate fetch costs a
+        # full tunnel RTT (~30ms) regardless of size
+        if truncated is None:
+            ids_host, sc_host, n_host = jax.device_get(
+                (sel_ids, sel_sc, n_match)
+            )
+            trunc = 0
+        else:
+            ids_host, sc_host, n_host, trunc = jax.device_get(
+                (sel_ids, sel_sc, n_match, truncated)
+            )
+        self.last_truncated = int(trunc) + int(
+            np.maximum(n_host - max_out, 0).sum()
+        )
+        out = []
+        for qi in range(q_sigs.shape[0]):
+            row_ids = ids_host[qi]
+            hit = row_ids >= 0
+            if return_scores:
+                out.append(
+                    [(self._keys[int(p)], float(s))
+                     for p, s in zip(row_ids[hit], sc_host[qi][hit])]
+                )
+            else:
+                out.append([self._keys[int(p)] for p in row_ids[hit]])
+        return out
+
+    def _query_dispatch(self, q_sigs: np.ndarray, cutoff: float,
+                        method: str):
+        """Dispatch one threshold batch; returns device (sel_ids, sel_sc,
+        n_match, truncated-or-None) plus the static max_out, without
+        forcing any transfer."""
         q_dev = jnp.asarray(q_sigs)
+        gather_slots = q_sigs.shape[0] * self.b * self.bucket_cap
+        if method == "auto":
+            method = (
+                "scan"
+                if self.rerank and self._sigs_dev.shape[0] <= gather_slots
+                else "bands"
+            )
+        if method == "scan":
+            if not self.rerank:
+                raise ValueError(
+                    "method='scan' requires rerank=True (it scores every "
+                    "stored signature; without a cutoff the result would "
+                    "be the whole corpus)"
+                )
+            n_pad = self._sigs_dev.shape[0]
+            max_out = min(self.max_results or 1024, n_pad)
+            alive_dev, all_alive = self._alive_state()
+            sel_ids, sel_sc, n_match = lsh_ops.topk_scan(
+                self._sigs_dev,
+                q_dev,
+                max_out,
+                n_valid=self._n_real_dev,
+                alive=None if all_alive else alive_dev,
+                count_ge=jnp.float32(cutoff),
+            )
+            return sel_ids, sel_sc, n_match, None, max_out
+        c = self.b * self.bucket_cap
+        max_out = c if self.max_results is None else min(self.max_results, c)
+        cut = float(cutoff) if self.rerank else -1.0
+        if self._alive_state()[1]:
+            # hot path: whole pipeline in one dispatch
+            sel_ids, sel_sc, n_match, trunc = lsh_ops.query_fused(
+                self._sorted_fp,
+                self._sorted_ids,
+                self._sigs_dev,
+                q_dev,
+                self.b,
+                self.r,
+                self.bucket_cap,
+                jnp.float32(cut),
+                max_out,
+                n_valid=self._n_real_dev,
+            )
+            return sel_ids, sel_sc, n_match, trunc, max_out
+        # tombstoned rows: separate probes so the alive mask applies
         q_fps = lsh_ops.band_fingerprints(q_dev, self.b, self.r)
         ids, truncated = lsh_ops.query_tables(
             self._sorted_fp, self._sorted_ids, q_fps, cap=self.bucket_cap
         )
-        q = q_sigs.shape[0]
-        flat_ids = ids.reshape(q, -1)
-        flat_ids = self._mask_dead(flat_ids)
-        if self.rerank or return_scores:
-            scores = lsh_ops.rerank_jaccard(self._sigs_dev, q_dev, flat_ids)
-            cutoff = self.threshold if threshold is None else threshold
-            # one D2H round trip for everything: each separate fetch
-            # costs a full tunnel RTT (~30ms) regardless of size
-            ids_host, scores_host, trunc = jax.device_get(
-                (flat_ids, scores, truncated)
-            )
-            self.last_truncated = int(trunc)
-            out = []
-            for qi in range(q):
-                row_ids = ids_host[qi]
-                row_sc = scores_host[qi]
-                mask = row_ids >= 0
-                if self.rerank:
-                    mask &= row_sc >= cutoff
-                uniq, first = np.unique(row_ids[mask], return_index=True)
-                sc = row_sc[mask][first]
-                if return_scores:
-                    order = np.argsort(-sc)
-                    out.append(
-                        [(self._keys[int(p)], float(s))
-                         for p, s in zip(uniq[order], sc[order])]
-                    )
-                else:
-                    out.append([self._keys[int(p)] for p in uniq])
-            return out
-        ids_host, trunc = jax.device_get((flat_ids, truncated))
-        self.last_truncated = int(trunc)
-        out = []
-        for qi in range(q):
-            row = ids_host[qi]
-            uniq = np.unique(row[row >= 0])
-            out.append([self._keys[int(p)] for p in uniq])
-        return out
+        flat_ids = self._mask_dead(ids.reshape(q_sigs.shape[0], -1))
+        scores = lsh_ops.rerank_jaccard(self._sigs_dev, q_dev, flat_ids)
+        sel_ids, sel_sc, n_match = lsh_ops.threshold_select(
+            scores, flat_ids, jnp.float32(cut), max_out
+        )
+        return sel_ids, sel_sc, n_match, truncated, max_out
 
     def top_k(self, minhashes, k: int, method: str = "auto") -> list:
         """Top-k most similar indexed keys per query, fully on device.

@@ -39,6 +39,8 @@ __all__ = [
     "query_stacked_masked",
     "rerank_jaccard",
     "topk_candidates",
+    "threshold_select",
+    "query_fused",
     "topk_fused",
     "topk_scan",
 ]
@@ -263,6 +265,55 @@ def topk_candidates(scores, ids, k: int, max_dup: int = 0):
     return top_ids, top_sc
 
 
+@functools.partial(jax.jit, static_argnames=("max_out",))
+def threshold_select(scores, ids, cutoff, max_out: int):
+    """Device-side dedupe + threshold filter + score-ordered compaction.
+
+    The device finish for threshold queries (the reference's ``query``,
+    ``/root/reference/datasketch/lsh.py:370-432``, returns the band-bucket
+    union; the rerank cutoff is the filtering its docs tell users to add).
+    Replaces the per-query host ``np.unique`` loop: candidates are sorted
+    by id per row, duplicate ids (one per colliding band, identical
+    scores) and sub-cutoff ids are masked, and the survivors are compacted
+    score-descending into ``max_out`` slots — the host receives one small
+    buffer and does boolean indexing only.
+
+    Args:
+        scores: float32[Q, C] candidate scores (>= 0 for valid slots).
+        ids: int32[Q, C] candidate ids, -1 invalid.
+        cutoff: scalar (traced — no recompile per threshold); candidates
+            with score < cutoff are dropped. Pass -1.0 to keep every
+            valid candidate (dedupe only).
+        max_out: output slots per query (static).
+
+    Returns:
+        (sel_ids int32[Q, max_out], sel_sc float32[Q, max_out],
+        n_match int32[Q]) — ``n_match`` counts DISTINCT matching ids
+        BEFORE the ``max_out`` cap, so callers can detect truncation.
+        Empty slots have id -1 / score -1.
+    """
+    q, c = ids.shape
+    sc = jnp.where((ids >= 0) & (scores >= cutoff), scores, -1.0)
+    order = jnp.argsort(ids, axis=1)
+    ids_s = jnp.take_along_axis(ids, order, axis=1)
+    sc_s = jnp.take_along_axis(sc, order, axis=1)
+    prev = jnp.concatenate(
+        [jnp.full((q, 1), -2, dtype=ids_s.dtype), ids_s[:, :-1]], axis=1
+    )
+    first = (ids_s != prev) & (ids_s >= 0) & (sc_s >= 0)
+    sc_m = jnp.where(first, sc_s, -1.0)
+    n_match = first.sum(axis=1, dtype=jnp.int32)
+    k_eff = min(max_out, c)
+    top_sc, pos = jax.lax.top_k(sc_m, k_eff)
+    top_ids = jnp.take_along_axis(ids_s, pos, axis=1)
+    top_ids = jnp.where(top_sc >= 0, top_ids, -1)
+    if k_eff < max_out:
+        pad = max_out - k_eff
+        top_ids = jnp.pad(top_ids, ((0, 0), (0, pad)), constant_values=-1)
+        top_sc = jnp.pad(top_sc, ((0, 0), (0, pad)), constant_values=-1.0)
+    return top_ids, top_sc, n_match
+
+
 @functools.partial(jax.jit, static_argnames=("b", "r", "cap"))
 def query_bands_masked(sorted_fp, sorted_ids, q_sigs, b: int, r: int,
                        cap: int, n_bands):
@@ -346,7 +397,7 @@ def query_stacked_masked(sorted_fp, sorted_ids, q_sigs, b: int, r: int,
 
 @functools.partial(jax.jit, static_argnames=("k", "tile"))
 def topk_scan(db_sigs, q_sigs, k: int, n_valid=None, alive=None,
-              tile: int = 8192):
+              tile: int = 8192, count_ge=None):
     """Exact top-k by scanning EVERY indexed signature — no banding.
 
     On TPU the brute-force path is often strictly cheaper than band
@@ -369,9 +420,16 @@ def topk_scan(db_sigs, q_sigs, k: int, n_valid=None, alive=None,
         n_valid: scalar int32 — rows >= n_valid are padding.
         alive: optional bool[N_pad] tombstone mask (False = removed).
         tile: rows scored per scan step.
+        count_ge: optional scalar cutoff — the scan then ALSO counts, per
+            query, how many valid rows score >= cutoff (the exact
+            threshold-query match count), masks returned slots below the
+            cutoff to -1, and returns a third ``n_match int32[Q]`` output.
+            This is the threshold-query scan path: exact over stored
+            sketches, truncation (n_match > k) visible to the caller.
 
     Returns:
-        (top_ids int32[Q, k], top_scores float32[Q, k]); empty slots have
+        (top_ids int32[Q, k], top_scores float32[Q, k]) — plus
+        ``n_match int32[Q]`` when ``count_ge`` is given; empty slots have
         id -1 and score -1.
     """
     n_pad, p = db_sigs.shape
@@ -390,7 +448,10 @@ def topk_scan(db_sigs, q_sigs, k: int, n_valid=None, alive=None,
     k_eff = min(k, tile)
 
     def body(carry, inp):
-        c_sc, c_ids = carry
+        if count_ge is None:
+            c_sc, c_ids = carry
+        else:
+            c_sc, c_ids, c_cnt = carry
         if alive is not None:
             db_tile, t_idx, alive_tile = inp
         else:
@@ -410,7 +471,10 @@ def topk_scan(db_sigs, q_sigs, k: int, n_valid=None, alive=None,
         )
         top_sc, pos = jax.lax.top_k(sc, k_eff)
         top_ids = jnp.take_along_axis(idc, pos, axis=1)
-        return (top_sc, top_ids), None
+        if count_ge is None:
+            return (top_sc, top_ids), None
+        c_cnt = c_cnt + (eq >= count_ge).sum(axis=1, dtype=jnp.int32)
+        return (top_sc, top_ids, c_cnt), None
 
     # carry init derived from the inputs so it carries their
     # varying-manual-axes type inside shard_map (a plain jnp.full would
@@ -424,18 +488,61 @@ def topk_scan(db_sigs, q_sigs, k: int, n_valid=None, alive=None,
         jnp.broadcast_to(zero, (q, k_eff)) - 1.0,
         jnp.broadcast_to(zero.astype(jnp.int32), (q, k_eff)) - 1,
     )
+    if count_ge is not None:
+        init = init + (jnp.broadcast_to(zero.astype(jnp.int32)[:, 0], (q,)),)
     xs = (
         db_sigs.reshape(n_tiles, tile, p),
         jnp.arange(n_tiles, dtype=jnp.int32),
     )
     if alive is not None:
         xs = xs + (alive.reshape(n_tiles, tile),)
-    (sc, ids), _ = jax.lax.scan(body, init, xs)
+    out_carry, _ = jax.lax.scan(body, init, xs)
+    if count_ge is None:
+        sc, ids = out_carry
+    else:
+        sc, ids, cnt = out_carry
+        # below-cutoff slots are masked out of the returned top-k
+        ids = jnp.where(sc >= count_ge, ids, -1)
+        sc = jnp.where(sc >= count_ge, sc, -1.0)
     ids = jnp.where(sc >= 0, ids, -1)
     if k_eff < k:
         ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
         sc = jnp.pad(sc, ((0, 0), (0, k - k_eff)), constant_values=-1.0)
-    return ids, sc
+    if count_ge is None:
+        return ids, sc
+    return ids, sc, cnt
+
+
+@functools.partial(
+    jax.jit, static_argnames=("b", "r", "cap", "max_out", "n_buckets")
+)
+def query_fused(sorted_fp, sorted_ids, db_sigs, q_sigs, b: int, r: int,
+                cap: int, cutoff, max_out: int, offsets=None,
+                n_buckets: int = 0, n_valid=None):
+    """Whole THRESHOLD query pipeline in ONE dispatch.
+
+    fingerprints -> band probes -> Jaccard rerank -> dedupe + cutoff
+    filter + score-ordered compaction (:func:`threshold_select`). The
+    threshold twin of :func:`topk_fused`: at serving scale each separate
+    dispatch costs a host<->device round trip. ``cutoff`` is traced (no
+    recompile per threshold); pass -1.0 to keep all candidates.
+
+    Returns (sel_ids int32[Q, max_out], sel_sc float32[Q, max_out],
+    n_match int32[Q], truncated int32[]).
+    """
+    q_fps = band_fingerprints(q_sigs, b, r)
+    if offsets is not None:
+        ids, trunc = query_tables_direct(
+            sorted_fp, sorted_ids, offsets, q_fps, cap, n_buckets
+        )
+    else:
+        ids, trunc = query_tables(sorted_fp, sorted_ids, q_fps, cap=cap)
+    flat = ids.reshape(q_sigs.shape[0], -1)
+    if n_valid is not None:
+        flat = jnp.where(flat < n_valid, flat, -1)
+    scores = rerank_jaccard(db_sigs, q_sigs, flat)
+    sel_ids, sel_sc, n_match = threshold_select(scores, flat, cutoff, max_out)
+    return sel_ids, sel_sc, n_match, trunc
 
 
 @functools.partial(

@@ -46,6 +46,7 @@ class ShardedMinHashLSH:
         bucket_cap: int = 128,
         rerank: bool = True,
         shard_axis: str = "data",
+        max_results: Optional[int] = None,
     ):
         if threshold > 1.0 or threshold < 0.0:
             raise ValueError("threshold must be in [0.0, 1.0]")
@@ -60,6 +61,7 @@ class ShardedMinHashLSH:
             self.b, self.r = _optimal_param(threshold, num_perm, *weights)
         self.bucket_cap = bucket_cap
         self.rerank = rerank
+        self.max_results = max_results
         self.shard_axis = shard_axis
         self.n_shards = mesh.shape[shard_axis]
 
@@ -73,7 +75,7 @@ class ShardedMinHashLSH:
         self._alive = None  # bool[N_real] tombstones (False = removed)
         self._alive_dev = None  # cached replicated device mask [N_pad]
         self.last_truncated = 0
-        self._query_fn = None
+        self._query_fns: dict = {}  # max_out -> compiled threshold query
         self._topk_fns: dict = {}  # k -> compiled fused band top-k
         self._topk_scan_fns: dict = {}  # k -> compiled streaming-scan top-k
 
@@ -149,7 +151,7 @@ class ShardedMinHashLSH:
             )
         )
         self._sorted_fp, self._sorted_ids = build(self._sigs)
-        self._query_fn = None  # shapes changed; retrace lazily
+        self._query_fns = {}  # shapes changed; retrace lazily
         self._topk_fns = {}
         self._topk_scan_fns = {}
 
@@ -377,23 +379,38 @@ class ShardedMinHashLSH:
         gid = jnp.where((gid >= 0) & ok, gid, -1)
         return gid, scores, trunc
 
-    def _make_query_fn(self):
+    def _make_query_fn(self, max_out: int):
+        """Threshold query with a DEVICE-side finish: each shard dedupes,
+        threshold-filters, and compacts its candidates on-chip
+        (lsh_ops.threshold_select), so only ``max_out`` slots per shard
+        ride the all_gather and the host does boolean indexing only (a
+        per-query np.unique loop would cap batched threshold q/s)."""
         mesh, axis = self.mesh, self.shard_axis
 
-        def qbody(sorted_fp, sorted_ids, db_sigs, q_sigs, n_real, alive):
+        def qbody(sorted_fp, sorted_ids, db_sigs, q_sigs, n_real, alive,
+                  cutoff):
             gid, scores, trunc = self._local_candidates(
                 sorted_fp, sorted_ids, db_sigs, q_sigs, n_real, alive
             )
-            g_ids = jax.lax.all_gather(gid, axis, axis=1, tiled=True)
-            g_sc = jax.lax.all_gather(scores, axis, axis=1, tiled=True)
-            return g_ids, g_sc, jax.lax.psum(trunc, axis)
+            sel_ids, sel_sc, n_match = lsh_ops.threshold_select(
+                scores, gid, cutoff, max_out
+            )
+            over = jnp.sum(jnp.maximum(n_match - max_out, 0))
+            g_ids = jax.lax.all_gather(sel_ids, axis, axis=1, tiled=True)
+            g_sc = jax.lax.all_gather(sel_sc, axis, axis=1, tiled=True)
+            # global ids are disjoint across shards (no cross-shard dupes);
+            # one score-desc sort orders the gathered pool
+            order = jnp.argsort(-g_sc, axis=1)
+            g_ids = jnp.take_along_axis(g_ids, order, axis=1)
+            g_sc = jnp.take_along_axis(g_sc, order, axis=1)
+            return g_ids, g_sc, jax.lax.psum(trunc + over, axis)
 
         return jax.jit(
             jax.shard_map(
                 qbody,
                 mesh=mesh,
                 in_specs=(P(None, axis), P(None, axis), P(axis, None),
-                          P(None, None), P(), P(None)),
+                          P(None, None), P(), P(None), P()),
                 out_specs=(P(None, None), P(None, None), P()),
                 # all_gather/psum outputs are device-invariant; jax's
                 # varying-manual-axes inference can't always prove it.
@@ -488,36 +505,39 @@ class ShardedMinHashLSH:
             raise ValueError(
                 "Expecting minhash with length %d, got %d" % (self.h, q_sigs.shape[1])
             )
-        if self._query_fn is None:
-            self._query_fn = self._make_query_fn()
+        c_local = self.b * self.bucket_cap
+        max_out = (
+            c_local
+            if self.max_results is None
+            else min(self.max_results, c_local)
+        )
+        if max_out not in self._query_fns:
+            self._query_fns[max_out] = self._make_query_fn(max_out)
+        cutoff = self.threshold if threshold is None else threshold
+        cut = float(cutoff) if do_rerank else -1.0
         rep = NamedSharding(self.mesh, P(None, None))
-        ids, scores, trunc = self._query_fn(
+        ids, scores, trunc = self._query_fns[max_out](
             self._sorted_fp,
             self._sorted_ids,
             self._sigs,
             jax.device_put(jnp.asarray(q_sigs), rep),
             self._n_real_dev,
             self._alive_mask_dev(),
+            jnp.float32(cut),
         )
         ids_host, sc_host, trunc_h = jax.device_get((ids, scores, trunc))
         self.last_truncated = int(trunc_h)
-        cutoff = self.threshold if threshold is None else threshold
         out = []
         for qi in range(q_sigs.shape[0]):
-            row_ids, row_sc = ids_host[qi], sc_host[qi]
+            row_ids = ids_host[qi]
             hit = row_ids >= 0
-            if do_rerank:
-                hit &= row_sc >= cutoff
-            uniq, first = np.unique(row_ids[hit], return_index=True)
-            sc_u = row_sc[hit][first]
             if return_scores:
-                order = np.argsort(-sc_u, kind="stable")
                 out.append(
                     [(self._keys[int(p)], float(s))
-                     for p, s in zip(uniq[order], sc_u[order])]
+                     for p, s in zip(row_ids[hit], sc_host[qi][hit])]
                 )
             else:
-                out.append([self._keys[int(p)] for p in uniq])
+                out.append([self._keys[int(p)] for p in row_ids[hit]])
         return out
 
     def top_k(self, minhashes, k: int, return_scores: bool = True,
