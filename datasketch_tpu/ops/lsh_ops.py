@@ -182,9 +182,35 @@ def query_tables(sorted_fp, sorted_ids, q_fps, cap: int = 128):
     return jnp.transpose(ids, (1, 0, 2)), jnp.sum(trunc)
 
 
+# Test-only knob: force the Mosaic score-kernel branch in INTERPRET mode so
+# CPU CI covers the integrated pallas path of topk_scan / rerank_jaccard
+# (the platform gate would otherwise leave it untested until a real-TPU
+# run). Read at trace time — flip it before touching new shapes.
+SCORE_KERNEL_INTERPRET = False
+
+
+def _score_kernel_ok(p: int) -> bool:
+    """Trace-time gate for the Mosaic score kernels (TPU + lane-tiled P).
+
+    The compare+mean over [Q, C/T, P] is the shape-pathological XLA
+    fusion on the remote-TPU path (minutes per unlucky shape); Mosaic
+    compiles the same computation in ~1s, so serving paths prefer it
+    whenever the platform allows. Row counts are padded by the callers.
+    """
+    from datasketch_tpu.ops import pallas_kernels as pk
+
+    if p % 128:
+        return False
+    return pk.signature_kernel_available() or SCORE_KERNEL_INTERPRET
+
+
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def rerank_jaccard(db_sigs, q_sigs, cand_ids, chunk: int = 64):
     """Estimated Jaccard for gathered candidates, chunked over queries.
+
+    The candidate gather runs in XLA (cheap to compile); the [chunk, C, P]
+    compare+mean runs as a Mosaic kernel on TPU
+    (:func:`datasketch_tpu.ops.pallas_kernels.rerank_scores_pallas`).
 
     Args:
         db_sigs: uint32[N, P] indexed signatures.
@@ -194,19 +220,33 @@ def rerank_jaccard(db_sigs, q_sigs, cand_ids, chunk: int = 64):
     Returns:
         float32[Q, C] Jaccard estimates (0 where invalid).
     """
-    q_total, c = cand_ids.shape
+    q_total, c_real = cand_ids.shape
     p = db_sigs.shape[1]
+    use_pallas = _score_kernel_ok(p)
     pad = (-q_total) % chunk
+    pad_c = (-c_real) % 128 if use_pallas else 0
     q_sigs_p = jnp.pad(q_sigs, ((0, pad), (0, 0)))
-    cand_p = jnp.pad(cand_ids, ((0, pad), (0, 0)), constant_values=-1)
+    cand_p = jnp.pad(
+        cand_ids, ((0, pad), (0, pad_c)), constant_values=-1
+    )
     nq = q_sigs_p.shape[0] // chunk
+    c = c_real + pad_c
 
     def body(_, inp):
         qs, cids = inp  # [chunk, P], [chunk, C]
         valid = cids >= 0
         safe = jnp.where(valid, cids, 0)
         cand_sigs = db_sigs[safe]  # [chunk, C, P]
-        eq = (cand_sigs == qs[:, None, :]).mean(axis=-1, dtype=jnp.float32)
+        if use_pallas:
+            from datasketch_tpu.ops import pallas_kernels as pk
+
+            eq = pk.rerank_scores_pallas(
+                qs, cand_sigs, interpret=SCORE_KERNEL_INTERPRET
+            )
+        else:
+            eq = (cand_sigs == qs[:, None, :]).mean(
+                axis=-1, dtype=jnp.float32
+            )
         return None, jnp.where(valid, eq, 0.0)
 
     _, out = jax.lax.scan(
@@ -217,7 +257,7 @@ def rerank_jaccard(db_sigs, q_sigs, cand_ids, chunk: int = 64):
             cand_p.reshape(nq, chunk, c),
         ),
     )
-    return out.reshape(-1, c)[:q_total]
+    return out.reshape(-1, c)[:q_total, :c_real]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "max_dup"))
@@ -439,6 +479,16 @@ def topk_scan(db_sigs, q_sigs, k: int, n_valid=None, alive=None,
     pad_rows = n_tiles * tile - n_pad
     if pad_rows:
         db_sigs = jnp.pad(db_sigs, ((0, pad_rows), (0, 0)))
+    # Mosaic scorer for the [Q, tile, P] compare+mean (the XLA fusion of
+    # this shape family compiles pathologically through the remote-TPU
+    # path); query rows are padded to the kernel block and sliced after.
+    from datasketch_tpu.ops import pallas_kernels as pk
+
+    use_pallas = _score_kernel_ok(p) and tile % pk.SCORE_BT == 0
+    q_pad = ((-q) % pk.SCORE_BQ) if use_pallas else 0
+    if q_pad:
+        q_sigs = jnp.pad(q_sigs, ((0, q_pad), (0, 0)))
+    q_run = q + q_pad
     nv = jnp.int32(n_pad) if n_valid is None else n_valid.astype(jnp.int32)
     if alive is not None and alive.shape[0] != n_tiles * tile:
         # the tombstone mask covers only real rows; padded rows are
@@ -458,16 +508,21 @@ def topk_scan(db_sigs, q_sigs, k: int, n_valid=None, alive=None,
             db_tile, t_idx = inp
             alive_tile = None
         ids = base + t_idx * tile  # int32[tile]
-        eq = (db_tile[None, :, :] == q_sigs[:, None, :]).mean(
-            axis=-1, dtype=jnp.float32
-        )  # [Q, tile]
+        if use_pallas:
+            eq = pk.score_matrix_pallas(
+                q_sigs, db_tile, interpret=SCORE_KERNEL_INTERPRET
+            )  # [Q, tile]
+        else:
+            eq = (db_tile[None, :, :] == q_sigs[:, None, :]).mean(
+                axis=-1, dtype=jnp.float32
+            )  # [Q, tile]
         valid = ids < nv
         if alive_tile is not None:
             valid = valid & alive_tile
         eq = jnp.where(valid[None, :], eq, -1.0)
         sc = jnp.concatenate([c_sc, eq], axis=1)
         idc = jnp.concatenate(
-            [c_ids, jnp.broadcast_to(ids[None, :], (q, tile))], axis=1
+            [c_ids, jnp.broadcast_to(ids[None, :], (q_run, tile))], axis=1
         )
         top_sc, pos = jax.lax.top_k(sc, k_eff)
         top_ids = jnp.take_along_axis(idc, pos, axis=1)
@@ -485,11 +540,13 @@ def topk_scan(db_sigs, q_sigs, k: int, n_valid=None, alive=None,
         (db_sigs[:1, :1] & jnp.uint32(0)) | (q_sigs[:1, :1] & jnp.uint32(0))
     ).astype(jnp.float32)
     init = (
-        jnp.broadcast_to(zero, (q, k_eff)) - 1.0,
-        jnp.broadcast_to(zero.astype(jnp.int32), (q, k_eff)) - 1,
+        jnp.broadcast_to(zero, (q_run, k_eff)) - 1.0,
+        jnp.broadcast_to(zero.astype(jnp.int32), (q_run, k_eff)) - 1,
     )
     if count_ge is not None:
-        init = init + (jnp.broadcast_to(zero.astype(jnp.int32)[:, 0], (q,)),)
+        init = init + (
+            jnp.broadcast_to(zero.astype(jnp.int32)[:, 0], (q_run,)),
+        )
     xs = (
         db_sigs.reshape(n_tiles, tile, p),
         jnp.arange(n_tiles, dtype=jnp.int32),
@@ -505,6 +562,10 @@ def topk_scan(db_sigs, q_sigs, k: int, n_valid=None, alive=None,
         ids = jnp.where(sc >= count_ge, ids, -1)
         sc = jnp.where(sc >= count_ge, sc, -1.0)
     ids = jnp.where(sc >= 0, ids, -1)
+    if q_pad:
+        ids, sc = ids[:q], sc[:q]
+        if count_ge is not None:
+            cnt = cnt[:q]
     if k_eff < k:
         ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
         sc = jnp.pad(sc, ((0, 0), (0, k - k_eff)), constant_values=-1.0)

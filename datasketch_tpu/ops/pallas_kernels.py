@@ -25,7 +25,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from datasketch_tpu.ops import u64
 
-__all__ = ["signature_kernel_available", "sign_batch_pallas"]
+__all__ = [
+    "signature_kernel_available",
+    "sign_batch_pallas",
+    "score_matrix_pallas",
+    "rerank_scores_pallas",
+    "SCORE_BQ",
+    "SCORE_BT",
+]
 
 MAX_HASH = u64.MAX_HASH
 
@@ -138,3 +145,109 @@ def sign_batch_pallas(hashes, lengths, a_hi, a_lo, b_hi, b_lo,
         out_shape=jax.ShapeDtypeStruct((b, p), jnp.uint32),
         interpret=interpret,
     )(hashes, lengths.reshape(b, 1).astype(jnp.int32), *params2d)
+
+
+# ---------------------------------------------------------------- query path
+
+SCORE_BQ = 8  # query rows per grid step
+SCORE_BT = 128  # db rows per grid step; the [BQ, BT, P] compare is 512 KB
+# of bool at P=128 — VMEM-sized with headroom for the int32 partials.
+
+
+def _score_kernel(q_ref, db_ref, out_ref):
+    """Jaccard-estimate scores for one (query block, db tile) pair.
+
+    q_ref: uint32[SCORE_BQ, P]; db_ref: uint32[SCORE_BT, P];
+    out_ref: float32[SCORE_BQ, SCORE_BT] = mean over P of slot equality —
+    the compare+mean at the heart of every serving query (the rerank the
+    reference docs prescribe, ``/root/reference/datasketch/lsh.py:374-378``,
+    and the exact-scan top-k). As a Mosaic kernel it compiles in ~1s per
+    shape; the same computation as an XLA fusion was observed to take
+    minutes through the remote-TPU path for unlucky [Q, T, P] shapes.
+    """
+    p = q_ref.shape[-1]
+    # operands broadcast to rank 3 BEFORE the compare: the i1 result is
+    # born in its final rank (Mosaic rejects i1 shape casts)
+    eq = q_ref[:][:, None, :] == db_ref[:][None, :, :]  # [BQ, BT, P] i1
+    counts = jnp.sum(eq.astype(jnp.float32), axis=-1)  # [BQ, BT]
+    out_ref[:] = counts / p  # sum-then-divide == jnp.mean bit-for-bit
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def score_matrix_pallas(q_sigs, db_sigs, interpret: bool = False):
+    """All-pairs signature-equality scores: [Q, P] x [T, P] -> f32[Q, T].
+
+    Same result as ``(q[:, None, :] == db[None, :, :]).mean(-1)``
+    (:func:`datasketch_tpu.ops.minhash_ops.jaccard_matrix`), tiled so the
+    [BQ, BT, P] intermediate never leaves VMEM. Requires Q % SCORE_BQ == 0,
+    T % SCORE_BT == 0, P % 128 == 0 (callers pad).
+    """
+    q, p = q_sigs.shape
+    t = db_sigs.shape[0]
+    if q % SCORE_BQ or t % SCORE_BT or p % 128:
+        raise ValueError(
+            "score_matrix_pallas shapes (%d, %d, %d) must tile by (%d, %d, 128)"
+            % (q, t, p, SCORE_BQ, SCORE_BT)
+        )
+    return pl.pallas_call(
+        _score_kernel,
+        grid=(q // SCORE_BQ, t // SCORE_BT),
+        in_specs=[
+            pl.BlockSpec((SCORE_BQ, p), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SCORE_BT, p), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (SCORE_BQ, SCORE_BT), lambda i, j: (i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((q, t), jnp.float32),
+        interpret=interpret,
+    )(q_sigs, db_sigs)
+
+
+def _rerank_kernel(q_ref, cand_ref, out_ref):
+    """Candidate rerank scores for one (query block, candidate tile).
+
+    q_ref: uint32[SCORE_BQ, P]; cand_ref: uint32[SCORE_BQ, SCORE_BT, P]
+    (gathered candidate signatures, row i belongs to query i);
+    out_ref: float32[SCORE_BQ, SCORE_BT].
+    """
+    p = q_ref.shape[-1]
+    eq = cand_ref[:] == q_ref[:][:, None, :]  # [BQ, BT, P] i1
+    out_ref[:] = jnp.sum(eq.astype(jnp.float32), axis=-1) / p
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def rerank_scores_pallas(q_sigs, cand_sigs, interpret: bool = False):
+    """Per-query candidate scores: [Q, P] x [Q, C, P] -> f32[Q, C].
+
+    The compare+mean half of ``lsh_ops.rerank_jaccard`` (the gather that
+    produces ``cand_sigs`` stays in XLA — it is a cheap-to-compile op;
+    the [Q, C, P] elementwise+reduce is the shape-pathological part).
+    Requires Q % SCORE_BQ == 0, C % SCORE_BT == 0, P % 128 == 0.
+    """
+    q, p = q_sigs.shape
+    c = cand_sigs.shape[1]
+    if q % SCORE_BQ or c % SCORE_BT or p % 128:
+        raise ValueError(
+            "rerank_scores_pallas shapes (%d, %d, %d) must tile by (%d, %d, 128)"
+            % (q, c, p, SCORE_BQ, SCORE_BT)
+        )
+    return pl.pallas_call(
+        _rerank_kernel,
+        grid=(q // SCORE_BQ, c // SCORE_BT),
+        in_specs=[
+            pl.BlockSpec((SCORE_BQ, p), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SCORE_BQ, SCORE_BT, p), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (SCORE_BQ, SCORE_BT), lambda i, j: (i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((q, c), jnp.float32),
+        interpret=interpret,
+    )(q_sigs, cand_sigs)

@@ -37,3 +37,93 @@ def test_pallas_shape_validation():
             np.zeros((7, 128), np.uint32), np.zeros(7, np.int32), *limbs,
             interpret=True,
         )
+
+
+@pytest.mark.parametrize("q,t,p", [(8, 128, 128), (16, 256, 128), (8, 128, 256)])
+def test_score_matrix_kernel_parity(q, t, p):
+    rng = np.random.RandomState(q + t + p)
+    # low-cardinality values so slot collisions actually occur
+    qs = rng.randint(0, 7, size=(q, p)).astype(np.uint32)
+    db = rng.randint(0, 7, size=(t, p)).astype(np.uint32)
+    got = np.asarray(
+        pallas_kernels.score_matrix_pallas(qs, db, interpret=True)
+    )
+    want = (qs[:, None, :] == db[None, :, :]).mean(
+        axis=-1, dtype=np.float32
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_rerank_scores_kernel_parity():
+    rng = np.random.RandomState(5)
+    q, c, p = 8, 128, 128
+    qs = rng.randint(0, 7, size=(q, p)).astype(np.uint32)
+    cands = rng.randint(0, 7, size=(q, c, p)).astype(np.uint32)
+    got = np.asarray(
+        pallas_kernels.rerank_scores_pallas(qs, cands, interpret=True)
+    )
+    want = (cands == qs[:, None, :]).mean(axis=-1, dtype=np.float32)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_topk_scan_pallas_branch_interpret():
+    """Integrated coverage of topk_scan's Mosaic-scorer branch (CPU CI
+    never takes it via the platform gate; the knob forces interpret
+    mode). Shapes here are unique so the forced trace stays isolated."""
+    import jax.numpy as jnp
+
+    from datasketch_tpu.ops import lsh_ops
+
+    rng = np.random.RandomState(21)
+    db = rng.randint(0, 5, size=(384, 128)).astype(np.uint32)
+    qs = rng.randint(0, 5, size=(13, 128)).astype(np.uint32)
+    want = [np.asarray(x) for x in lsh_ops.topk_scan(db, qs, 7, tile=128)]
+    # the knob is read at TRACE time: drop the cached XLA trace first
+    lsh_ops.topk_scan.clear_cache()
+    lsh_ops.SCORE_KERNEL_INTERPRET = True
+    try:
+        got = lsh_ops.topk_scan(jnp.asarray(db), jnp.asarray(qs), 7, tile=128)
+        got = [np.asarray(x) for x in got]
+    finally:
+        lsh_ops.SCORE_KERNEL_INTERPRET = False
+        lsh_ops.topk_scan.clear_cache()
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_allclose(got[1], want[1])
+
+
+def test_rerank_jaccard_pallas_branch_interpret():
+    import jax.numpy as jnp
+
+    from datasketch_tpu.ops import lsh_ops
+
+    rng = np.random.RandomState(22)
+    db = rng.randint(0, 5, size=(96, 128)).astype(np.uint32)
+    qs = rng.randint(0, 5, size=(5, 128)).astype(np.uint32)
+    cands = rng.randint(-1, 96, size=(5, 70)).astype(np.int32)  # ragged C
+    want = np.asarray(lsh_ops.rerank_jaccard(db, qs, cands))
+    lsh_ops.rerank_jaccard.clear_cache()
+    lsh_ops.SCORE_KERNEL_INTERPRET = True
+    try:
+        got = np.asarray(
+            lsh_ops.rerank_jaccard(
+                jnp.asarray(db), jnp.asarray(qs), jnp.asarray(cands)
+            )
+        )
+    finally:
+        lsh_ops.SCORE_KERNEL_INTERPRET = False
+        lsh_ops.rerank_jaccard.clear_cache()
+    np.testing.assert_array_equal(got, want)
+
+
+def test_score_kernel_shape_validation():
+    with pytest.raises(ValueError):
+        pallas_kernels.score_matrix_pallas(
+            np.zeros((7, 128), np.uint32), np.zeros((128, 128), np.uint32),
+            interpret=True,
+        )
+    with pytest.raises(ValueError):
+        pallas_kernels.rerank_scores_pallas(
+            np.zeros((8, 128), np.uint32),
+            np.zeros((8, 100, 128), np.uint32),
+            interpret=True,
+        )
