@@ -102,10 +102,18 @@ class ShardedMinHashLSH:
         self._keys.extend(keys)
         old_alive = self._alive
         if self._sigs is not None:
-            # concat ON DEVICE: the existing corpus never round-trips host
-            sigs = jnp.concatenate(
-                [self._sigs[: self._n_real], jnp.asarray(sigs)], axis=0
-            )
+            if getattr(self._sigs, "is_fully_addressable", True):
+                # concat ON DEVICE: the corpus never round-trips host
+                sigs = jnp.concatenate(
+                    [self._sigs[: self._n_real], jnp.asarray(sigs)], axis=0
+                )
+            else:
+                # multi-process mesh: per-shard data lives in other
+                # processes; collect once, rebuild re-shards
+                sigs = np.concatenate(
+                    [self._to_host(self._sigs)[: self._n_real],
+                     np.asarray(sigs)], axis=0
+                )
         self._build(sigs)
         self._alive = np.ones(self._n_real, dtype=bool)
         if old_alive is not None:
@@ -201,9 +209,17 @@ class ShardedMinHashLSH:
         old_alive, other_alive = self._alive, getattr(other, "_alive", None)
         if self._sigs is None:
             merged = other_sigs[:other_n]
-        else:
+        elif getattr(self._sigs, "is_fully_addressable", True) and getattr(
+            other_sigs, "is_fully_addressable", True
+        ):
             merged = jnp.concatenate(
                 [self._sigs[: self._n_real], other_sigs[:other_n]], axis=0
+            )
+        else:
+            fetch_other = getattr(other, "_to_host", np.asarray)
+            merged = np.concatenate(
+                [self._to_host(self._sigs)[: self._n_real],
+                 fetch_other(other_sigs)[:other_n]], axis=0
             )
         n_self = 0 if old_alive is None else old_alive.shape[0]
         self._build(merged)
@@ -243,7 +259,7 @@ class ShardedMinHashLSH:
             # each shard's table is sorted independently: compute run
             # stats per (band, shard) block so runs never appear to span
             # shard boundaries
-            fp = np.asarray(self._sorted_fp).reshape(
+            fp = self._to_host(self._sorted_fp).reshape(
                 self.b * self.n_shards, -1
             )
             max_run, _ = lsh_ops.bucket_stats(jnp.asarray(fp))
@@ -256,7 +272,10 @@ class ShardedMinHashLSH:
         if self._sigs is None or self._alive is None or self._alive.all():
             return
         live = np.nonzero(self._alive)[0]
-        sigs = jnp.take(self._sigs, jnp.asarray(live), axis=0)
+        if getattr(self._sigs, "is_fully_addressable", True):
+            sigs = jnp.take(self._sigs, jnp.asarray(live), axis=0)
+        else:
+            sigs = self._to_host(self._sigs)[live]
         self._keys = [self._keys[i] for i in live]
         self._key_to_pos = {k: i for i, k in enumerate(self._keys)}
         self._build(sigs)
@@ -265,6 +284,28 @@ class ShardedMinHashLSH:
 
     # -------------------------------------------------------- persistence
 
+    def _to_host(self, arr) -> np.ndarray:
+        """Full host copy of a device array, multi-process safe.
+
+        On a single-process mesh this is a plain transfer. On a
+        multi-process (DCN) mesh some shards live in OTHER processes and
+        ``np.asarray`` cannot materialize them; a replicating identity
+        jit first collects the full array onto every process's devices
+        (one cross-host all-gather), then the local replica is fetched.
+        """
+        if getattr(arr, "is_fully_addressable", True):
+            return np.asarray(arr)
+        # NOTE: the replicating jit is a COLLECTIVE — on a multi-process
+        # mesh EVERY process must reach this call in the same order
+        # (i.e. call save/host_snapshot/status from all processes, not
+        # just one), or the mesh deadlocks like any mismatched psum.
+        spec = P(*([None] * arr.ndim))
+        rep = jax.jit(
+            lambda x: x,
+            out_shardings=NamedSharding(self.mesh, spec),
+        )(arr)
+        return np.asarray(rep.addressable_data(0))
+
     def host_snapshot(self) -> dict:
         """Host-side copy of the queryable state (``{"keys", "sigs",
         "alive"}``) — one cross-shard gather; feeds
@@ -272,7 +313,7 @@ class ShardedMinHashLSH:
         deployment can keep answering from the host when the mesh is
         unhealthy."""
         sigs = (
-            np.asarray(self._sigs[: self._n_real])
+            self._to_host(self._sigs)[: self._n_real]
             if self._sigs is not None
             else np.zeros((0, self.h), np.uint32)
         )
@@ -285,7 +326,7 @@ class ShardedMinHashLSH:
         """Persist signatures/keys/tombstones as .npz; shard tables are
         rebuilt (and re-sharded to the loading mesh) on load."""
         sigs = (
-            np.asarray(self._sigs[: self._n_real])
+            self._to_host(self._sigs)[: self._n_real]
             if self._sigs is not None
             else np.zeros((0, self.h), dtype=np.uint32)
         )
