@@ -131,10 +131,16 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
                     0, 1 << 32, size=(n_pad - len(group), self.h),
                     dtype=np.uint64,
                 ).astype(np.uint32)
+        self._n_valid = n_valid
+        self._build_tables(stack)
+
+    def _build_tables(self, stack: np.ndarray) -> None:
+        """Upload the stacked signatures and derive every r's band tables
+        (one vmapped program per unique r). Subclasses re-layout here
+        (the sharded ensemble shards the partition axis over its mesh)."""
         sigs_dev = jnp.asarray(stack)  # one upload for every partition
         self._sigs_dev = sigs_dev
-        self._n_valid = n_valid
-        self._n_valid_dev = jnp.asarray(n_valid)
+        self._n_valid_dev = jnp.asarray(self._n_valid)
         for r in self.rs:
             b = self.h // r
             self._tables[r] = lsh_ops.build_tables_stacked(sigs_dev, b, r)
@@ -241,9 +247,15 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
                 [-1 if x is None else int(x) for x in self.uppers], np.int64
             ),
             n_valid=self._n_valid,
-            sigs=np.asarray(self._sigs_dev),
+            sigs=self._host_stack(),
             keys=pack_keys(self._keys_per_part),
         )
+
+    def _host_stack(self) -> np.ndarray:
+        """Host copy of the stacked signatures (subclass hook: the sharded
+        ensemble collects non-addressable shards and drops its filler
+        partitions so checkpoints stay layout-independent)."""
+        return np.asarray(self._sigs_dev)
 
     @classmethod
     def load(cls, path: str) -> "TpuMinHashLSHEnsemble":
@@ -273,18 +285,13 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
         obj.lowers = [None if x < 0 else int(x) for x in data["lowers"]]
         obj.uppers = [None if x < 0 else int(x) for x in data["uppers"]]
         obj._n_valid = data["n_valid"].astype(np.int32)
-        obj._n_valid_dev = jnp.asarray(obj._n_valid)
         sigs = data["sigs"]
         obj._n_pad = sigs.shape[1]
-        obj._sigs_dev = jnp.asarray(sigs)
         obj._keys_per_part = unpack_keys(data["keys"])
         obj._key_set = set().union(*map(set, obj._keys_per_part)) if len(
             obj._keys_per_part
         ) else set()
-        for r in obj.rs:
-            obj._tables[r] = lsh_ops.build_tables_stacked(
-                obj._sigs_dev, obj.h // r, r
-            )
+        obj._build_tables(sigs)
         return obj
 
     # -------------------------------------------------------------- plumbing

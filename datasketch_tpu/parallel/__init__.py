@@ -20,6 +20,8 @@ from datasketch_tpu.parallel.sharded_sketch import (
     distributed_hll_union,
 )
 from datasketch_tpu.parallel.sharded_lsh import ShardedMinHashLSH
+from datasketch_tpu.parallel.sharded_forest import ShardedMinHashLSHForest
+from datasketch_tpu.parallel.sharded_ensemble import ShardedMinHashLSHEnsemble
 
 __all__ = [
     "make_mesh",
@@ -28,4 +30,6 @@ __all__ = [
     "distributed_minhash_union",
     "distributed_hll_union",
     "ShardedMinHashLSH",
+    "ShardedMinHashLSHForest",
+    "ShardedMinHashLSHEnsemble",
 ]

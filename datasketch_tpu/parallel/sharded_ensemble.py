@@ -1,0 +1,239 @@
+"""ShardedMinHashLSHEnsemble — containment index sharded over a mesh.
+
+The mesh form of :class:`datasketch_tpu.models.tpu_ensemble.
+TpuMinHashLSHEnsemble` (reference semantics:
+``/root/reference/datasketch/lshensemble.py:61,230-249``). The stacked
+``[parts, N_pad, P]`` layout shards over the PARTITION axis: each device
+owns ``num_part / n_shards`` size-partitions (the reference probes every
+partition per query anyway, so partition-sharding balances query work
+perfectly), builds their band tables locally inside ``shard_map``, probes
+them with the same per-(query, partition) dynamic band masks, and
+candidates return via one ``all_gather`` per unique r. The host-side DP
+size-partitioner and per-x/q (b, r) parameter tables are inherited
+unchanged; checkpoints interoperate with the single-chip class in both
+directions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from datasketch_tpu.models.tpu_ensemble import TpuMinHashLSHEnsemble
+from datasketch_tpu.ops import lsh_ops
+
+__all__ = ["ShardedMinHashLSHEnsemble"]
+
+
+class ShardedMinHashLSHEnsemble(TpuMinHashLSHEnsemble):
+    """Containment-threshold index with partition-sharded device tables.
+
+    Args:
+        mesh: device mesh; partitions shard over ``shard_axis``. The
+            partition stack is padded to a multiple of the shard count
+            with empty partitions (``n_valid`` 0 masks their every row).
+        shard_axis: mesh axis name.
+        Other args as :class:`TpuMinHashLSHEnsemble`.
+    """
+
+    def __init__(self, mesh: Mesh, threshold: float = 0.9,
+                 num_perm: int = 128, num_part: int = 16, m: int = 8,
+                 weights: tuple = (0.5, 0.5), bucket_cap: int = 128,
+                 shard_axis: str = "data"):
+        super().__init__(
+            threshold=threshold, num_perm=num_perm, num_part=num_part,
+            m=m, weights=weights, bucket_cap=bucket_cap,
+        )
+        self.mesh = mesh
+        self.shard_axis = shard_axis
+        self.n_shards = mesh.shape[shard_axis]
+        self._parts_pad = -(-num_part // self.n_shards) * self.n_shards
+        self._probe_fns: dict = {}  # r -> compiled sharded probe
+
+    # ------------------------------------------------------------------ build
+
+    def _build_tables(self, stack: np.ndarray) -> None:
+        """Shard the partition stack over the mesh and build every r's
+        band tables locally per shard (overrides the single-chip hook;
+        called by the inherited ``index`` and ``load`` paths)."""
+        mesh, axis = self.mesh, self.shard_axis
+        stack = np.asarray(stack)
+        pad = self._parts_pad - stack.shape[0]
+        n_valid = self._n_valid
+        if pad:
+            rng = np.random.RandomState(self._n_pad & 0x7FFFFFFF)
+            filler = rng.randint(
+                0, 1 << 32, size=(pad, stack.shape[1], self.h),
+                dtype=np.uint64,
+            ).astype(np.uint32)
+            stack = np.concatenate([stack, filler], axis=0)
+            n_valid = np.concatenate([n_valid, np.zeros(pad, np.int32)])
+        self._sigs_dev = jax.device_put(
+            stack, NamedSharding(mesh, P(axis, None, None))
+        )
+        self._n_valid_dev = jax.device_put(
+            jnp.asarray(n_valid), NamedSharding(mesh, P(axis))
+        )
+        b_by_r = {r: self.h // r for r in self.rs}
+
+        def build_body(s):
+            return {r: lsh_ops.build_tables_stacked(s, b, r)
+                    for r, b in b_by_r.items()}
+
+        self._tables = jax.jit(
+            jax.shard_map(
+                build_body,
+                mesh=mesh,
+                in_specs=P(axis, None, None),
+                out_specs={r: (P(axis, None, None), P(axis, None, None))
+                           for r in b_by_r},
+            )
+        )(self._sigs_dev)
+        self._probe_fns = {}
+
+    def _to_host(self, arr) -> np.ndarray:
+        """Full host copy, multi-process safe (collective when shards are
+        non-addressable — see ``ShardedMinHashLSH._to_host``)."""
+        if getattr(arr, "is_fully_addressable", True):
+            return np.asarray(arr)
+        spec = P(*([None] * arr.ndim))
+        rep = jax.jit(
+            lambda x: x, out_shardings=NamedSharding(self.mesh, spec)
+        )(arr)
+        return np.asarray(rep.addressable_data(0))
+
+    def _host_stack(self) -> np.ndarray:
+        # drop the filler partitions: checkpoints stay layout-independent
+        return self._to_host(self._sigs_dev)[: self.num_part]
+
+    # ------------------------------------------------------------------ query
+
+    def _make_probe_fn(self, r: int):
+        mesh, axis = self.mesh, self.shard_axis
+        b = self.h // r
+        cap, n_pad = self.bucket_cap, self._n_pad
+
+        def body(sorted_fp, sorted_ids, q_sigs, b_keep, n_valid):
+            flat, trunc = lsh_ops.query_stacked_masked(
+                sorted_fp, sorted_ids, q_sigs, b, r, cap, b_keep, n_valid
+            )
+            # globalize: local part p on shard s is partition
+            # s * parts_local + p; flat ids are part_local * n_pad + row
+            parts_local = sorted_fp.shape[0]
+            base = jax.lax.axis_index(axis) * parts_local * n_pad
+            flat = jnp.where(flat >= 0, flat + base, -1)
+            g = jax.lax.all_gather(flat, axis, axis=1, tiled=True)
+            return g, jax.lax.psum(trunc, axis)
+
+        return jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(axis, None, None), P(axis, None, None),
+                          P(None, None), P(None, axis), P(axis)),
+                out_specs=(P(None, None), P()),
+                check_vma=False,
+            )
+        )
+
+    def query_batch(self, queries) -> list:
+        """Batched containment query across all shards; one sharded
+        dispatch + all_gather per unique r (same result contract as the
+        single-chip class)."""
+        queries = list(queries)
+        if not queries or not self._tables:
+            return [[] for _ in queries]
+        from datasketch_tpu.models.tpu_lsh import _as_signature_matrix
+
+        q_sigs = _as_signature_matrix([mh for mh, _ in queries])
+        if q_sigs.shape[1] != self.h:
+            raise ValueError(
+                "Expecting minhash with length %d, got %d"
+                % (self.h, q_sigs.shape[1])
+            )
+        nq = q_sigs.shape[0]
+        q_pad = 8
+        while q_pad < nq:
+            q_pad *= 2
+        if q_pad != nq:
+            q_sigs = np.pad(q_sigs, ((0, q_pad - nq), (0, 0)))
+
+        b_keep = {r: np.zeros((q_pad, self._parts_pad), dtype=np.int32)
+                  for r in self.rs}
+        for qi, (_, size) in enumerate(queries):
+            for part in range(self.num_part):
+                u = self.uppers[part]
+                if u is None:
+                    continue
+                bb, rr = self._get_optimal_param(u, size)
+                b_keep[int(rr)][qi, part] = int(bb)
+
+        rep = NamedSharding(self.mesh, P(None, None))
+        q_dev = jax.device_put(jnp.asarray(q_sigs), rep)
+        probes = []
+        for r in self.rs:
+            if not b_keep[r].any():
+                continue
+            if r not in self._probe_fns:
+                self._probe_fns[r] = self._make_probe_fn(r)
+            sorted_fp, sorted_ids = self._tables[r]
+            out = self._probe_fns[r](
+                sorted_fp, sorted_ids, q_dev, jnp.asarray(b_keep[r]),
+                self._n_valid_dev,
+            )
+            for arr in out:
+                if getattr(arr, "is_fully_addressable", True):
+                    arr.copy_to_host_async()
+            probes.append(out)
+
+        results = [set() for _ in queries]
+        total_trunc = 0
+        for out in probes:
+            ids_host, trunc = jax.device_get(out)
+            total_trunc += int(trunc)
+            for qi in range(nq):
+                row = ids_host[qi]
+                for g in np.unique(row[row >= 0]):
+                    part, local = divmod(int(g), self._n_pad)
+                    results[qi].add(self._keys_per_part[part][local])
+        self.last_truncated = total_trunc
+        return [list(r) for r in results]
+
+    # ------------------------------------------------------------ persistence
+
+    @classmethod
+    def load(cls, path: str, mesh: Mesh, shard_axis: str = "data",
+             ) -> "ShardedMinHashLSHEnsemble":
+        """Reload a single-chip or sharded ensemble checkpoint onto
+        ``mesh`` (tables re-derive; the shard count may differ).
+        SECURITY: the key lists inside the file are a pickle payload —
+        only load index files you created or trust."""
+        from datasketch_tpu.persist import npz_path, unpack_keys
+
+        data = np.load(npz_path(path), allow_pickle=False)
+        if str(data["kind"]) != "tpu_ensemble":
+            raise ValueError("not a TpuMinHashLSHEnsemble checkpoint")
+        weights = tuple(float(w) for w in data["weights"])
+        obj = cls(
+            mesh,
+            threshold=float(data["threshold"]),
+            num_perm=int(data["num_perm"]),
+            num_part=int(data["num_part"]),
+            m=int(data["m"]),
+            bucket_cap=int(data["bucket_cap"]),
+            weights=weights,
+            shard_axis=shard_axis,
+        )
+        obj.lowers = [None if x < 0 else int(x) for x in data["lowers"]]
+        obj.uppers = [None if x < 0 else int(x) for x in data["uppers"]]
+        obj._n_valid = data["n_valid"].astype(np.int32)
+        sigs = data["sigs"]
+        obj._n_pad = sigs.shape[1]
+        obj._keys_per_part = unpack_keys(data["keys"])
+        obj._key_set = set().union(*map(set, obj._keys_per_part)) if len(
+            obj._keys_per_part
+        ) else set()
+        obj._build_tables(sigs)
+        return obj

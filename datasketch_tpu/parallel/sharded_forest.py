@@ -1,0 +1,290 @@
+"""ShardedMinHashLSHForest — document-sharded top-k forest over a mesh.
+
+The mesh form of :class:`datasketch_tpu.models.tpu_forest.
+TpuMinHashLSHForest` (reference semantics:
+``/root/reference/datasketch/lshforest.py:9-128``): each device owns
+``N / n_shards`` documents' signatures and their per-tree sorted prefix
+arrays, a query batch is replicated, every shard runs the fused forest
+query (per-level run narrowing + level-weighted Jaccard top-k) over its
+slice, and only ``k`` candidates per shard ride the ``all_gather``; the
+final cross-shard top-k re-ranks by the same (prefix depth, Jaccard) key
+and runs replicated. Table construction is the host lexsort build
+(immune to the remote-TPU multi-key-sort compile pathology), one slice
+per shard, uploaded sharded in one ``device_put``.
+"""
+
+from __future__ import annotations
+
+from typing import Hashable, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from datasketch_tpu.models.tpu_lsh import _as_signature_matrix
+from datasketch_tpu.ops import forest_ops
+
+__all__ = ["ShardedMinHashLSHForest"]
+
+
+class ShardedMinHashLSHForest:
+    """Top-k Jaccard forest sharded over a mesh axis.
+
+    Args:
+        mesh: device mesh; documents shard over ``shard_axis``.
+        num_perm / l / cap: as
+            :class:`~datasketch_tpu.models.tpu_forest.TpuMinHashLSHForest`.
+        shard_axis: mesh axis name to shard documents over.
+    """
+
+    def __init__(self, mesh: Mesh, num_perm: int = 128, l: int = 8,
+                 cap: int = 64, shard_axis: str = "data"):
+        if l <= 0 or num_perm <= 0:
+            raise ValueError("num_perm and l must be positive")
+        if l > num_perm:
+            raise ValueError("l cannot be greater than num_perm")
+        self.mesh = mesh
+        self.l = l
+        self.k = int(num_perm / l)
+        self.num_perm = num_perm
+        self.width = self.k * self.l
+        self.cap = cap
+        self.shard_axis = shard_axis
+        self.n_shards = mesh.shape[shard_axis]
+        self._keys: list = []
+        self._key_set: set = set()
+        self._sigs = None  # uint32[N_pad, width] sharded P(axis, None)
+        self._sorted_fps = None  # uint32[l, k, N_pad] sharded on last axis
+        self._sorted_ids = None  # int32[l, N_pad] LOCAL ids per shard slice
+        self._n_real = 0
+        self._n_real_dev = None
+        self._query_fns: dict = {}  # k_out -> compiled sharded query
+        self.last_truncated = 0
+
+    # ------------------------------------------------------------- building
+
+    def index(self, keys: Sequence[Hashable], minhashes) -> None:
+        """Bulk-build (or extend) the sharded forest.
+
+        Tables are host-lexsorted per shard slice and uploaded sharded;
+        calling again re-shards the grown corpus.
+        """
+        keys = list(keys)
+        sigs = _as_signature_matrix(minhashes)
+        if sigs.shape[0] != len(keys):
+            raise ValueError("keys and minhashes must have equal length")
+        if sigs.shape[0] and sigs.shape[1] < self.width:
+            raise ValueError("The num_perm of MinHash out of range")
+        for kk in keys:
+            if kk in self._key_set:
+                raise ValueError("The given key has already been added")
+            self._key_set.add(kk)
+        sigs = np.asarray(sigs)[:, : self.width]
+        if self._n_real:
+            old = self._to_host(self._sigs)[: self._n_real]
+            sigs = np.concatenate([old, sigs], axis=0)
+        self._keys.extend(keys)
+        self._build(sigs)
+
+    def _to_host(self, arr) -> np.ndarray:
+        """Full host copy, multi-process safe (collective when shards are
+        non-addressable — see ``ShardedMinHashLSH._to_host``)."""
+        if getattr(arr, "is_fully_addressable", True):
+            return np.asarray(arr)
+        spec = P(*([None] * arr.ndim))
+        rep = jax.jit(
+            lambda x: x, out_shardings=NamedSharding(self.mesh, spec)
+        )(arr)
+        return np.asarray(rep.addressable_data(0))
+
+    def _build(self, sigs: np.ndarray) -> None:
+        mesh, axis = self.mesh, self.shard_axis
+        n = sigs.shape[0]
+        self._n_real = n
+        self._n_real_dev = jnp.int32(n)
+        n_pad = 128
+        while n_pad < n:
+            n_pad *= 2
+        n_pad = -(-n_pad // self.n_shards) * self.n_shards
+        if n_pad != n:
+            rng = np.random.RandomState(n_pad & 0x7FFFFFFF)
+            filler = rng.randint(
+                0, 1 << 32, size=(n_pad - n, self.width), dtype=np.uint64
+            ).astype(np.uint32)
+            sigs = np.concatenate([sigs, filler], axis=0)
+        local_n = n_pad // self.n_shards
+        fps_parts, ids_parts = [], []
+        for s in range(self.n_shards):
+            sl = sigs[s * local_n : (s + 1) * local_n]
+            f, i = forest_ops.build_forest_host(sl, self.l, self.k)
+            fps_parts.append(f)
+            ids_parts.append(i)  # LOCAL ids (0..local_n) — offset at query
+        self._sigs = jax.device_put(
+            sigs, NamedSharding(mesh, P(axis, None))
+        )
+        self._sorted_fps = jax.device_put(
+            np.concatenate(fps_parts, axis=2),
+            NamedSharding(mesh, P(None, None, axis)),
+        )
+        self._sorted_ids = jax.device_put(
+            np.concatenate(ids_parts, axis=1),
+            NamedSharding(mesh, P(None, axis)),
+        )
+        self._query_fns = {}
+
+    # -------------------------------------------------------------- queries
+
+    def _make_query_fn(self, k_out: int):
+        mesh, axis = self.mesh, self.shard_axis
+        l, k_prefix, cap = self.l, self.k, self.cap
+
+        def body(sorted_fps, sorted_ids, db_sigs, q_sigs, n_real):
+            local_n = db_sigs.shape[0]
+            base = jax.lax.axis_index(axis) * local_n
+            nv = jnp.clip(n_real - base, 0, local_n)
+            ids, jac, lev, trunc = forest_ops.forest_query_fused(
+                sorted_fps, sorted_ids, db_sigs, q_sigs,
+                l, k_prefix, cap, k_out, n_valid=nv,
+            )
+            gids = jnp.where(ids >= 0, ids + base, -1)
+            g_ids = jax.lax.all_gather(gids, axis, axis=1, tiled=True)
+            g_jac = jax.lax.all_gather(jac, axis, axis=1, tiled=True)
+            g_lev = jax.lax.all_gather(lev, axis, axis=1, tiled=True)
+            # same ranking key as forest_topk: depth strictly outranks
+            # Jaccard; shard-disjoint global ids need no dedupe
+            score = jnp.where(
+                g_ids >= 0, 2.0 * g_lev.astype(jnp.float32) + g_jac, -1.0
+            )
+            top_sc, pos = jax.lax.top_k(score, k_out)
+            top_ids = jnp.take_along_axis(g_ids, pos, axis=1)
+            top_ids = jnp.where(top_sc >= 0, top_ids, -1)
+            top_jac = jnp.take_along_axis(g_jac, pos, axis=1)
+            top_lev = jnp.take_along_axis(g_lev, pos, axis=1)
+            return top_ids, top_jac, top_lev, jax.lax.psum(trunc, axis)
+
+        return jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(None, None, axis), P(None, axis), P(axis, None),
+                          P(None, None), P()),
+                out_specs=(P(None, None), P(None, None), P(None, None), P()),
+                check_vma=False,
+            )
+        )
+
+    def query(self, minhash, k: int) -> list:
+        """Top-k keys by (longest matching prefix, estimated Jaccard)."""
+        return self.query_batch([minhash], k)[0]
+
+    def query_batch(self, minhashes, k: int,
+                    return_scores: bool = False) -> list:
+        """Top-k for a query batch: one sharded dispatch, one all_gather."""
+        if k <= 0:
+            raise ValueError("k must be positive")
+        if self._sigs is None or not self._n_real:
+            return [[] for _ in minhashes]
+        q = _as_signature_matrix(minhashes)
+        if q.shape[0] == 0:
+            return []
+        if q.shape[1] < self.width:
+            raise ValueError("The num_perm of MinHash out of range")
+        q = np.asarray(q)[:, : self.width]
+        nq = q.shape[0]
+        q_pad = 8
+        while q_pad < nq:
+            q_pad *= 2
+        if q_pad != nq:
+            q = np.pad(q, ((0, q_pad - nq), (0, 0)))
+        k_out = max(8, 1 << (k - 1).bit_length())
+        if k_out not in self._query_fns:
+            self._query_fns[k_out] = self._make_query_fn(k_out)
+        rep = NamedSharding(self.mesh, P(None, None))
+        ids, jac, lev, trunc = self._query_fns[k_out](
+            self._sorted_fps,
+            self._sorted_ids,
+            self._sigs,
+            jax.device_put(jnp.asarray(q), rep),
+            self._n_real_dev,
+        )
+        ids_h, jac_h, trunc_h = jax.device_get((ids, jac, trunc))
+        self.last_truncated = int(trunc_h)
+        out = []
+        for row_ids, row_jac in zip(ids_h[:nq], jac_h[:nq]):
+            hits = [
+                (self._keys[int(i)], float(s))
+                for i, s in zip(row_ids[:k], row_jac[:k])
+                if i >= 0
+            ]
+            out.append(hits if return_scores else [kk for kk, _ in hits])
+        return out
+
+    # ------------------------------------------------------------- plumbing
+
+    def __contains__(self, key: Hashable) -> bool:
+        return key in self._key_set
+
+    def __len__(self) -> int:
+        return len(self._keys)
+
+    def is_empty(self) -> bool:
+        return self._n_real == 0
+
+    def status(self) -> dict:
+        out = {
+            "n_shards": self.n_shards,
+            "n_indexed": len(self._keys),
+            "n_padded": 0,
+            "trees": self.l,
+            "prefix_len": self.k,
+            "cap": self.cap,
+            "last_truncated": self.last_truncated,
+            "device_bytes": 0,
+        }
+        if self._sigs is not None:
+            out["n_padded"] = int(self._sigs.shape[0]) - self._n_real
+            out["device_bytes"] = int(
+                self._sigs.size * 4
+                + self._sorted_fps.size * 4
+                + self._sorted_ids.size * 4
+            )
+        return out
+
+    # ---------------------------------------------------------- persistence
+
+    def save(self, path: str) -> None:
+        """Persist signatures + keys as .npz; tables are re-lexsorted (and
+        re-sharded to the loading mesh) on load. On a multi-process mesh
+        this is a COLLECTIVE — call it from every process."""
+        from datasketch_tpu.persist import pack_keys
+
+        sigs = (
+            self._to_host(self._sigs)[: self._n_real]
+            if self._sigs is not None
+            else np.zeros((0, self.width), dtype=np.uint32)
+        )
+        np.savez_compressed(
+            path,
+            sigs=sigs,
+            keys=pack_keys(self._keys),
+            params=np.array([self.num_perm, self.l, self.cap], dtype=np.int64),
+        )
+
+    @classmethod
+    def load(cls, path: str, mesh: Mesh, shard_axis: str = "data",
+             ) -> "ShardedMinHashLSHForest":
+        """SECURITY: the key list inside the file is a pickle payload —
+        only load index files you created or trust."""
+        from datasketch_tpu.persist import npz_path, unpack_keys
+
+        data = np.load(npz_path(path), allow_pickle=False)
+        num_perm, l, cap = (int(x) for x in data["params"])
+        forest = cls(mesh, num_perm=num_perm, l=l, cap=cap,
+                     shard_axis=shard_axis)
+        keys = unpack_keys(data["keys"])
+        if keys:
+            forest._keys = keys
+            forest._key_set = set(keys)
+            forest._build(data["sigs"])
+        return forest

@@ -1,0 +1,183 @@
+"""Sharded forest + ensemble over the virtual CPU mesh.
+
+SURVEY §2.4 maps the reference's storage-backed scale-out onto mesh
+sharding; round 2 covered MinHashLSH (parallel/sharded_lsh.py) — these
+tests cover the same treatment for the top-k forest
+(``/root/reference/datasketch/lshforest.py:92-128``) and the containment
+ensemble (``/root/reference/datasketch/lshensemble.py:230-249``):
+per-shard probes, k-wide all_gathers, parity with the single-chip
+classes, and checkpoint interop across mesh shapes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import Mesh
+
+from datasketch_tpu import MinHash
+from datasketch_tpu.models.tpu_ensemble import TpuMinHashLSHEnsemble
+from datasketch_tpu.models.tpu_forest import TpuMinHashLSHForest
+from datasketch_tpu.parallel import (
+    ShardedMinHashLSHEnsemble,
+    ShardedMinHashLSHForest,
+)
+
+
+def _mesh(n):
+    return Mesh(np.array(jax.devices()[:n]).reshape(n), ("data",))
+
+
+def _corpus(n=96, seed=17):
+    rng = np.random.RandomState(seed)
+    sets = [
+        rng.choice(30000, rng.randint(40, 200), replace=False).astype(
+            np.uint32
+        )
+        for _ in range(n)
+    ]
+    sigs = MinHash.bulk_signatures(sets, num_perm=128, hashfunc="device")
+    return sets, sigs
+
+
+# ----------------------------------------------------------------- forest
+
+
+def test_sharded_forest_matches_single_chip():
+    _, sigs = _corpus()
+    single = TpuMinHashLSHForest(num_perm=128, l=8, cap=32)
+    single.index(list(range(len(sigs))), sigs)
+    sharded = ShardedMinHashLSHForest(_mesh(4), num_perm=128, l=8, cap=32)
+    sharded.index(list(range(len(sigs))), sigs)
+    queries = sigs[:10]
+    want = single.query_batch(queries, k=5)
+    got = sharded.query_batch(queries, k=5)
+    for i, (w, g) in enumerate(zip(want, got)):
+        assert g[0] == i  # self top-1
+        # candidate pools may differ at the cap margin; top-1 must agree
+        # and overlap must dominate
+        assert len(set(w) & set(g)) >= max(1, len(w) - 2), (i, w, g)
+
+
+def test_sharded_forest_scores_and_incremental():
+    _, sigs = _corpus(64)
+    sharded = ShardedMinHashLSHForest(_mesh(2), num_perm=128, l=8, cap=32)
+    sharded.index(list(range(48)), sigs[:48])
+    assert len(sharded) == 48
+    sharded.index(list(range(48, 64)), sigs[48:])  # incremental re-shard
+    assert len(sharded) == 64 and 63 in sharded
+    rows = sharded.query_batch(sigs[60:64], k=3, return_scores=True)
+    for i, row in enumerate(rows, start=60):
+        assert row[0][0] == i and row[0][1] == pytest.approx(1.0)
+        scores = [s for _, s in row]
+        assert all(s >= -1e-6 for s in scores)
+    with pytest.raises(ValueError):
+        sharded.index([0], sigs[:1])  # duplicate key
+    with pytest.raises(ValueError):
+        sharded.query_batch(sigs[:1, :64], k=3)  # too-short minhash
+
+
+def test_sharded_forest_save_load_other_mesh(tmp_path):
+    _, sigs = _corpus(48)
+    sharded = ShardedMinHashLSHForest(_mesh(4), num_perm=128, l=8, cap=32)
+    sharded.index(list(range(48)), sigs)
+    path = str(tmp_path / "forest.npz")
+    sharded.save(path)
+    re2 = ShardedMinHashLSHForest.load(path, _mesh(2))
+    assert len(re2) == 48 and re2.n_shards == 2
+    want = sharded.query_batch(sigs[:6], k=4)
+    got = re2.query_batch(sigs[:6], k=4)
+    for w, g in zip(want, got):
+        assert w[0] == g[0]  # top-1 stable across re-shard
+
+
+def test_sharded_forest_empty():
+    sharded = ShardedMinHashLSHForest(_mesh(2), num_perm=128, l=8)
+    assert sharded.is_empty()
+    assert sharded.query_batch(np.zeros((2, 128), np.uint32), k=3) == [[], []]
+
+
+# --------------------------------------------------------------- ensemble
+
+
+def _ensemble_entries(n=80, seed=23):
+    rng = np.random.RandomState(seed)
+    sets = [
+        rng.choice(30000, rng.randint(20, 400), replace=False).astype(
+            np.uint32
+        )
+        for _ in range(n)
+    ]
+    sigs = MinHash.bulk_signatures(sets, num_perm=128, hashfunc="device")
+    entries = [
+        (i, MinHash(hashvalues=row, hashfunc="device"), len(s))
+        for i, (row, s) in enumerate(zip(sigs, sets))
+    ]
+    return sets, sigs, entries
+
+
+def test_sharded_ensemble_matches_single_chip():
+    sets, sigs, entries = _ensemble_entries()
+    single = TpuMinHashLSHEnsemble(
+        threshold=0.8, num_perm=128, num_part=8, bucket_cap=64
+    )
+    single.index(entries)
+    sharded = ShardedMinHashLSHEnsemble(
+        _mesh(4), threshold=0.8, num_perm=128, num_part=8, bucket_cap=64
+    )
+    sharded.index(entries)
+    queries = [
+        (MinHash(hashvalues=sigs[i], hashfunc="device"), len(sets[i]))
+        for i in range(12)
+    ]
+    want = single.query_batch(queries)
+    got = sharded.query_batch(queries)
+    for i, (w, g) in enumerate(zip(want, got)):
+        assert set(w) == set(g), (i, sorted(w), sorted(g))
+        assert i in g  # self-containment = 1.0 >= threshold
+
+
+def test_sharded_ensemble_partition_padding():
+    # num_part NOT divisible by the shard count: filler partitions must
+    # stay invisible
+    sets, sigs, entries = _ensemble_entries(40)
+    sharded = ShardedMinHashLSHEnsemble(
+        _mesh(4), threshold=0.8, num_perm=128, num_part=6, bucket_cap=64
+    )
+    assert sharded._parts_pad == 8
+    sharded.index(entries)
+    queries = [
+        (MinHash(hashvalues=sigs[i], hashfunc="device"), len(sets[i]))
+        for i in range(6)
+    ]
+    for i, row in enumerate(sharded.query_batch(queries)):
+        assert i in row
+
+
+def test_sharded_ensemble_checkpoint_interop(tmp_path):
+    sets, sigs, entries = _ensemble_entries(48)
+    single = TpuMinHashLSHEnsemble(
+        threshold=0.8, num_perm=128, num_part=8, bucket_cap=64
+    )
+    single.index(entries)
+    path = str(tmp_path / "ens.npz")
+    single.save(path)
+    # single-chip checkpoint -> sharded mesh
+    sharded = ShardedMinHashLSHEnsemble.load(path, _mesh(4))
+    queries = [
+        (MinHash(hashvalues=sigs[i], hashfunc="device"), len(sets[i]))
+        for i in range(8)
+    ]
+    want = single.query_batch(queries)
+    got = sharded.query_batch(queries)
+    for w, g in zip(want, got):
+        assert set(w) == set(g)
+    # sharded checkpoint -> single-chip
+    path2 = str(tmp_path / "ens2.npz")
+    sharded.save(path2)
+    back = TpuMinHashLSHEnsemble.load(path2)
+    got2 = back.query_batch(queries)
+    for w, g in zip(want, got2):
+        assert set(w) == set(g)
