@@ -156,6 +156,93 @@ def bench_lsh_topk(n_sets: int = 2000, n_queries: int = 50, k: int = 10):
     }
 
 
+def bench_lsh_scale(n_docs: int = 131072, n_queries: int = 800, k: int = 10):
+    """At-scale serving row: >=100k docs, >=800-query batches — the regime
+    where the device index wins (below ~100k docs the ~30ms tunnel RTT,
+    not kernel time, bounds q/s; BASELINE.md round-2 notes). Signatures
+    are synthesized with planted near-duplicates
+    (benchmarks/scale_benchmark.py protocol) so the row isolates the
+    index; recall@10 is the fraction of planted sources found."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from benchmarks.scale_benchmark import synth_signatures
+    from datasketch_tpu import TpuMinHashLSH
+
+    sigs, src, dst = synth_signatures(n_docs, NUM_PERM)
+    index = TpuMinHashLSH(threshold=0.5, num_perm=NUM_PERM, bucket_cap=128)
+    t0 = time.perf_counter()
+    index.index(list(range(n_docs)), sigs)
+    index.status()  # forces the build to complete (device sync)
+    build_s = time.perf_counter() - t0
+    queries = sigs[dst[-n_queries:]]
+    expect = src[-n_queries:]
+    index.top_k(queries, k=k)  # warm the serving-shape compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        rows = index.top_k(queries, k=k)
+        best = min(best, time.perf_counter() - t0)
+    found = sum(
+        1 for want, row in zip(expect, rows) if want in [kk for kk, _ in row]
+    )
+    return {
+        "queries_per_sec": round(n_queries / best, 1),
+        "recall_at_10": round(found / n_queries, 3),
+        "build_docs_per_sec": round(n_docs / build_s, 1),
+        "config": "%d synthetic docs (planted dups), %d-query batches, k=%d"
+        % (n_docs, n_queries, k),
+    }
+
+
+# uint32 VPU ops per (token, perm) slot in the permutation chain, counted
+# from ops/u64.py: umul32_wide ~21 + mul64 tail 4 + add64 4 + mersenne
+# fold ~16 + mask/min ~2.
+_OPS_PER_SLOT = 47
+# v5e TensorCore VPU nominal: (8 x 128) lanes x 4 ALUs x 0.94 GHz.
+_V5E_VPU_GOPS = 3850.0
+
+
+def bench_kernel_utilization(device_kind: str):
+    """Achieved uint32-ops/s of the signature kernel vs the v5e VPU
+    roofline — data staged on device first, so this isolates the kernel
+    from host hashing and the tunnel."""
+    import jax
+    import jax.numpy as jnp
+
+    from datasketch_tpu.ops import minhash_ops
+
+    b, t = (1024, 512) if device_kind == "tpu" else (256, 256)
+    rng = np.random.RandomState(3)
+    hashes = jnp.asarray(
+        rng.randint(0, 1 << 32, size=(b, t), dtype=np.uint64).astype(
+            np.uint32
+        )
+    )
+    lengths = jnp.asarray(np.full(b, t, np.int32))
+    out = minhash_ops.compute_signatures(hashes, lengths, 1, NUM_PERM)
+    jax.block_until_ready(out)  # warm compile
+    iters = 10 if device_kind == "tpu" else 3
+    t0 = time.perf_counter()
+    outs = [
+        minhash_ops.compute_signatures(hashes, lengths, 1, NUM_PERM)
+        for _ in range(iters)
+    ]
+    jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+    gops = b * t * NUM_PERM * _OPS_PER_SLOT * iters / dt / 1e9
+    result = {
+        "achieved_uint32_gops": round(gops, 1),
+        "ops_per_slot": _OPS_PER_SLOT,
+        "config": "[%d, %d] tokens x %d perms, device-resident" % (b, t, NUM_PERM),
+    }
+    if device_kind == "tpu":
+        result["roofline_v5e_vpu_gops"] = _V5E_VPU_GOPS
+        result["vpu_utilization"] = round(gops / _V5E_VPU_GOPS, 3)
+    return result
+
+
 def wait_for_device(max_wait: Optional[float] = None) -> dict:
     """Bounded device probe with retries: a wedged remote-TPU tunnel
     HANGS dispatches instead of raising (observed — see BASELINE.md
@@ -213,12 +300,55 @@ def main() -> None:
     corpus = make_corpus(n_docs)
     ours = bench_ours(corpus)
     ref = bench_reference(corpus[:REF_DOCS])
+    baseline_ref = (
+        "reference MinHash.update_batch measured live on this host CPU "
+        "(same corpus config)"
+    )
     if ref <= 0 and FALLBACK_REF_RATE:
         ref = FALLBACK_REF_RATE
+        baseline_ref = (
+            "recorded reference CPU rate %.0f docs/s (reference not "
+            "importable on this host)" % FALLBACK_REF_RATE
+        )
     try:
         lsh = bench_lsh_topk()
     except Exception as exc:  # the primary metric must still report
         lsh = {"error": repr(exc)}
+    try:
+        # at-scale row: full size on the TPU; bounded on the CPU fallback
+        if device_kind == "tpu":
+            lsh_scale = bench_lsh_scale()
+        else:
+            lsh_scale = bench_lsh_scale(n_docs=16384, n_queries=128)
+    except Exception as exc:
+        lsh_scale = {"error": repr(exc)}
+    try:
+        util = bench_kernel_utilization(device_kind)
+    except Exception as exc:
+        util = {"error": repr(exc)}
+    try:
+        # device-hash path: pre-tokenized int ids, hashed on-chip — the
+        # end-to-end rate with ZERO host per-token work
+        rng = np.random.RandomState(7)
+        tok_docs = [
+            rng.randint(0, 1 << 31, TOKENS_PER_DOC).astype(np.uint32)
+            for _ in range(n_docs)
+        ]
+        from datasketch_tpu import MinHash
+
+        MinHash.bulk_signatures(
+            tok_docs[:256], num_perm=NUM_PERM, hashfunc="device"
+        )  # warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            MinHash.bulk_signatures(
+                tok_docs, num_perm=NUM_PERM, hashfunc="device"
+            )
+            best = min(best, time.perf_counter() - t0)
+        device_hash_rate = round(len(tok_docs) / best, 1)
+    except Exception as exc:
+        device_hash_rate = repr(exc)
     print(
         json.dumps(
             {
@@ -226,8 +356,13 @@ def main() -> None:
                 "value": round(ours, 1),
                 "unit": "sigs/s (num_perm=128, 200 sha1 tokens/doc, end-to-end)",
                 "vs_baseline": round(ours / ref, 2) if ref > 0 else None,
+                "baseline_ref": baseline_ref,
                 "device": device_kind,
+                "degraded": device_kind != "tpu",
+                "device_hash_sigs_per_sec": device_hash_rate,
+                "signature_kernel": util,
                 "lsh_topk": lsh,
+                "lsh_topk_scale": lsh_scale,
             }
         )
     )
