@@ -51,6 +51,7 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
         m: int = 8,
         weights: tuple = (0.5, 0.5),
         bucket_cap: int = 128,
+        max_results: int = 2048,
     ) -> None:
         if threshold > 1.0 or threshold < 0.0:
             raise ValueError("threshold must be in [0.0, 1.0]")
@@ -67,6 +68,9 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
         self.m = m
         self.num_part = num_part
         self.bucket_cap = bucket_cap
+        # per-(query, r-probe) result cap for the device-side compaction;
+        # overflow is counted in last_truncated, never silent
+        self.max_results = max_results
         self.weights = tuple(weights)  # persisted: params/xqs derive from it
         self.rs = sorted(self._init_optimal_params(weights))
         self.lowers = [None] * num_part
@@ -192,7 +196,7 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
             if not b_keep[r].any():
                 continue
             sorted_fp, sorted_ids = self._tables[r]
-            out = lsh_ops.query_stacked_masked(
+            flat, trunc = lsh_ops.query_stacked_masked(
                 sorted_fp,
                 sorted_ids,
                 q_dev,
@@ -202,18 +206,28 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
                 jnp.asarray(b_keep[r]),
                 self._n_valid_dev,
             )
-            for arr in out:
+            # device-side dedupe + compaction: the host fetches max_out
+            # slots per query instead of parts*b*cap, and unions small
+            # lists instead of np.unique-ing the raw gather
+            max_out = min(self.max_results, flat.shape[1])
+            sel_ids, n_match = lsh_ops.unique_compact(flat, max_out)
+            out = (sel_ids, n_match, trunc, max_out)
+            for arr in out[:3]:
                 arr.copy_to_host_async()
             probes.append(out)
 
         results = [set() for _ in queries]
         total_trunc = 0
-        for out in probes:
-            ids_host, trunc = jax.device_get(out)
-            total_trunc += int(trunc)
+        for sel_ids, n_match, trunc, max_out in probes:
+            ids_host, n_host, trunc_h = jax.device_get(
+                (sel_ids, n_match, trunc)
+            )
+            total_trunc += int(trunc_h) + int(
+                np.maximum(n_host - max_out, 0).sum()
+            )
             for qi in range(nq):
                 row = ids_host[qi]
-                for g in np.unique(row[row >= 0]):
+                for g in row[row >= 0]:
                     part, local = divmod(int(g), self._n_pad)
                     results[qi].add(self._keys_per_part[part][local])
         self.last_truncated = total_trunc

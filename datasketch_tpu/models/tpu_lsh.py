@@ -452,6 +452,70 @@ class TpuMinHashLSH:
                 out.append([self._keys[int(p)] for p in row_ids[hit]])
         return out
 
+    def query_stream(self, batches, threshold: Optional[float] = None,
+                     return_scores: bool = False, method: str = "auto",
+                     depth: int = 4):
+        """Pipelined threshold serving: yields one result list per
+        incoming batch, with up to ``depth`` batches in flight and eager
+        async D2H copies — the threshold twin of :meth:`top_k_stream`
+        (same ~30ms-per-round-trip rationale). Keep batch sizes uniform.
+        """
+        if method not in ("auto", "bands", "scan"):
+            raise ValueError("method must be 'auto', 'bands' or 'scan'")
+        from datasketch_tpu.utils.pipeline import stream_batches
+
+        self._flush_pending()
+        cutoff = self.threshold if threshold is None else threshold
+
+        def _dispatch(batch):
+            batch = list(batch)
+            if self._sigs_dev is None or not len(self._keys):
+                return (None, len(batch))
+            q_sigs = _as_signature_matrix(batch)
+            if q_sigs.shape[1] != self.h:
+                raise ValueError(
+                    "Expecting minhash with length %d, got %d"
+                    % (self.h, q_sigs.shape[1])
+                )
+            return (
+                self._query_dispatch(q_sigs, cutoff, method),
+                q_sigs.shape[0],
+            )
+
+        def _finish(out):
+            item, nq = out
+            if item is None:
+                return [[] for _ in range(nq)]
+            sel_ids, sel_sc, n_match, truncated, max_out = item
+            if truncated is None:
+                ids_host, sc_host, n_host = jax.device_get(
+                    (sel_ids, sel_sc, n_match)
+                )
+                trunc = 0
+            else:
+                ids_host, sc_host, n_host, trunc = jax.device_get(
+                    (sel_ids, sel_sc, n_match, truncated)
+                )
+            self.last_truncated = int(trunc) + int(
+                np.maximum(n_host - max_out, 0).sum()
+            )
+            out_rows = []
+            for qi in range(nq):
+                row_ids = ids_host[qi]
+                hit = row_ids >= 0
+                if return_scores:
+                    out_rows.append(
+                        [(self._keys[int(p)], float(s))
+                         for p, s in zip(row_ids[hit], sc_host[qi][hit])]
+                    )
+                else:
+                    out_rows.append(
+                        [self._keys[int(p)] for p in row_ids[hit]]
+                    )
+            return out_rows
+
+        return stream_batches(batches, _dispatch, _finish, depth=depth)
+
     def _query_dispatch(self, q_sigs: np.ndarray, cutoff: float,
                         method: str):
         """Dispatch one threshold batch; returns device (sel_ids, sel_sc,

@@ -40,6 +40,7 @@ __all__ = [
     "rerank_jaccard",
     "topk_candidates",
     "threshold_select",
+    "unique_compact",
     "query_fused",
     "topk_fused",
     "topk_scan",
@@ -352,6 +353,22 @@ def threshold_select(scores, ids, cutoff, max_out: int):
         top_ids = jnp.pad(top_ids, ((0, 0), (0, pad)), constant_values=-1)
         top_sc = jnp.pad(top_sc, ((0, 0), (0, pad)), constant_values=-1.0)
     return top_ids, top_sc, n_match
+
+
+@functools.partial(jax.jit, static_argnames=("max_out",))
+def unique_compact(ids, max_out: int):
+    """Dedupe + compact candidate ids on device, no scores involved.
+
+    The score-free corner of :func:`threshold_select` (containment
+    queries have no rerank in the reference, ``lshensemble.py:230-249``):
+    per row, distinct valid ids are compacted ascending into ``max_out``
+    slots. Returns (sel_ids int32[Q, max_out], n_distinct int32[Q]) —
+    ``n_distinct`` counts before the cap so callers detect truncation.
+    Constants derive from ``ids`` so the op stays shard_map-safe.
+    """
+    zeros = (ids & 0).astype(jnp.float32)
+    sel_ids, _, n = threshold_select(zeros, ids, zeros[0, 0] - 1.0, max_out)
+    return sel_ids, n
 
 
 @functools.partial(jax.jit, static_argnames=("b", "r", "cap"))

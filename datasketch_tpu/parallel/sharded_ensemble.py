@@ -41,10 +41,11 @@ class ShardedMinHashLSHEnsemble(TpuMinHashLSHEnsemble):
     def __init__(self, mesh: Mesh, threshold: float = 0.9,
                  num_perm: int = 128, num_part: int = 16, m: int = 8,
                  weights: tuple = (0.5, 0.5), bucket_cap: int = 128,
-                 shard_axis: str = "data"):
+                 shard_axis: str = "data", max_results: int = 2048):
         super().__init__(
             threshold=threshold, num_perm=num_perm, num_part=num_part,
             m=m, weights=weights, bucket_cap=bucket_cap,
+            max_results=max_results,
         )
         self.mesh = mesh
         self.shard_axis = shard_axis
@@ -115,6 +116,8 @@ class ShardedMinHashLSHEnsemble(TpuMinHashLSHEnsemble):
         b = self.h // r
         cap, n_pad = self.bucket_cap, self._n_pad
 
+        max_results = self.max_results
+
         def body(sorted_fp, sorted_ids, q_sigs, b_keep, n_valid):
             flat, trunc = lsh_ops.query_stacked_masked(
                 sorted_fp, sorted_ids, q_sigs, b, r, cap, b_keep, n_valid
@@ -124,8 +127,14 @@ class ShardedMinHashLSHEnsemble(TpuMinHashLSHEnsemble):
             parts_local = sorted_fp.shape[0]
             base = jax.lax.axis_index(axis) * parts_local * n_pad
             flat = jnp.where(flat >= 0, flat + base, -1)
-            g = jax.lax.all_gather(flat, axis, axis=1, tiled=True)
-            return g, jax.lax.psum(trunc, axis)
+            # per-shard dedupe + compaction BEFORE the collective: only
+            # max_out slots per shard ride the all_gather (vs
+            # parts_local*b*cap); overflow is counted, never silent
+            max_out = min(max_results, flat.shape[1])
+            sel, n_match = lsh_ops.unique_compact(flat, max_out)
+            over = jnp.sum(jnp.maximum(n_match - max_out, 0))
+            g = jax.lax.all_gather(sel, axis, axis=1, tiled=True)
+            return g, jax.lax.psum(trunc + over, axis)
 
         return jax.jit(
             jax.shard_map(
@@ -195,7 +204,9 @@ class ShardedMinHashLSHEnsemble(TpuMinHashLSHEnsemble):
             total_trunc += int(trunc)
             for qi in range(nq):
                 row = ids_host[qi]
-                for g in np.unique(row[row >= 0]):
+                # per-shard compaction already deduped; shard-disjoint
+                # global ids cannot collide across the gather
+                for g in row[row >= 0]:
                     part, local = divmod(int(g), self._n_pad)
                     results[qi].add(self._keys_per_part[part][local])
         self.last_truncated = total_trunc

@@ -191,3 +191,27 @@ def test_sharded_query_batch_max_results():
     # per-shard cap is 3; the merged row can hold up to 3 * n_shards
     assert all(len(r) <= 3 * 2 for r in rows)
     assert all(len(r) == len(set(r)) for r in rows)
+
+
+def test_query_stream_matches_query_batch():
+    index, mhs = _build_pair()
+    batches = [mhs[:4], mhs[4:8], mhs[8:12]]
+    want = [index.query_batch(b, return_scores=True) for b in batches]
+    got = list(index.query_stream(batches, return_scores=True, depth=2))
+    assert got == want
+
+
+def test_unique_compact_op():
+    import jax.numpy as jnp
+
+    from datasketch_tpu.ops import lsh_ops
+
+    ids = np.array([[7, 3, 7, -1, 3, 9]], np.int32)
+    sel, n = lsh_ops.unique_compact(jnp.asarray(ids), 4)
+    sel, n = np.asarray(sel), np.asarray(n)
+    assert n[0] == 3
+    assert list(sel[0][:3]) == [3, 7, 9]  # ascending, deduped
+    assert sel[0][3] == -1
+    sel2, n2 = lsh_ops.unique_compact(jnp.asarray(ids), 2)
+    assert np.asarray(n2)[0] == 3  # counts BEFORE the cap
+    assert list(np.asarray(sel2)[0]) == [3, 7]
