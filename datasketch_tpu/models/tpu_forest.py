@@ -110,10 +110,14 @@ class TpuMinHashLSHForest:
                 raise ValueError("keys and minhashes must have equal length")
             if sigs.shape[0] and sigs.shape[1] < self.width:
                 raise ValueError("The num_perm of MinHash out of range")
+            # validate the WHOLE batch before mutating _key_set: a
+            # mid-batch duplicate must not poison the earlier keys
+            seen = set()
             for k in keys:
-                if k in self._key_set:
+                if k in self._key_set or k in seen:
                     raise ValueError("The given key has already been added")
-                self._key_set.add(k)
+                seen.add(k)
+            self._key_set.update(seen)
             self._pending.extend(zip(keys, sigs[:, : self.width]))
         if not self._pending:
             return

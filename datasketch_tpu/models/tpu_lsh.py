@@ -56,6 +56,25 @@ def _as_signature_matrix(minhashes) -> np.ndarray:
     return np.stack(rows) if rows else np.zeros((0, 0), dtype=np.uint32)
 
 
+def _decode_rows(ids_host, sc_host, keys, nq: int,
+                 return_scores: bool) -> list:
+    """Shared host decode of compacted query results: boolean-index each
+    row's valid prefix and map positions to user keys. ``sc_host`` may be
+    None when scores were never computed (candidates-only path)."""
+    out = []
+    for qi in range(nq):
+        row_ids = ids_host[qi]
+        hit = row_ids >= 0
+        if return_scores:
+            out.append(
+                [(keys[int(p)], float(s))
+                 for p, s in zip(row_ids[hit], sc_host[qi][hit])]
+            )
+        else:
+            out.append([keys[int(p)] for p in row_ids[hit]])
+    return out
+
+
 class TpuMinHashLSH:
     """Device-resident MinHash LSH.
 
@@ -422,35 +441,33 @@ class TpuMinHashLSH:
                 "Expecting minhash with length %d, got %d" % (self.h, q_sigs.shape[1])
             )
         cutoff = self.threshold if threshold is None else threshold
-        sel_ids, sel_sc, n_match, truncated, max_out = self._query_dispatch(
-            q_sigs, cutoff, method
+        item = self._query_dispatch(
+            q_sigs, cutoff, method, self.rerank or return_scores
         )
-        # one D2H round trip for everything: each separate fetch costs a
-        # full tunnel RTT (~30ms) regardless of size
-        if truncated is None:
-            ids_host, sc_host, n_host = jax.device_get(
-                (sel_ids, sel_sc, n_match)
-            )
-            trunc = 0
-        else:
-            ids_host, sc_host, n_host, trunc = jax.device_get(
-                (sel_ids, sel_sc, n_match, truncated)
-            )
-        self.last_truncated = int(trunc) + int(
+        return self._query_finish(item, q_sigs.shape[0], return_scores)
+
+    def _query_finish(self, item, nq: int, return_scores: bool) -> list:
+        """Shared finish for query_batch / query_stream: ONE device_get
+        round trip (each separate fetch costs a full tunnel RTT ~30ms),
+        truncation accounting, host decode."""
+        sel_ids, sel_sc, n_match, truncated, max_out = item
+        fetch = [sel_ids, n_match]
+        if sel_sc is not None:
+            fetch.append(sel_sc)
+        if truncated is not None:
+            fetch.append(truncated)
+        got = jax.device_get(tuple(fetch))
+        ids_host, n_host = got[0], got[1]
+        idx = 2
+        sc_host = None
+        if sel_sc is not None:
+            sc_host = got[idx]
+            idx += 1
+        trunc = int(got[idx]) if truncated is not None else 0
+        self.last_truncated = trunc + int(
             np.maximum(n_host - max_out, 0).sum()
         )
-        out = []
-        for qi in range(q_sigs.shape[0]):
-            row_ids = ids_host[qi]
-            hit = row_ids >= 0
-            if return_scores:
-                out.append(
-                    [(self._keys[int(p)], float(s))
-                     for p, s in zip(row_ids[hit], sc_host[qi][hit])]
-                )
-            else:
-                out.append([self._keys[int(p)] for p in row_ids[hit]])
-        return out
+        return _decode_rows(ids_host, sc_host, self._keys, nq, return_scores)
 
     def query_stream(self, batches, threshold: Optional[float] = None,
                      return_scores: bool = False, method: str = "auto",
@@ -478,7 +495,9 @@ class TpuMinHashLSH:
                     % (self.h, q_sigs.shape[1])
                 )
             return (
-                self._query_dispatch(q_sigs, cutoff, method),
+                self._query_dispatch(
+                    q_sigs, cutoff, method, self.rerank or return_scores
+                ),
                 q_sigs.shape[0],
             )
 
@@ -486,41 +505,17 @@ class TpuMinHashLSH:
             item, nq = out
             if item is None:
                 return [[] for _ in range(nq)]
-            sel_ids, sel_sc, n_match, truncated, max_out = item
-            if truncated is None:
-                ids_host, sc_host, n_host = jax.device_get(
-                    (sel_ids, sel_sc, n_match)
-                )
-                trunc = 0
-            else:
-                ids_host, sc_host, n_host, trunc = jax.device_get(
-                    (sel_ids, sel_sc, n_match, truncated)
-                )
-            self.last_truncated = int(trunc) + int(
-                np.maximum(n_host - max_out, 0).sum()
-            )
-            out_rows = []
-            for qi in range(nq):
-                row_ids = ids_host[qi]
-                hit = row_ids >= 0
-                if return_scores:
-                    out_rows.append(
-                        [(self._keys[int(p)], float(s))
-                         for p, s in zip(row_ids[hit], sc_host[qi][hit])]
-                    )
-                else:
-                    out_rows.append(
-                        [self._keys[int(p)] for p in row_ids[hit]]
-                    )
-            return out_rows
+            return self._query_finish(item, nq, return_scores)
 
         return stream_batches(batches, _dispatch, _finish, depth=depth)
 
     def _query_dispatch(self, q_sigs: np.ndarray, cutoff: float,
-                        method: str):
-        """Dispatch one threshold batch; returns device (sel_ids, sel_sc,
-        n_match, truncated-or-None) plus the static max_out, without
-        forcing any transfer."""
+                        method: str, need_scores: bool = True):
+        """Dispatch one threshold batch; returns device (sel_ids,
+        sel_sc-or-None, n_match, truncated-or-None) plus the static
+        max_out, without forcing any transfer. With ``need_scores``
+        False (rerank off, no scores requested) the signature table is
+        never touched — candidates-only, reference query semantics."""
         q_dev = jnp.asarray(q_sigs)
         gather_slots = q_sigs.shape[0] * self.b * self.bucket_cap
         if method == "auto":
@@ -550,8 +545,32 @@ class TpuMinHashLSH:
             return sel_ids, sel_sc, n_match, None, max_out
         c = self.b * self.bucket_cap
         max_out = c if self.max_results is None else min(self.max_results, c)
+        all_alive = self._alive_state()[1]
+        if not need_scores:
+            if all_alive:
+                sel_ids, n_match, trunc = lsh_ops.query_candidates_fused(
+                    self._sorted_fp,
+                    self._sorted_ids,
+                    q_dev,
+                    self.b,
+                    self.r,
+                    self.bucket_cap,
+                    max_out,
+                    n_valid=self._n_real_dev,
+                )
+            else:
+                q_fps = lsh_ops.band_fingerprints(q_dev, self.b, self.r)
+                ids, trunc = lsh_ops.query_tables(
+                    self._sorted_fp, self._sorted_ids, q_fps,
+                    cap=self.bucket_cap,
+                )
+                flat_ids = self._mask_dead(
+                    ids.reshape(q_sigs.shape[0], -1)
+                )
+                sel_ids, n_match = lsh_ops.unique_compact(flat_ids, max_out)
+            return sel_ids, None, n_match, trunc, max_out
         cut = float(cutoff) if self.rerank else -1.0
-        if self._alive_state()[1]:
+        if all_alive:
             # hot path: whole pipeline in one dispatch
             sel_ids, sel_sc, n_match, trunc = lsh_ops.query_fused(
                 self._sorted_fp,

@@ -41,6 +41,7 @@ __all__ = [
     "topk_candidates",
     "threshold_select",
     "unique_compact",
+    "query_candidates_fused",
     "query_fused",
     "topk_fused",
     "topk_scan",
@@ -589,6 +590,30 @@ def topk_scan(db_sigs, q_sigs, k: int, n_valid=None, alive=None,
     if count_ge is None:
         return ids, sc
     return ids, sc, cnt
+
+
+@functools.partial(
+    jax.jit, static_argnames=("b", "r", "cap", "max_out")
+)
+def query_candidates_fused(sorted_fp, sorted_ids, q_sigs, b: int, r: int,
+                           cap: int, max_out: int, n_valid=None):
+    """Candidates-only threshold query in ONE dispatch (no rerank).
+
+    The ``rerank=False`` twin of :func:`query_fused` — reference
+    candidate semantics (``lsh.py:370-432`` returns the raw band-bucket
+    union): fingerprints -> band probes -> dedupe + compaction
+    (:func:`unique_compact`), never touching the signature table.
+
+    Returns (sel_ids int32[Q, max_out], n_match int32[Q],
+    truncated int32[]).
+    """
+    q_fps = band_fingerprints(q_sigs, b, r)
+    ids, trunc = query_tables(sorted_fp, sorted_ids, q_fps, cap=cap)
+    flat = ids.reshape(q_sigs.shape[0], -1)
+    if n_valid is not None:
+        flat = jnp.where(flat < n_valid, flat, -1)
+    sel_ids, n_match = unique_compact(flat, max_out)
+    return sel_ids, n_match, trunc
 
 
 @functools.partial(

@@ -8,7 +8,32 @@ import numpy as np
 import jax
 from jax.sharding import Mesh
 
-__all__ = ["make_mesh"]
+__all__ = ["make_mesh", "fetch_global", "init_distributed"]
+
+
+def fetch_global(arr, mesh: Mesh) -> np.ndarray:
+    """Full host copy of a device array, multi-process safe.
+
+    On a single-process mesh this is a plain transfer. On a multi-process
+    (DCN) mesh some shards live in OTHER processes and ``np.asarray``
+    cannot materialize them; a replicating identity jit first collects
+    the full array onto every process's devices (one cross-host
+    all-gather), then the local replica is fetched.
+
+    NOTE: the replicating jit is a COLLECTIVE — on a multi-process mesh
+    EVERY process must reach this call in the same order (i.e. call
+    save/host_snapshot/status from all processes, not just one), or the
+    mesh deadlocks like any mismatched psum.
+    """
+    if getattr(arr, "is_fully_addressable", True):
+        return np.asarray(arr)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = P(*([None] * arr.ndim))
+    rep = jax.jit(
+        lambda x: x, out_shardings=NamedSharding(mesh, spec)
+    )(arr)
+    return np.asarray(rep.addressable_data(0))
 
 
 def make_mesh(

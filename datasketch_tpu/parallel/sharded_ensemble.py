@@ -95,15 +95,12 @@ class ShardedMinHashLSHEnsemble(TpuMinHashLSHEnsemble):
         self._probe_fns = {}
 
     def _to_host(self, arr) -> np.ndarray:
-        """Full host copy, multi-process safe (collective when shards are
-        non-addressable — see ``ShardedMinHashLSH._to_host``)."""
-        if getattr(arr, "is_fully_addressable", True):
-            return np.asarray(arr)
-        spec = P(*([None] * arr.ndim))
-        rep = jax.jit(
-            lambda x: x, out_shardings=NamedSharding(self.mesh, spec)
-        )(arr)
-        return np.asarray(rep.addressable_data(0))
+        """Full host copy, multi-process safe; COLLECTIVE on a
+        multi-process mesh (see :func:`~datasketch_tpu.parallel.mesh.
+        fetch_global` for the ordering rule)."""
+        from datasketch_tpu.parallel.mesh import fetch_global
+
+        return fetch_global(arr, self.mesh)
 
     def _host_stack(self) -> np.ndarray:
         # drop the filler partitions: checkpoints stay layout-independent

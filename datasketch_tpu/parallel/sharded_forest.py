@@ -76,10 +76,14 @@ class ShardedMinHashLSHForest:
             raise ValueError("keys and minhashes must have equal length")
         if sigs.shape[0] and sigs.shape[1] < self.width:
             raise ValueError("The num_perm of MinHash out of range")
+        # validate the WHOLE batch before mutating _key_set: a mid-batch
+        # duplicate must not poison the earlier (rejected) keys
+        seen = set()
         for kk in keys:
-            if kk in self._key_set:
+            if kk in self._key_set or kk in seen:
                 raise ValueError("The given key has already been added")
-            self._key_set.add(kk)
+            seen.add(kk)
+        self._key_set.update(seen)
         sigs = np.asarray(sigs)[:, : self.width]
         if self._n_real:
             old = self._to_host(self._sigs)[: self._n_real]
@@ -88,15 +92,12 @@ class ShardedMinHashLSHForest:
         self._build(sigs)
 
     def _to_host(self, arr) -> np.ndarray:
-        """Full host copy, multi-process safe (collective when shards are
-        non-addressable — see ``ShardedMinHashLSH._to_host``)."""
-        if getattr(arr, "is_fully_addressable", True):
-            return np.asarray(arr)
-        spec = P(*([None] * arr.ndim))
-        rep = jax.jit(
-            lambda x: x, out_shardings=NamedSharding(self.mesh, spec)
-        )(arr)
-        return np.asarray(rep.addressable_data(0))
+        """Full host copy, multi-process safe; COLLECTIVE on a
+        multi-process mesh (see :func:`~datasketch_tpu.parallel.mesh.
+        fetch_global` for the ordering rule)."""
+        from datasketch_tpu.parallel.mesh import fetch_global
+
+        return fetch_global(arr, self.mesh)
 
     def _build(self, sigs: np.ndarray) -> None:
         mesh, axis = self.mesh, self.shard_axis

@@ -285,26 +285,12 @@ class ShardedMinHashLSH:
     # -------------------------------------------------------- persistence
 
     def _to_host(self, arr) -> np.ndarray:
-        """Full host copy of a device array, multi-process safe.
+        """Full host copy, multi-process safe; COLLECTIVE on a
+        multi-process mesh (see :func:`~datasketch_tpu.parallel.mesh.
+        fetch_global` for the ordering rule)."""
+        from datasketch_tpu.parallel.mesh import fetch_global
 
-        On a single-process mesh this is a plain transfer. On a
-        multi-process (DCN) mesh some shards live in OTHER processes and
-        ``np.asarray`` cannot materialize them; a replicating identity
-        jit first collects the full array onto every process's devices
-        (one cross-host all-gather), then the local replica is fetched.
-        """
-        if getattr(arr, "is_fully_addressable", True):
-            return np.asarray(arr)
-        # NOTE: the replicating jit is a COLLECTIVE — on a multi-process
-        # mesh EVERY process must reach this call in the same order
-        # (i.e. call save/host_snapshot/status from all processes, not
-        # just one), or the mesh deadlocks like any mismatched psum.
-        spec = P(*([None] * arr.ndim))
-        rep = jax.jit(
-            lambda x: x,
-            out_shardings=NamedSharding(self.mesh, spec),
-        )(arr)
-        return np.asarray(rep.addressable_data(0))
+        return fetch_global(arr, self.mesh)
 
     def host_snapshot(self) -> dict:
         """Host-side copy of the queryable state (``{"keys", "sigs",
@@ -568,18 +554,11 @@ class ShardedMinHashLSH:
         )
         ids_host, sc_host, trunc_h = jax.device_get((ids, scores, trunc))
         self.last_truncated = int(trunc_h)
-        out = []
-        for qi in range(q_sigs.shape[0]):
-            row_ids = ids_host[qi]
-            hit = row_ids >= 0
-            if return_scores:
-                out.append(
-                    [(self._keys[int(p)], float(s))
-                     for p, s in zip(row_ids[hit], sc_host[qi][hit])]
-                )
-            else:
-                out.append([self._keys[int(p)] for p in row_ids[hit]])
-        return out
+        from datasketch_tpu.models.tpu_lsh import _decode_rows
+
+        return _decode_rows(
+            ids_host, sc_host, self._keys, q_sigs.shape[0], return_scores
+        )
 
     def top_k(self, minhashes, k: int, return_scores: bool = True,
               method: str = "auto") -> list:

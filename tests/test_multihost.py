@@ -33,8 +33,9 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(300)
 def test_two_process_mesh_and_index_handoff(tmp_path):
+    # bound: the two sequential communicate(timeout=240) calls below
+    # (pytest-timeout is not installed in this environment)
     port = _free_port()
     env = dict(os.environ)
     # fresh workers must not inherit the parent's pytest CPU-mesh flags

@@ -215,3 +215,52 @@ def test_unique_compact_op():
     sel2, n2 = lsh_ops.unique_compact(jnp.asarray(ids), 2)
     assert np.asarray(n2)[0] == 3  # counts BEFORE the cap
     assert list(np.asarray(sel2)[0]) == [3, 7]
+
+
+def test_no_rerank_no_scores_skips_signature_table(monkeypatch):
+    """rerank=False + return_scores=False must never touch the rerank
+    (candidates-only, reference semantics): the scoring ops would be
+    pure overhead (code-review r3 finding #2)."""
+    index, mhs = _build_pair()
+    index.rerank = False
+    called = {}
+
+    def boom(*a, **k):
+        called["rerank"] = True
+        raise AssertionError("rerank computed on candidates-only path")
+
+    monkeypatch.setattr(lsh_ops, "rerank_jaccard", boom)
+    monkeypatch.setattr(lsh_ops, "query_fused", boom)
+    rows = index.query_batch(mhs)
+    assert "rerank" not in called
+    for i, row in enumerate(rows):
+        assert i in row
+        assert len(row) == len(set(row))
+    index.rerank = True
+
+
+def test_forest_duplicate_batch_does_not_poison_keys():
+    """A mid-batch duplicate key must leave the index unchanged
+    (code-review r3 finding #1)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from datasketch_tpu.models.tpu_forest import TpuMinHashLSHForest
+    from datasketch_tpu.parallel import ShardedMinHashLSHForest
+
+    docs = _clustered(16)
+    sigs = MinHash.bulk_signatures(docs, num_perm=128, hashfunc="device")
+    for make in (
+        lambda: TpuMinHashLSHForest(num_perm=128, l=8),
+        lambda: ShardedMinHashLSHForest(
+            Mesh(np.array(jax.devices()[:2]).reshape(2), ("data",)),
+            num_perm=128, l=8,
+        ),
+    ):
+        forest = make()
+        forest.index(["a", "b"], sigs[:2])
+        with pytest.raises(ValueError):
+            forest.index(["c", "b"], sigs[2:4])  # 'b' is a duplicate
+        assert "c" not in forest  # rejected batch left no residue
+        forest.index(["c"], sigs[2:3])  # and can be retried
+        assert "c" in forest
