@@ -76,6 +76,7 @@ class ShardedMinHashLSH:
         self._alive_dev = None  # cached replicated device mask [N_pad]
         self.last_truncated = 0
         self._query_fns: dict = {}  # max_out -> compiled threshold query
+        self._query_scan_fns: dict = {}  # max_out -> compiled scan query
         self._topk_fns: dict = {}  # k -> compiled fused band top-k
         self._topk_scan_fns: dict = {}  # k -> compiled streaming-scan top-k
 
@@ -160,6 +161,7 @@ class ShardedMinHashLSH:
         )
         self._sorted_fp, self._sorted_ids = build(self._sigs)
         self._query_fns = {}  # shapes changed; retrace lazily
+        self._query_scan_fns = {}
         self._topk_fns = {}
         self._topk_scan_fns = {}
 
@@ -445,6 +447,42 @@ class ShardedMinHashLSH:
             )
         )
 
+    def _make_query_scan_fn(self, max_out: int):
+        """Threshold query by exact per-shard streaming scan: every
+        shard scores its whole signature slice (recall 1.0 over stored
+        sketches), keeps its ``max_out`` best >= cutoff, and only those
+        ride the all_gather; the final score-desc order runs replicated.
+        Match counts are summed so overflow past the cap is reported."""
+        mesh, axis = self.mesh, self.shard_axis
+
+        def body(db_sigs, q_sigs, n_real, alive, cutoff):
+            local_n = db_sigs.shape[0]
+            base = jax.lax.axis_index(axis) * local_n
+            local_alive = jax.lax.dynamic_slice_in_dim(alive, base, local_n)
+            nv = jnp.clip(n_real - base, 0, local_n)
+            ids, sc, cnt = lsh_ops.topk_scan(
+                db_sigs, q_sigs, max_out, n_valid=nv, alive=local_alive,
+                count_ge=cutoff,
+            )
+            over = jnp.sum(jnp.maximum(cnt - max_out, 0))
+            gids = jnp.where(ids >= 0, ids + base, -1)
+            g_ids = jax.lax.all_gather(gids, axis, axis=1, tiled=True)
+            g_sc = jax.lax.all_gather(sc, axis, axis=1, tiled=True)
+            order = jnp.argsort(-g_sc, axis=1)
+            g_ids = jnp.take_along_axis(g_ids, order, axis=1)
+            g_sc = jnp.take_along_axis(g_sc, order, axis=1)
+            return g_ids, g_sc, jax.lax.psum(over, axis)
+
+        return jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(axis, None), P(None, None), P(), P(None), P()),
+                out_specs=(P(None, None), P(None, None), P()),
+                check_vma=False,
+            )
+        )
+
     def _make_topk_fn(self, k: int):
         """Fused top-k: each shard dedupes + top-k's LOCALLY, only k
         candidates per shard ride the all_gather (vs b*cap for the full
@@ -522,8 +560,19 @@ class ShardedMinHashLSH:
         threshold: Optional[float] = None,
         return_scores: bool = False,
         rerank: Optional[bool] = None,
+        method: str = "auto",
     ) -> list:
-        """Batched query across all shards; one all_gather per call."""
+        """Batched query across all shards; one all_gather per call.
+
+        method: ``'bands'`` probes each shard's band tables;
+        ``'scan'`` streams each shard's signature slice — returns EVERY
+        key whose estimated Jaccard clears the threshold (recall 1.0
+        over stored sketches, up to ``max_results``/1024 per shard;
+        requires rerank); ``'auto'`` picks scan when the per-shard slice
+        is under the gather budget (same rule as :meth:`top_k`).
+        """
+        if method not in ("auto", "bands", "scan"):
+            raise ValueError("method must be 'auto', 'bands' or 'scan'")
         do_rerank = self.rerank if rerank is None else rerank
         if self._sigs is None or not self._n_real:
             return [[] for _ in minhashes]
@@ -531,6 +580,44 @@ class ShardedMinHashLSH:
         if q_sigs.shape[1] != self.h:
             raise ValueError(
                 "Expecting minhash with length %d, got %d" % (self.h, q_sigs.shape[1])
+            )
+        local_rows = self._sigs.shape[0] // max(1, self.n_shards)
+        if method == "auto":
+            gather_slots = q_sigs.shape[0] * self.b * self.bucket_cap
+            method = (
+                "scan"
+                if do_rerank and local_rows <= gather_slots
+                else "bands"
+            )
+        cutoff = self.threshold if threshold is None else threshold
+        rep = NamedSharding(self.mesh, P(None, None))
+        if method == "scan":
+            if not do_rerank:
+                raise ValueError(
+                    "method='scan' requires rerank (it scores every "
+                    "stored signature)"
+                )
+            max_out = min(self.max_results or 1024, local_rows)
+            if max_out not in self._query_scan_fns:
+                self._query_scan_fns[max_out] = self._make_query_scan_fn(
+                    max_out
+                )
+            ids, scores, trunc = self._query_scan_fns[max_out](
+                self._sigs,
+                jax.device_put(jnp.asarray(q_sigs), rep),
+                self._n_real_dev,
+                self._alive_mask_dev(),
+                jnp.float32(cutoff),
+            )
+            ids_host, sc_host, trunc_h = jax.device_get(
+                (ids, scores, trunc)
+            )
+            self.last_truncated = int(trunc_h)
+            from datasketch_tpu.models.tpu_lsh import _decode_rows
+
+            return _decode_rows(
+                ids_host, sc_host, self._keys, q_sigs.shape[0],
+                return_scores,
             )
         c_local = self.b * self.bucket_cap
         max_out = (
@@ -540,9 +627,7 @@ class ShardedMinHashLSH:
         )
         if max_out not in self._query_fns:
             self._query_fns[max_out] = self._make_query_fn(max_out)
-        cutoff = self.threshold if threshold is None else threshold
         cut = float(cutoff) if do_rerank else -1.0
-        rep = NamedSharding(self.mesh, P(None, None))
         ids, scores, trunc = self._query_fns[max_out](
             self._sorted_fp,
             self._sorted_ids,

@@ -155,7 +155,10 @@ def test_sharded_query_batch_device_finish():
     )
     index.index(list(range(len(docs))), sigs)
     mhs = [MinHash(hashvalues=row, hashfunc="device") for row in sigs[:8]]
-    rows = index.query_batch(mhs, return_scores=True)
+    rows = index.query_batch(mhs, return_scores=True, method="bands")
+    # the scan method returns the exact threshold answer (superset of the
+    # band candidates) and must agree with the single-chip scan
+    scan_rows = index.query_batch(mhs, return_scores=True, method="scan")
     for i, row in enumerate(rows):
         keys = [k for k, _ in row]
         assert i in keys
@@ -171,6 +174,9 @@ def test_sharded_query_batch_device_finish():
     single.index(list(range(len(docs))), sigs)
     srows = single.query_batch(mhs, method="bands")
     for sh, si_ in zip(rows, srows):
+        assert {k for k, _ in sh} == set(si_)
+    s_scan = single.query_batch(mhs, method="scan")
+    for sh, si_ in zip(scan_rows, s_scan):
         assert {k for k, _ in sh} == set(si_)
 
 
