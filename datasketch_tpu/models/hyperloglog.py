@@ -89,6 +89,18 @@ class HyperLogLog:
                     "The imported register has incorrect size. Expect a power of 2."
                 )
             self.reg = reg
+        if hashfunc == "device":
+            # pre-tokenized integer streams: fmix32, vectorized host twin
+            # of the on-device mix (HLL updates are scatter-bound, so the
+            # host never does per-token Python work either way)
+            if self._hash_range_bit != 32:
+                raise ValueError(
+                    "hashfunc='device' is 32-bit; HyperLogLogPlusPlus "
+                    "needs a 64-bit hashfunc"
+                )
+            from datasketch_tpu.hashfunc import device_hash
+
+            hashfunc = device_hash
         if not callable(hashfunc):
             raise ValueError("The hashfunc must be a callable.")
         if hashobj is not None:
@@ -113,10 +125,18 @@ class HyperLogLog:
         """Vectorized multi-value update (TPU extension; the reference has
         no HLL batch path). Hashes on host, scatter-max on device for large
         batches (per ``device_mode``), NumPy for small ones."""
+        from datasketch_tpu.hashfunc import device_hash
+
         if self.hashfunc is sha1_hash32:
             from datasketch_tpu.hashfunc import batch_sha1_hash32
 
             hv = batch_sha1_hash32(list(bs)).astype(np.int64)
+        elif self.hashfunc is device_hash:
+            from datasketch_tpu.ops.hashing import mix32_np
+
+            hv = mix32_np(
+                np.asarray(list(bs)).astype(np.uint32)
+            ).astype(np.int64)
         else:
             hv = np.array([self.hashfunc(b) for b in bs], dtype=np.int64)
         if hv.size == 0:
@@ -215,6 +235,14 @@ class HyperLogLog:
             )
         if self.hashfunc is _sha64 and self._hash_range_bit == 64:
             return corpus.hash_tokens(tokens, corpus.ALGO_SHA1_64)
+        from datasketch_tpu.hashfunc import device_hash
+
+        if self.hashfunc is device_hash:
+            from datasketch_tpu.ops.hashing import mix32_np
+
+            return mix32_np(
+                np.asarray(tokens).astype(np.uint32)
+            ).astype(np.uint64)
         hv = np.array([self.hashfunc(t) for t in tokens], dtype=np.uint64)
         if np.any((hv >> np.uint64(self._hash_range_bit - 1)) >> 1 != 0):
             raise ValueError(
@@ -236,12 +264,29 @@ class HyperLogLog:
         from datasketch_tpu.hashfunc import sha1_hash64 as _sha64
         from datasketch_tpu.native import corpus
 
+        from datasketch_tpu.hashfunc import device_hash
+
         if self.hashfunc is sha1_hash32 and self._hash_range_bit == 32:
             algo = corpus.ALGO_SHA1_32
         elif self.hashfunc is _sha64 and self._hash_range_bit == 64:
             algo = corpus.ALGO_SHA1_64
         else:
             algo = None
+        if self.hashfunc is device_hash:
+            from datasketch_tpu.ops.hashing import mix32_np
+
+            hashed = [
+                mix32_np(np.asarray(d).astype(np.uint32)).astype(np.uint64)
+                for d in docs
+            ]
+            lengths = np.array([len(h) for h in hashed], dtype=np.int32)
+            t = 128
+            while t < max(1, int(lengths.max()) if len(lengths) else 1):
+                t *= 2
+            padded = np.zeros((len(hashed), t), dtype=np.uint64)
+            for i, h in enumerate(hashed):
+                padded[i, : len(h)] = h
+            return padded, lengths
         if algo is not None:
             max_len = max((len(d) for d in docs), default=1)
             t_bucket = 128

@@ -162,3 +162,37 @@ def test_index_tokens_rejects_mismatched_keys():
     index = TpuMinHashLSH(threshold=0.5, num_perm=32)
     with pytest.raises(ValueError):
         index.index_tokens([1, 2], [np.array([1, 2, 3], np.uint32)])
+
+
+def test_hll_device_hash_paths_agree():
+    from datasketch_tpu import HyperLogLog, HyperLogLogPlusPlus
+
+    rng = np.random.RandomState(14)
+    ids = rng.randint(0, 1 << 31, size=5000).astype(np.uint32)
+    h1 = HyperLogLog(p=10, hashfunc="device")
+    for x in ids[:200]:
+        h1.update(int(x))
+    h2 = HyperLogLog(p=10, hashfunc="device")
+    h2.update_batch([int(x) for x in ids[:200]])
+    np.testing.assert_array_equal(h1.reg, h2.reg)
+
+    # bulk paths (host scatter and device) match the object path
+    docs = [ids[:200], ids[200:1200], ids]
+    regs = HyperLogLog.bulk_registers(
+        [[int(x) for x in d] for d in docs], p=10, hashfunc="device"
+    )
+    np.testing.assert_array_equal(regs[0], h1.reg)
+    regs_dev = HyperLogLog.bulk_registers(
+        [[int(x) for x in d] for d in docs],
+        p=10, hashfunc="device", device_mode="always",
+    )
+    np.testing.assert_array_equal(regs, regs_dev)
+
+    # cardinality estimate is sane on distinct ids
+    full = HyperLogLog(p=10, hashfunc="device")
+    full.update_batch([int(x) for x in ids])
+    n_distinct = len(np.unique(ids))
+    assert abs(full.count() - n_distinct) / n_distinct < 0.15
+
+    with pytest.raises(ValueError):
+        HyperLogLogPlusPlus(p=10, hashfunc="device")  # 64-bit sketch
