@@ -390,9 +390,9 @@ class TpuMinHashLSHBloom:
     def save(self, path: str) -> None:
         """Persist bitmaps + params to ``.npz`` (the device analogue of the
         host class's file-backed band filters, lsh_bloom.py:74-83)."""
-        from datasketch_tpu.persist import npz_path
+        from datasketch_tpu.persist import atomic_savez, npz_path
 
-        np.savez_compressed(
+        atomic_savez(
             npz_path(path),
             bits=np.asarray(self._bits),
             meta=np.array(
@@ -407,7 +407,7 @@ class TpuMinHashLSHBloom:
     def load(cls, path: str) -> "TpuMinHashLSHBloom":
         import jax.numpy as jnp
 
-        from datasketch_tpu.persist import npz_path
+        from datasketch_tpu.persist import atomic_savez, npz_path
 
         data = np.load(npz_path(path), allow_pickle=False)
         saved_scheme = (

@@ -241,11 +241,11 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
         Band tables are rebuilt on load (|unique r| vmapped programs) —
         the same state/derived-data split as ``TpuMinHashLSH.save``.
         """
-        from datasketch_tpu.persist import pack_keys
+        from datasketch_tpu.persist import atomic_savez, pack_keys
 
         if self.is_empty():
             raise ValueError("Cannot save an empty index")
-        np.savez_compressed(
+        atomic_savez(
             path,
             kind=np.array("tpu_ensemble"),
             threshold=np.float64(self.threshold),
@@ -275,7 +275,7 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
     def load(cls, path: str) -> "TpuMinHashLSHEnsemble":
         """SECURITY: the key lists inside the file are a pickle payload —
         only load index files you created or trust."""
-        from datasketch_tpu.persist import npz_path, unpack_keys
+        from datasketch_tpu.persist import atomic_savez, npz_path, unpack_keys
 
         data = np.load(npz_path(path), allow_pickle=False)
         if str(data["kind"]) != "tpu_ensemble":

@@ -307,10 +307,10 @@ class TpuMinHashLSHForest:
         Staged-but-unindexed keys are flushed first (``index()``) so
         nothing silently vanishes from the round trip.
         """
-        from datasketch_tpu.persist import pack_keys
+        from datasketch_tpu.persist import atomic_savez, pack_keys
 
         self.index()
-        np.savez_compressed(
+        atomic_savez(
             path,
             sigs=np.asarray(self._sigs_dev)[: self._n_real]
             if self._sigs_dev is not None
@@ -323,7 +323,7 @@ class TpuMinHashLSHForest:
     def load(cls, path: str) -> "TpuMinHashLSHForest":
         """SECURITY: the key list inside the file is a pickle payload —
         only load index files you created or trust."""
-        from datasketch_tpu.persist import npz_path, unpack_keys
+        from datasketch_tpu.persist import atomic_savez, npz_path, unpack_keys
 
         data = np.load(npz_path(path), allow_pickle=False)
         num_perm, l, cap = (int(x) for x in data["params"])

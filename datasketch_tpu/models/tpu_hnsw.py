@@ -251,7 +251,7 @@ class TpuHNSW:
 
     def save(self, path: str) -> None:
         """Persist graph + points + tombstones as ``.npz``."""
-        from datasketch_tpu.persist import pack_keys
+        from datasketch_tpu.persist import atomic_savez, pack_keys
 
         self._flush_pending()
         if self._graph is None:
@@ -274,14 +274,14 @@ class TpuHNSW:
         for i, (nodes, adj) in enumerate(zip(g.upper_nodes, g.upper_adj)):
             payload[f"upper_nodes_{i}"] = np.asarray(nodes)
             payload[f"upper_adj_{i}"] = np.asarray(adj)
-        np.savez_compressed(path, **payload)
+        atomic_savez(path, **payload)
 
     @classmethod
     def load(cls, path: str, distance_metric: Optional[
             Union[str, Callable]] = None) -> "TpuHNSW":
         """SECURITY: the key list inside the file is a pickle payload —
         only load index files you created or trust."""
-        from datasketch_tpu.persist import npz_path, unpack_keys
+        from datasketch_tpu.persist import atomic_savez, npz_path, unpack_keys
 
         data = np.load(npz_path(path), allow_pickle=False)
         if str(data["kind"]) != "tpu_hnsw":

@@ -789,10 +789,10 @@ class TpuMinHashLSH:
         ``.npz`` is appended when missing (numpy does so on write anyway).
         """
         self._flush_pending()
-        from datasketch_tpu.persist import npz_path, pack_keys
+        from datasketch_tpu.persist import atomic_savez, npz_path, pack_keys
 
         path = npz_path(path)
-        np.savez_compressed(
+        atomic_savez(
             path,
             sigs=np.asarray(self._sigs_dev)[: self._n_real]
             if self._sigs_dev is not None
@@ -816,7 +816,7 @@ class TpuMinHashLSH:
         load index files you created or trust (same caveat as the
         reference's pickled indexes).
         """
-        from datasketch_tpu.persist import npz_path, unpack_keys
+        from datasketch_tpu.persist import atomic_savez, npz_path, unpack_keys
 
         data = np.load(npz_path(path), allow_pickle=False)
         h, b, r, cap, rerank = (int(x) for x in data["meta"])

@@ -258,14 +258,14 @@ class ShardedMinHashLSHForest:
         """Persist signatures + keys as .npz; tables are re-lexsorted (and
         re-sharded to the loading mesh) on load. On a multi-process mesh
         this is a COLLECTIVE — call it from every process."""
-        from datasketch_tpu.persist import pack_keys
+        from datasketch_tpu.persist import atomic_savez, pack_keys
 
         sigs = (
             self._to_host(self._sigs)[: self._n_real]
             if self._sigs is not None
             else np.zeros((0, self.width), dtype=np.uint32)
         )
-        np.savez_compressed(
+        atomic_savez(
             path,
             sigs=sigs,
             keys=pack_keys(self._keys),
@@ -277,7 +277,7 @@ class ShardedMinHashLSHForest:
              ) -> "ShardedMinHashLSHForest":
         """SECURITY: the key list inside the file is a pickle payload —
         only load index files you created or trust."""
-        from datasketch_tpu.persist import npz_path, unpack_keys
+        from datasketch_tpu.persist import atomic_savez, npz_path, unpack_keys
 
         data = np.load(npz_path(path), allow_pickle=False)
         num_perm, l, cap = (int(x) for x in data["params"])

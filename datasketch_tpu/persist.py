@@ -11,11 +11,31 @@ FileNotFoundError for every path ``save`` accepted.
 
 from __future__ import annotations
 
+import os
 import pickle
 
 import numpy as np
 
-__all__ = ["npz_path", "pack_keys", "unpack_keys"]
+__all__ = ["npz_path", "pack_keys", "unpack_keys", "atomic_savez"]
+
+
+def atomic_savez(path, **arrays) -> None:
+    """``np.savez_compressed`` with crash-safe semantics: write to a
+    temporary sibling, fsync, then ``os.replace`` onto the final path —
+    a failure mid-write can never leave a torn checkpoint where a good
+    one used to be (serving restarts reload these files).
+    """
+    final = npz_path(path)
+    tmp = final + ".tmp-%d" % os.getpid()
+    try:
+        with open(tmp, "wb") as f:
+            np.savez_compressed(f, **arrays)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, final)
+    finally:
+        if os.path.exists(tmp):  # pragma: no cover - only on failure
+            os.unlink(tmp)
 
 
 def npz_path(path) -> str:

@@ -107,3 +107,36 @@ def test_persist_helpers_round_trip():
         arr = pack_keys(keys)
         assert arr.dtype == np.uint8 and arr.ndim == 1
         assert unpack_keys(arr) == keys
+
+
+def test_atomic_savez_replaces_never_tears(tmp_path):
+    import numpy as np
+
+    from datasketch_tpu.persist import atomic_savez, npz_path
+
+    path = str(tmp_path / "ckpt")
+    atomic_savez(path, a=np.arange(4))
+    good = open(npz_path(path), "rb").read()
+    # a failing second write must leave the original intact and no temp
+    class Boom(Exception):
+        pass
+
+    import numpy as _np
+
+    orig = _np.savez_compressed
+
+    def boom(f, **kw):
+        f.write(b"partial garbage")
+        raise Boom()
+
+    _np.savez_compressed = boom
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(Boom):
+            atomic_savez(path, a=np.arange(8))
+    finally:
+        _np.savez_compressed = orig
+    assert open(npz_path(path), "rb").read() == good
+    leftovers = [p for p in tmp_path.iterdir() if ".tmp-" in p.name]
+    assert not leftovers
