@@ -196,3 +196,20 @@ def test_hll_device_hash_paths_agree():
 
     with pytest.raises(ValueError):
         HyperLogLogPlusPlus(p=10, hashfunc="device")  # 64-bit sketch
+
+
+def test_alt_schemes_accept_device_hash():
+    """scheme='oph'/'cminhash' with hashfunc='device': ids are mixed by
+    the vectorized host twin before the alternate-scheme kernels."""
+    rng = np.random.RandomState(15)
+    docs = [rng.randint(0, 1 << 31, 300).astype(np.uint32) for _ in range(6)]
+    near = [np.concatenate([docs[0][:270], rng.randint(0, 1 << 31, 30)
+                            .astype(np.uint32)])]
+    for scheme in ("oph", "cminhash"):
+        sigs = MinHash.bulk_signatures(
+            docs + near, num_perm=128, hashfunc="device", scheme=scheme
+        )
+        assert sigs.shape == (7, 128)
+        sim_near = float((sigs[0] == sigs[6]).mean())
+        sim_far = float((sigs[0] == sigs[1]).mean())
+        assert sim_near > 0.6 > sim_far, (scheme, sim_near, sim_far)
