@@ -273,6 +273,8 @@ class HyperLogLog:
         else:
             algo = None
         if self.hashfunc is device_hash:
+            # vectorized host mix; falls through to the shared T/B
+            # pow-of-two bucketing below (compile-shape discipline)
             from datasketch_tpu.ops.hashing import mix32_np
 
             hashed = [
@@ -286,8 +288,7 @@ class HyperLogLog:
             padded = np.zeros((len(hashed), t), dtype=np.uint64)
             for i, h in enumerate(hashed):
                 padded[i, : len(h)] = h
-            return padded, lengths
-        if algo is not None:
+        elif algo is not None:
             max_len = max((len(d) for d in docs), default=1)
             t_bucket = 128
             while t_bucket < max_len:

@@ -407,7 +407,7 @@ class TpuMinHashLSHBloom:
     def load(cls, path: str) -> "TpuMinHashLSHBloom":
         import jax.numpy as jnp
 
-        from datasketch_tpu.persist import atomic_savez, npz_path
+        from datasketch_tpu.persist import npz_path
 
         data = np.load(npz_path(path), allow_pickle=False)
         saved_scheme = (

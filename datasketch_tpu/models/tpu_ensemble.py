@@ -275,7 +275,7 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
     def load(cls, path: str) -> "TpuMinHashLSHEnsemble":
         """SECURITY: the key lists inside the file are a pickle payload —
         only load index files you created or trust."""
-        from datasketch_tpu.persist import atomic_savez, npz_path, unpack_keys
+        from datasketch_tpu.persist import npz_path, unpack_keys
 
         data = np.load(npz_path(path), allow_pickle=False)
         if str(data["kind"]) != "tpu_ensemble":

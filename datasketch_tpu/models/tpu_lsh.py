@@ -816,7 +816,7 @@ class TpuMinHashLSH:
         load index files you created or trust (same caveat as the
         reference's pickled indexes).
         """
-        from datasketch_tpu.persist import atomic_savez, npz_path, unpack_keys
+        from datasketch_tpu.persist import npz_path, unpack_keys
 
         data = np.load(npz_path(path), allow_pickle=False)
         h, b, r, cap, rerank = (int(x) for x in data["meta"])

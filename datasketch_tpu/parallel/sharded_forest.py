@@ -277,7 +277,7 @@ class ShardedMinHashLSHForest:
              ) -> "ShardedMinHashLSHForest":
         """SECURITY: the key list inside the file is a pickle payload —
         only load index files you created or trust."""
-        from datasketch_tpu.persist import atomic_savez, npz_path, unpack_keys
+        from datasketch_tpu.persist import npz_path, unpack_keys
 
         data = np.load(npz_path(path), allow_pickle=False)
         num_perm, l, cap = (int(x) for x in data["params"])

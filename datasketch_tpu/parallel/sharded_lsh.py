@@ -339,7 +339,7 @@ class ShardedMinHashLSH:
              ) -> "ShardedMinHashLSH":
         """Rebuild on `mesh` — the shard count may differ from the saving
         mesh; tables are re-derived from the signatures."""
-        from datasketch_tpu.persist import atomic_savez, npz_path, unpack_keys
+        from datasketch_tpu.persist import npz_path, unpack_keys
 
         data = np.load(npz_path(path), allow_pickle=False)
         h, b, r, cap, rerank = (int(x) for x in data["params"])

@@ -25,10 +25,17 @@ def atomic_savez(path, **arrays) -> None:
     a failure mid-write can never leave a torn checkpoint where a good
     one used to be (serving restarts reload these files).
     """
+    import tempfile
+
     final = npz_path(path)
-    tmp = final + ".tmp-%d" % os.getpid()
+    # unique temp per CALL (mkstemp), not per process: two threads saving
+    # the same path must not interleave bytes into one temp file
+    fd, tmp = tempfile.mkstemp(
+        prefix=os.path.basename(final) + ".tmp-",
+        dir=os.path.dirname(final) or ".",
+    )
     try:
-        with open(tmp, "wb") as f:
+        with os.fdopen(fd, "wb") as f:
             np.savez_compressed(f, **arrays)
             f.flush()
             os.fsync(f.fileno())
