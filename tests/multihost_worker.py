@@ -129,6 +129,35 @@ def main() -> None:
     multihost_utils.sync_global_devices("loaded")
     print(f"[{pid}] handoff OK", flush=True)
 
+    # 4. the other sharded indexes on the same global mesh
+    from datasketch_tpu.parallel import (
+        ShardedMinHashLSHEnsemble,
+        ShardedMinHashLSHForest,
+    )
+
+    forest = ShardedMinHashLSHForest(mesh, num_perm=128, l=8, cap=16)
+    forest.index(list(range(64)), sigs)
+    frows = forest.query_batch(sigs[:4], k=3, return_scores=True)
+    for i, row in enumerate(frows):
+        assert row and row[0][0] == i and row[0][1] == 1.0, (pid, i, row)
+
+    sizes = [100] * 64
+    ens = ShardedMinHashLSHEnsemble(
+        mesh, threshold=0.8, num_perm=128, num_part=4, bucket_cap=16
+    )
+    ens.index(
+        [(i, MinHash(hashvalues=sigs[i], hashfunc="device"), sizes[i])
+         for i in range(64)]
+    )
+    erows = ens.query_batch(
+        [(MinHash(hashvalues=sigs[i], hashfunc="device"), sizes[i])
+         for i in range(4)]
+    )
+    for i, row in enumerate(erows):
+        assert i in row, (pid, i, row)
+    multihost_utils.sync_global_devices("indexes")
+    print(f"[{pid}] forest+ensemble OK", flush=True)
+
 
 if __name__ == "__main__":
     main()

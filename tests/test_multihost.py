@@ -65,3 +65,4 @@ def test_two_process_mesh_and_index_handoff(tmp_path):
         assert "collective OK" in out
         assert "global-mesh index OK" in out
         assert "handoff OK" in out
+        assert "forest+ensemble OK" in out
