@@ -181,3 +181,23 @@ def test_sharded_ensemble_checkpoint_interop(tmp_path):
     got2 = back.query_batch(queries)
     for w, g in zip(want, got2):
         assert set(w) == set(g)
+
+
+def test_sharded_forest_exact_equality_without_truncation():
+    """With the gather cap covering every prefix run, forest ranking is a
+    per-candidate property ((matched depth, jaccard) of each doc against
+    the query), so sharding cannot change the result set: sharded ==
+    single-chip EXACTLY, scores included."""
+    _, sigs = _corpus(40, seed=29)
+    single = TpuMinHashLSHForest(num_perm=128, l=8, cap=64)
+    single.index(list(range(len(sigs))), sigs)
+    sharded = ShardedMinHashLSHForest(_mesh(4), num_perm=128, l=8, cap=64)
+    sharded.index(list(range(len(sigs))), sigs)
+    queries = sigs[:8]
+    want = single.query_batch(queries, k=6, return_scores=True)
+    got = sharded.query_batch(queries, k=6, return_scores=True)
+    assert single.last_truncated == 0 and sharded.last_truncated == 0
+    for w, g in zip(want, got):
+        # identical (key -> jaccard) maps; order can differ only on
+        # exact (depth, jaccard) ties
+        assert dict(w) == pytest.approx(dict(g))
