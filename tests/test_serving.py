@@ -182,3 +182,37 @@ def test_failover_wraps_sharded_index():
         assert row[0][0] == f"doc{i}"
     top5 = fo.top_k([mhs[5]], k=3)[0]
     assert all(kk != "doc5" for kk, _ in top5)  # tombstone respected
+
+
+def test_failover_wraps_sharded_index():
+    """FailoverIndex duck-types over anything with top_k/query_batch/
+    host_snapshot — including the mesh-sharded index: when the monitor
+    trips, queries answer from the host snapshot, exactly."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from datasketch_tpu import FailoverIndex, MinHash
+    from datasketch_tpu.parallel import ShardedMinHashLSH
+    from datasketch_tpu.utils.health import HealthMonitor
+
+    rng = np.random.RandomState(31)
+    docs = [rng.choice(20000, 100, replace=False).astype(np.uint32)
+            for _ in range(48)]
+    sigs = MinHash.bulk_signatures(docs, num_perm=128, hashfunc="device")
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("data",))
+    index = ShardedMinHashLSH(mesh, threshold=0.5, num_perm=128,
+                              bucket_cap=32)
+    index.index(list(range(48)), sigs)
+    fo = FailoverIndex(index, monitor=HealthMonitor(max_failures=1))
+    queries = [MinHash(hashvalues=r, hashfunc="device") for r in sigs[:4]]
+    dev_rows = fo.top_k(queries, k=3)
+    assert fo.last_path == "device"
+    # trip the monitor: queries must keep answering, now from the host
+    fo.monitor.consecutive_failures = 99
+    host_rows = fo.top_k(queries, k=3)
+    assert fo.last_path == "host"
+    for d, h in zip(dev_rows, host_rows):
+        assert d[0][0] == h[0][0]  # top-1 agrees (both exact-scan here)
+    thr = fo.query_batch(queries)
+    assert all(i in row for i, row in enumerate(thr))
