@@ -551,6 +551,22 @@ class ShardedMinHashLSH:
             )
         )
 
+    def warmup(self, batch_sizes=(8, 64), k: int = 10,
+               method: str = "auto") -> None:
+        """Pay per-shape compiles before serving traffic (the sharded
+        twin of ``TpuMinHashLSH.warmup``): one synthetic ``top_k`` and
+        one ``query_batch`` per batch size, results discarded. No-op on
+        an empty index."""
+        if self._sigs is None or not self._n_real:
+            return
+        rng = np.random.RandomState(0)
+        for q in batch_sizes:
+            sigs = rng.randint(
+                0, 1 << 32, size=(int(q), self.h), dtype=np.uint64
+            ).astype(np.uint32)
+            self.top_k(sigs, k, method=method)
+            self.query_batch(sigs, method=method)
+
     def query(self, minhash, threshold: Optional[float] = None) -> list:
         return self.query_batch([minhash], threshold=threshold)[0]
 

@@ -270,3 +270,22 @@ def test_forest_duplicate_batch_does_not_poison_keys():
         assert "c" not in forest  # rejected batch left no residue
         forest.index(["c"], sigs[2:3])  # and can be retried
         assert "c" in forest
+
+
+def test_sharded_warmup():
+    import jax
+    from jax.sharding import Mesh
+
+    from datasketch_tpu.parallel.sharded_lsh import ShardedMinHashLSH
+
+    docs = _clustered(32)
+    sigs = MinHash.bulk_signatures(docs, num_perm=128, hashfunc="device")
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2), ("data",))
+    index = ShardedMinHashLSH(mesh, threshold=0.5, num_perm=128,
+                              bucket_cap=32)
+    index.warmup()  # empty index: no-op
+    index.index(list(range(32)), sigs)
+    index.warmup(batch_sizes=(4,), k=3)
+    # compiled fns are cached for the warmed shapes
+    assert index._topk_fns or index._topk_scan_fns
+    assert index._query_fns or index._query_scan_fns
