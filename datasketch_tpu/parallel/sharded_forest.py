@@ -182,6 +182,32 @@ class ShardedMinHashLSHForest:
     def query_batch(self, minhashes, k: int,
                     return_scores: bool = False) -> list:
         """Top-k for a query batch: one sharded dispatch, one all_gather."""
+        out = self._query_dispatch(minhashes, k)
+        if isinstance(out, list):
+            return out
+        return self._query_finish(out, k, return_scores)
+
+    def query_stream(self, batches, k: int, return_scores: bool = False,
+                     depth: int = 4):
+        """Pipelined :meth:`query_batch` over an iterable of batches:
+        ``depth`` batches in flight, eager async D2H copies (see
+        :mod:`datasketch_tpu.utils.pipeline`). Keep batch sizes uniform."""
+        from datasketch_tpu.utils.pipeline import stream_batches
+
+        if k <= 0:
+            raise ValueError("k must be positive")
+
+        def _finish(out):
+            if isinstance(out, list):
+                return out
+            return self._query_finish(out, k, return_scores)
+
+        return stream_batches(
+            batches, lambda b: self._query_dispatch(b, k), _finish,
+            depth=depth,
+        )
+
+    def _query_dispatch(self, minhashes, k: int):
         if k <= 0:
             raise ValueError("k must be positive")
         if self._sigs is None or not self._n_real:
@@ -209,17 +235,21 @@ class ShardedMinHashLSHForest:
             jax.device_put(jnp.asarray(q), rep),
             self._n_real_dev,
         )
+        return ids, jac, trunc, nq
+
+    def _query_finish(self, out, k: int, return_scores: bool) -> list:
+        ids, jac, trunc, nq = out
         ids_h, jac_h, trunc_h = jax.device_get((ids, jac, trunc))
         self.last_truncated = int(trunc_h)
-        out = []
+        result = []
         for row_ids, row_jac in zip(ids_h[:nq], jac_h[:nq]):
             hits = [
                 (self._keys[int(i)], float(s))
                 for i, s in zip(row_ids[:k], row_jac[:k])
                 if i >= 0
             ]
-            out.append(hits if return_scores else [kk for kk, _ in hits])
-        return out
+            result.append(hits if return_scores else [kk for kk, _ in hits])
+        return result
 
     # ------------------------------------------------------------- plumbing
 

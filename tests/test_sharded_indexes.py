@@ -201,3 +201,15 @@ def test_sharded_forest_exact_equality_without_truncation():
         # identical (key -> jaccard) maps; order can differ only on
         # exact (depth, jaccard) ties
         assert dict(w) == pytest.approx(dict(g))
+
+
+def test_sharded_forest_query_stream():
+    _, sigs = _corpus(32, seed=41)
+    sharded = ShardedMinHashLSHForest(_mesh(2), num_perm=128, l=8, cap=32)
+    sharded.index(list(range(32)), sigs)
+    batches = [sigs[:4], sigs[4:8]]
+    want = [sharded.query_batch(b, k=3, return_scores=True)
+            for b in batches]
+    got = list(sharded.query_stream(batches, k=3, return_scores=True,
+                                    depth=2))
+    assert got == want
