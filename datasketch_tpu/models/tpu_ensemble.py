@@ -308,6 +308,22 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
         obj._build_tables(sigs)
         return obj
 
+    def warmup(self, batch_sizes=(8,), sizes=(100,)) -> None:
+        """Pay per-shape compiles before serving traffic: one synthetic
+        ``query_batch`` per (batch size, set size) — each unique r's
+        probe program compiles once. No-op before :meth:`index`."""
+        if not self._tables:
+            return
+        rng = np.random.RandomState(0)
+        for q in batch_sizes:
+            sigs = rng.randint(
+                0, 1 << 32, size=(int(q), self.h), dtype=np.uint64
+            ).astype(np.uint32)
+            for size in sizes:
+                self.query_batch(
+                    [(row, int(size)) for row in sigs]
+                )
+
     # -------------------------------------------------------------- plumbing
 
     def __contains__(self, key: Hashable) -> bool:

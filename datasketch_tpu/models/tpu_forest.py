@@ -247,6 +247,19 @@ class TpuMinHashLSHForest:
             result.append(hits if return_scores else [kk for kk, _ in hits])
         return result
 
+    def warmup(self, batch_sizes=(8, 64), k: int = 10) -> None:
+        """Pay per-shape XLA compiles before serving traffic (parity with
+        ``TpuMinHashLSH.warmup``): one synthetic ``query_batch`` per batch
+        size, results discarded. No-op before :meth:`index`."""
+        if self._sorted_fps is None:
+            return
+        rng = np.random.RandomState(0)
+        for q in batch_sizes:
+            sigs = rng.randint(
+                0, 1 << 32, size=(int(q), self.width), dtype=np.uint64
+            ).astype(np.uint32)
+            self.query_batch(sigs, k)
+
     # ------------------------------------------------------------- plumbing
 
     def __contains__(self, key: Hashable) -> bool:

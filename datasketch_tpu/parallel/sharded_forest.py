@@ -251,6 +251,18 @@ class ShardedMinHashLSHForest:
             result.append(hits if return_scores else [kk for kk, _ in hits])
         return result
 
+    def warmup(self, batch_sizes=(8, 64), k: int = 10) -> None:
+        """Pay per-shape compiles before serving traffic; no-op while
+        empty (parity with the single-chip forest)."""
+        if self._sigs is None or not self._n_real:
+            return
+        rng = np.random.RandomState(0)
+        for q in batch_sizes:
+            sigs = rng.randint(
+                0, 1 << 32, size=(int(q), self.width), dtype=np.uint64
+            ).astype(np.uint32)
+            self.query_batch(sigs, k)
+
     # ------------------------------------------------------------- plumbing
 
     def __contains__(self, key: Hashable) -> bool:

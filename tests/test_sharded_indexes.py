@@ -213,3 +213,24 @@ def test_sharded_forest_query_stream():
     got = list(sharded.query_stream(batches, k=3, return_scores=True,
                                     depth=2))
     assert got == want
+
+
+def test_warmup_parity_across_serving_indexes():
+    _, sigs = _corpus(24, seed=43)
+    single_f = TpuMinHashLSHForest(num_perm=128, l=8, cap=16)
+    single_f.warmup()  # empty: no-op
+    single_f.index(list(range(24)), sigs)
+    single_f.warmup(batch_sizes=(4,), k=3)
+
+    sharded_f = ShardedMinHashLSHForest(_mesh(2), num_perm=128, l=8, cap=16)
+    sharded_f.index(list(range(24)), sigs)
+    sharded_f.warmup(batch_sizes=(4,), k=3)
+    assert sharded_f._query_fns
+
+    _, sigs2, entries = _ensemble_entries(24, seed=44)
+    ens = TpuMinHashLSHEnsemble(
+        threshold=0.8, num_perm=128, num_part=4, bucket_cap=16
+    )
+    ens.warmup()  # empty: no-op
+    ens.index(entries)
+    ens.warmup(batch_sizes=(4,), sizes=(50, 200))
