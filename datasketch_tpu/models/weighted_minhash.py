@@ -18,7 +18,6 @@ paths, so batch and single results agree here.
 from __future__ import annotations
 
 import copy
-from typing import Union
 
 import numpy as np
 

@@ -15,7 +15,7 @@ per shard, uploaded sharded in one ``device_put``.
 
 from __future__ import annotations
 
-from typing import Hashable, Optional, Sequence
+from typing import Hashable, Sequence
 
 import numpy as np
 import jax
