@@ -166,7 +166,7 @@ class WeightedMinHashGenerator:
             return (
                 start,
                 rows,
-                cws_ops.cws_many(sub, self.rs, self.ln_cs, self.betas),
+                cws_ops.cws_many_best(sub, self.rs, self.ln_cs, self.betas),
             )
 
         def _finish(out):

@@ -16,7 +16,28 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["cws_many"]
+__all__ = ["cws_many", "cws_many_best", "CWS_KERNEL_INTERPRET"]
+
+# Test knob: force the Mosaic CWS kernel in interpret mode on CPU CI
+# (the platform gate would otherwise leave it untested until a real-TPU
+# run) — same pattern as lsh_ops.SCORE_KERNEL_INTERPRET.
+CWS_KERNEL_INTERPRET = False
+
+
+def cws_many_best(weights, rs, ln_cs, betas):
+    """CWS batch via the best kernel for the platform.
+
+    On TPU the Mosaic kernel (compile-time immunity — XLA fusions of the
+    [B, S, D] intermediate are shape-pathological through the remote-TPU
+    path); the XLA scan elsewhere. Identical (k, t) output either way.
+    """
+    from datasketch_tpu.ops import pallas_kernels as pk
+
+    if pk.signature_kernel_available() or CWS_KERNEL_INTERPRET:
+        return pk.cws_many_pallas(
+            weights, rs, ln_cs, betas, interpret=CWS_KERNEL_INTERPRET
+        )
+    return cws_many(weights, rs, ln_cs, betas)
 
 
 @functools.partial(jax.jit, static_argnames=("sample_block",))

@@ -30,8 +30,12 @@ __all__ = [
     "sign_batch_pallas",
     "score_matrix_pallas",
     "rerank_scores_pallas",
+    "cws_many_pallas",
     "SCORE_BQ",
     "SCORE_BT",
+    "CWS_BB",
+    "CWS_BS",
+    "CWS_BD",
 ]
 
 MAX_HASH = u64.MAX_HASH
@@ -205,6 +209,114 @@ def score_matrix_pallas(q_sigs, db_sigs, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((q, t), jnp.float32),
         interpret=interpret,
     )(q_sigs, db_sigs)
+
+
+# ------------------------------------------------------------------ CWS path
+
+CWS_BB = 8  # weight rows per grid step
+CWS_BS = 128  # samples per grid step (lane-aligned output columns)
+CWS_BD = 128  # weight dims per grid step; the [BB, BS, BD] f32 intermediates
+# are 512 KB each — a handful live stays inside VMEM.
+
+
+def _cws_kernel(w_ref, r_ref, lncs_ref, beta_ref, best_ref, k_ref, t_ref):
+    """Ioffe CWS for one (batch block, sample block, dim tile).
+
+    Running reduction over the dim-tile grid axis: ``best`` carries the
+    minimum ``ln_a`` seen so far, ``k``/``t`` the argmin dim and its
+    ``t`` value. Ties resolve to the lowest dim index (argmin semantics:
+    strictly-less across tiles + min-index within a tile). Same math and
+    op order as :func:`datasketch_tpu.ops.cws_ops.cws_many` (reference
+    formula: ``/root/reference/datasketch/weighted_minhash.py:141-159``).
+    """
+    d = pl.program_id(2)
+
+    @pl.when(d == 0)
+    def _():
+        best_ref[:] = jnp.full_like(best_ref, jnp.inf)
+        k_ref[:] = jnp.zeros_like(k_ref)
+        t_ref[:] = jnp.zeros_like(t_ref)
+
+    w = w_ref[:]  # [BB, BD]
+    active = w > 0
+    vlog = jnp.where(active, jnp.log(jnp.where(active, w, 1.0)), 0.0)
+    r = r_ref[:]  # [BS, BD]
+    beta = beta_ref[:]
+    lncs = lncs_ref[:]
+    # [BB, BS, BD]; zero-weight dims get +inf (never win the argmin)
+    t3 = jnp.floor(vlog[:, None, :] / r[None] + beta[None])
+    ln_a = lncs[None] - (t3 - beta[None]) * r[None] - r[None]
+    # mask built directly in rank 3 (Mosaic rejects i1 shape casts)
+    ln_a = jnp.where(w[:, None, :] > 0, ln_a, jnp.inf)
+
+    local_min = ln_a.min(axis=2)  # [BB, BS]
+    iota = d * CWS_BD + jax.lax.broadcasted_iota(jnp.int32, ln_a.shape, 2)
+    big = jnp.int32(0x7FFFFFFF)
+    local_k = jnp.where(ln_a == local_min[:, :, None], iota, big).min(axis=2)
+    t_at_k = jnp.where(iota == local_k[:, :, None], t3, -jnp.inf).max(axis=2)
+
+    better = local_min < best_ref[:]
+    best_ref[:] = jnp.where(better, local_min, best_ref[:])
+    k_ref[:] = jnp.where(better, local_k, k_ref[:])
+    t_ref[:] = jnp.where(better, t_at_k.astype(jnp.int32), t_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cws_many_pallas(weights, rs, ln_cs, betas, interpret: bool = False):
+    """Batched Ioffe CWS via Mosaic: f32[B, D] weights -> int32[B, S, 2].
+
+    Same (k, t) rows as :func:`datasketch_tpu.ops.cws_ops.cws_many` for
+    every row with at least one positive weight (all-zero rows are the
+    caller's responsibility there too). Pads B/S/D to tile multiples
+    internally; padding dims carry zero weight (inactive) and padding
+    samples are sliced off. The value over the XLA scan is compile-time
+    immunity: Mosaic compiles in ~1s per shape where XLA fusions of the
+    [B, S, D] intermediate were observed to take minutes through the
+    remote-TPU path.
+    """
+    b, dim = weights.shape
+    s = rs.shape[0]
+    pad_b = (-b) % CWS_BB
+    pad_s = (-s) % CWS_BS
+    pad_d = (-dim) % CWS_BD
+    w = jnp.pad(weights.astype(jnp.float32), ((0, pad_b), (0, pad_d)))
+    # padded sample rows use r=1 (avoid 0-division); sliced off below.
+    # padded dim columns keep r=1 too, but their weights are 0 => inactive.
+    rs_p = jnp.pad(
+        rs.astype(jnp.float32), ((0, pad_s), (0, pad_d)), constant_values=1.0
+    )
+    lncs_p = jnp.pad(ln_cs.astype(jnp.float32), ((0, pad_s), (0, pad_d)))
+    betas_p = jnp.pad(betas.astype(jnp.float32), ((0, pad_s), (0, pad_d)))
+    bb, ss, dd = b + pad_b, s + pad_s, dim + pad_d
+    _, ks, ts = pl.pallas_call(
+        _cws_kernel,
+        grid=(bb // CWS_BB, ss // CWS_BS, dd // CWS_BD),
+        in_specs=[
+            pl.BlockSpec((CWS_BB, CWS_BD), lambda i, j, d: (i, d),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CWS_BS, CWS_BD), lambda i, j, d: (j, d),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CWS_BS, CWS_BD), lambda i, j, d: (j, d),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CWS_BS, CWS_BD), lambda i, j, d: (j, d),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((CWS_BB, CWS_BS), lambda i, j, d: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CWS_BB, CWS_BS), lambda i, j, d: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CWS_BB, CWS_BS), lambda i, j, d: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bb, ss), jnp.float32),
+            jax.ShapeDtypeStruct((bb, ss), jnp.int32),
+            jax.ShapeDtypeStruct((bb, ss), jnp.int32),
+        ],
+        interpret=interpret,
+    )(w, rs_p, lncs_p, betas_p)
+    return jnp.stack([ks[:b, :s], ts[:b, :s]], axis=-1)
 
 
 def _rerank_kernel(q_ref, cand_ref, out_ref):

@@ -42,6 +42,11 @@ DEVICE_ONLY_PATHS = [
         "(SCORE_KERNEL_INTERPRET knob) in test_pallas_kernels.py",
     ),
     (
+        "ops/pallas_kernels.py cws_many_pallas (Mosaic CWS)",
+        "interpret-mode parity vs cws_many + forced cws_many_best branch "
+        "(CWS_KERNEL_INTERPRET knob) in test_pallas_kernels.py",
+    ),
+    (
         "ops/lsh_ops.py topk_scan/rerank_jaccard Pallas branch",
         "forced via SCORE_KERNEL_INTERPRET in test_pallas_kernels.py; "
         "platform gate keeps it off elsewhere in CPU CI",

@@ -115,6 +115,51 @@ def test_rerank_jaccard_pallas_branch_interpret():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize(
+    "b,s,d",
+    [
+        (8, 128, 128),  # tile-aligned
+        (5, 20, 100),  # every axis needs padding
+        (9, 130, 300),  # multi-tile D with padding
+    ],
+)
+def test_cws_kernel_matches_scan(b, s, d):
+    from datasketch_tpu.ops import cws_ops
+
+    rng = np.random.RandomState(b * 1000 + s + d)
+    weights = rng.gamma(1.0, 1.0, size=(b, d)).astype(np.float32)
+    # sparsify: zero-weight dims must never win the argmin
+    weights[rng.random_sample((b, d)) < 0.6] = 0.0
+    weights[0, 1:] = 0.0  # single-positive-dim row
+    rs = rng.gamma(2.0, 1.0, size=(s, d)).astype(np.float32)
+    ln_cs = np.log(rng.gamma(2.0, 1.0, size=(s, d))).astype(np.float32)
+    betas = rng.uniform(0.0, 1.0, size=(s, d)).astype(np.float32)
+    want = np.asarray(cws_ops.cws_many(weights, rs, ln_cs, betas))
+    got = np.asarray(
+        pallas_kernels.cws_many_pallas(weights, rs, ln_cs, betas, interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_cws_many_best_interpret_branch():
+    """cws_many_best's Mosaic branch under the CPU-CI knob (the platform
+    gate would otherwise leave it untested until a real-TPU run)."""
+    from datasketch_tpu.ops import cws_ops
+
+    rng = np.random.RandomState(77)
+    weights = rng.gamma(1.0, 1.0, size=(4, 64)).astype(np.float32)
+    rs = rng.gamma(2.0, 1.0, size=(32, 64)).astype(np.float32)
+    ln_cs = np.log(rng.gamma(2.0, 1.0, size=(32, 64))).astype(np.float32)
+    betas = rng.uniform(0.0, 1.0, size=(32, 64)).astype(np.float32)
+    want = np.asarray(cws_ops.cws_many(weights, rs, ln_cs, betas))
+    cws_ops.CWS_KERNEL_INTERPRET = True
+    try:
+        got = np.asarray(cws_ops.cws_many_best(weights, rs, ln_cs, betas))
+    finally:
+        cws_ops.CWS_KERNEL_INTERPRET = False
+    np.testing.assert_array_equal(got, want)
+
+
 def test_score_kernel_shape_validation():
     with pytest.raises(ValueError):
         pallas_kernels.score_matrix_pallas(
