@@ -22,6 +22,7 @@ from datasketch_tpu.parallel.sharded_sketch import (
 from datasketch_tpu.parallel.sharded_lsh import ShardedMinHashLSH
 from datasketch_tpu.parallel.sharded_forest import ShardedMinHashLSHForest
 from datasketch_tpu.parallel.sharded_ensemble import ShardedMinHashLSHEnsemble
+from datasketch_tpu.parallel.sharded_hnsw import ShardedHNSW
 
 __all__ = [
     "make_mesh",
@@ -32,4 +33,5 @@ __all__ = [
     "ShardedMinHashLSH",
     "ShardedMinHashLSHForest",
     "ShardedMinHashLSHEnsemble",
+    "ShardedHNSW",
 ]
