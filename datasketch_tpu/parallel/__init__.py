@@ -23,6 +23,7 @@ from datasketch_tpu.parallel.sharded_lsh import ShardedMinHashLSH
 from datasketch_tpu.parallel.sharded_forest import ShardedMinHashLSHForest
 from datasketch_tpu.parallel.sharded_ensemble import ShardedMinHashLSHEnsemble
 from datasketch_tpu.parallel.sharded_hnsw import ShardedHNSW
+from datasketch_tpu.parallel.sharded_bloom import ShardedMinHashLSHBloom
 
 __all__ = [
     "make_mesh",
@@ -34,4 +35,5 @@ __all__ = [
     "ShardedMinHashLSHForest",
     "ShardedMinHashLSHEnsemble",
     "ShardedHNSW",
+    "ShardedMinHashLSHBloom",
 ]
