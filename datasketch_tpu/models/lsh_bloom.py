@@ -289,10 +289,14 @@ class TpuMinHashLSHBloom:
     """Device-resident LSHBloom: all bands' bitmaps live in device memory.
 
     Same banding, ``sum(band) % (2^61-1)`` key, and double-hashed probe
-    scheme as :class:`MinHashLSHBloom`, but the per-band bitmaps are one
-    ``bool[b, num_bits]`` device array and insert/query are single batched
-    scatter/gather dispatches — the form that scales membership dedup to
-    bitmap sizes where host bit-twiddling becomes the bottleneck.
+    scheme as :class:`MinHashLSHBloom` (bit positions are identical, so
+    query answers match the host class exactly), but the per-band bitmaps
+    are one word-packed ``uint32[b, num_words]`` device array — 1 bit per
+    bit of filter, 8x less HBM than a bool bitmap, which is what lets the
+    LSHBloom paper's billion-key regime (arXiv:2411.04257) fit on chip.
+    Inserts dedupe probe positions to unique (band, word) pairs with
+    OR-combined masks on host, then apply them in ONE gather + ONE
+    unique-index scatter; queries are a single gather + bit test.
     """
 
     def __init__(
@@ -319,7 +323,10 @@ class TpuMinHashLSHBloom:
         m = int(np.ceil(-max(1, n) * np.log(fp) / (np.log(2.0) ** 2)))
         self.num_bits = max(64, m)
         self.num_hashes = max(1, int(round(self.num_bits / max(1, n) * np.log(2.0))))
-        self._bits = jnp.zeros((self.b, self.num_bits), dtype=bool)
+        # word-packed storage: the padded tail past num_bits is never
+        # addressed (num_bits stays the probe modulus)
+        self.num_words = -(-self.num_bits // 32)
+        self._words = jnp.zeros((self.b, self.num_words), dtype=jnp.uint32)
         self.hashranges = [(i * self.r, (i + 1) * self.r) for i in range(self.b)]
 
     def _band_keys(self, minhashes) -> np.ndarray:
@@ -346,22 +353,49 @@ class TpuMinHashLSHBloom:
         pos = (h1[..., None] + i * h2[..., None]) % np.uint64(self.num_bits)
         return pos.astype(np.int64)
 
+    def _word_updates(self, minhashes):
+        """Unique (band, word, OR-combined mask) int32/uint32[M] triples
+        for a batch, pow2-padded with an out-of-range sentinel word (so
+        the scatter sees only unique live indices and a capped family of
+        shapes)."""
+        pos = self._positions(self._band_keys(minhashes))  # int64[N, b, k]
+        band = np.broadcast_to(
+            np.arange(self.b, dtype=np.int64)[None, :, None], pos.shape
+        )
+        gid = (band * self.num_words + (pos >> 5)).ravel()  # global word id
+        mask_all = (np.uint32(1) << (pos & 31).astype(np.uint32)).ravel()
+        uniq, inv = np.unique(gid, return_inverse=True)
+        masks = np.zeros(len(uniq), dtype=np.uint32)
+        np.bitwise_or.at(masks, inv, mask_all)
+        m_pad = 8
+        while m_pad < len(uniq):
+            m_pad *= 2
+        band_u = np.zeros(m_pad, dtype=np.int32)
+        word_u = np.full(m_pad, self.num_words, dtype=np.int32)  # sentinel
+        mask_u = np.zeros(m_pad, dtype=np.uint32)
+        band_u[: len(uniq)] = uniq // self.num_words
+        word_u[: len(uniq)] = uniq % self.num_words
+        mask_u[: len(uniq)] = masks
+        return band_u, word_u, mask_u
+
     def insert(self, minhash) -> None:
         self.insert_batch([minhash])
 
     def insert_batch(self, minhashes) -> None:
-        """One device scatter for the whole batch."""
+        """One gather + one unique-index scatter for the whole batch."""
         import jax.numpy as jnp
 
         if not minhashes:
             return
-        pos = self._positions(self._band_keys(minhashes))  # [N, b, k]
-        band = np.broadcast_to(
-            np.arange(self.b, dtype=np.int64)[None, :, None], pos.shape
+        band_u, word_u, mask_u = self._word_updates(minhashes)
+        band = jnp.asarray(band_u)
+        word = jnp.asarray(word_u)
+        cur = self._words[band, jnp.clip(word, 0, self.num_words - 1)]
+        # indices are unique (sentinel rows OR in 0 and are dropped), so
+        # gather-then-set is a race-free OR
+        self._words = self._words.at[band, word].set(
+            cur | jnp.asarray(mask_u), mode="drop"
         )
-        self._bits = self._bits.at[
-            jnp.asarray(band.ravel()), jnp.asarray(pos.ravel())
-        ].set(True)
 
     def query(self, minhash) -> bool:
         return bool(self.query_batch([minhash])[0])
@@ -376,7 +410,9 @@ class TpuMinHashLSHBloom:
         band = np.broadcast_to(
             np.arange(self.b, dtype=np.int64)[None, :, None], pos.shape
         )
-        hits = self._bits[jnp.asarray(band), jnp.asarray(pos)]  # [N, b, k]
+        mask = (np.uint32(1) << (pos & 31).astype(np.uint32))
+        w = self._words[jnp.asarray(band), jnp.asarray(pos >> 5)]  # [N, b, k]
+        hits = (w & jnp.asarray(mask)) != 0
         return np.asarray(hits.all(axis=2).any(axis=1))
 
     # ------------------------------------------------------------ persistence
@@ -389,18 +425,32 @@ class TpuMinHashLSHBloom:
 
     def save(self, path: str) -> None:
         """Persist bitmaps + params to ``.npz`` (the device analogue of the
-        host class's file-backed band filters, lsh_bloom.py:74-83)."""
+        host class's file-backed band filters, lsh_bloom.py:74-83). Bitmaps
+        are stored word-packed (``bits_packed`` uint32) — 8x smaller files
+        than the bool format, which the loader still accepts."""
         from datasketch_tpu.persist import atomic_savez, npz_path
 
         atomic_savez(
             npz_path(path),
-            bits=np.asarray(self._bits),
+            bits_packed=np.asarray(self._words),
             meta=np.array(
                 [self.h, self.b, self.r, self.num_bits, self.num_hashes],
                 dtype=np.int64,
             ),
             probe_scheme=np.int64(self._PROBE_SCHEME),
             threshold=np.float64(self.threshold),
+        )
+
+    @staticmethod
+    def _pack_bool(bits: np.ndarray, num_words: int) -> np.ndarray:
+        """bool[b, num_bits] -> uint32[b, num_words] (LSB-first, matching
+        the mask convention ``1 << (pos & 31)``)."""
+        b, num_bits = bits.shape
+        padded = np.zeros((b, num_words * 32), dtype=bool)
+        padded[:, :num_bits] = bits
+        cube = padded.reshape(b, num_words, 32).astype(np.uint32)
+        return (cube << np.arange(32, dtype=np.uint32)).sum(
+            axis=2, dtype=np.uint32
         )
 
     @classmethod
@@ -427,6 +477,11 @@ class TpuMinHashLSHBloom:
         obj.b, obj.r = b, r
         obj.num_bits = num_bits
         obj.num_hashes = num_hashes
-        obj._bits = jnp.asarray(data["bits"])
+        obj.num_words = -(-num_bits // 32)
+        if "bits_packed" in data:
+            words = data["bits_packed"]
+        else:  # legacy bool bitmap checkpoints
+            words = cls._pack_bool(data["bits"], obj.num_words)
+        obj._words = jnp.asarray(words)
         obj.hashranges = [(i * r, (i + 1) * r) for i in range(b)]
         return obj

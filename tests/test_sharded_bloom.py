@@ -51,11 +51,11 @@ def test_sharded_bloom_exact_parity_with_single_chip():
     np.testing.assert_array_equal(
         sharded.query_batch(fresh), np.asarray(single.query_batch(fresh))
     )
-    # global set-bit population identical (bit-space partition is lossless)
+    # global packed bitmap identical (word-space partition is lossless)
     from datasketch_tpu.parallel.mesh import fetch_global
 
-    got = fetch_global(sharded._bits, sharded.mesh)[:, : sharded.num_bits]
-    np.testing.assert_array_equal(got, np.asarray(single._bits))
+    got = fetch_global(sharded._words, sharded.mesh)[:, : sharded.num_words]
+    np.testing.assert_array_equal(got, np.asarray(single._words))
 
 
 def test_sharded_bloom_incremental_and_odd_batch():
