@@ -26,6 +26,7 @@ from datasketch_tpu.models.tpu_lsh import TpuMinHashLSH
 from datasketch_tpu.models.tpu_ensemble import TpuMinHashLSHEnsemble
 from datasketch_tpu.models.tpu_forest import TpuMinHashLSHForest
 from datasketch_tpu.models.tpu_hnsw import TpuHNSW
+from datasketch_tpu.models.tpu_bbit import TpuBBitIndex
 from datasketch_tpu.models.lsh_bloom import TpuMinHashLSHBloom
 from datasketch_tpu.aio import AsyncMinHashLSH  # instantiation gates optional deps
 from datasketch_tpu.serving import FailoverIndex
@@ -62,6 +63,7 @@ __all__ = [
     "TpuMinHashLSHEnsemble",
     "TpuMinHashLSHForest",
     "TpuHNSW",
+    "TpuBBitIndex",
     "TpuMinHashLSHBloom",
     "AsyncMinHashLSH",
     "FailoverIndex",
