@@ -24,6 +24,7 @@ from datasketch_tpu.parallel.sharded_forest import ShardedMinHashLSHForest
 from datasketch_tpu.parallel.sharded_ensemble import ShardedMinHashLSHEnsemble
 from datasketch_tpu.parallel.sharded_hnsw import ShardedHNSW
 from datasketch_tpu.parallel.sharded_bloom import ShardedMinHashLSHBloom
+from datasketch_tpu.parallel.sharded_bbit import ShardedBBitIndex
 
 __all__ = [
     "make_mesh",
@@ -36,4 +37,5 @@ __all__ = [
     "ShardedMinHashLSHEnsemble",
     "ShardedHNSW",
     "ShardedMinHashLSHBloom",
+    "ShardedBBitIndex",
 ]
