@@ -196,6 +196,42 @@ def bench_lsh_scale(n_docs: int = 131072, n_queries: int = 800, k: int = 10):
     }
 
 
+def bench_bbit_scan(n_docs: int, n_queries: int = 256, k: int = 10):
+    """b-bit compressed serving row: exact-scan top-k over the packed
+    corpus (TpuBBitIndex, b=1 — 32x less HBM per doc than full
+    signatures; the scan is HBM-bound on TPU, so the packing is also
+    the q/s lever at scale). Planted-duplicate protocol as the scale
+    row."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from benchmarks.scale_benchmark import synth_signatures
+    from datasketch_tpu import TpuBBitIndex
+
+    sigs, src, dst = synth_signatures(n_docs, NUM_PERM)
+    idx = TpuBBitIndex(b=1, num_perm=NUM_PERM)
+    idx.insert_batch(list(range(n_docs)), sigs)
+    queries = sigs[dst[-n_queries:]]
+    expect = src[-n_queries:]
+    idx.query_batch(queries, k)  # warm the serving-shape compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        rows = idx.query_batch(queries, k)
+        best = min(best, time.perf_counter() - t0)
+    found = sum(1 for want, row in zip(expect, rows) if want in row)
+    return {
+        "queries_per_sec": round(n_queries / best, 1),
+        "recall_at_10": round(found / n_queries, 3),
+        "b": 1,
+        "corpus_bytes_per_doc": idx.width * 4,
+        "compression_x": round(NUM_PERM * 4 / (idx.width * 4), 1),
+        "config": "%d synthetic docs (planted dups), %d-query batches, "
+        "k=%d, exact packed scan" % (n_docs, n_queries, k),
+    }
+
+
 # uint32 VPU ops per (token, perm) slot in the permutation chain, counted
 # from ops/u64.py: umul32_wide ~21 + mul64 tail 4 + add64 4 + mersenne
 # fold ~16 + mask/min ~2.
@@ -327,6 +363,10 @@ def main() -> None:
     except Exception as exc:
         util = {"error": repr(exc)}
     try:
+        bbit = bench_bbit_scan(131072 if device_kind == "tpu" else 16384)
+    except Exception as exc:
+        bbit = {"error": repr(exc)}
+    try:
         # device-hash path: pre-tokenized int ids, hashed on-chip — the
         # end-to-end rate with ZERO host per-token work
         rng = np.random.RandomState(7)
@@ -363,6 +403,7 @@ def main() -> None:
                 "signature_kernel": util,
                 "lsh_topk": lsh,
                 "lsh_topk_scale": lsh_scale,
+                "bbit_scan": bbit,
             }
         )
     )

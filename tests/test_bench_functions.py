@@ -35,5 +35,10 @@ def test_bench_helpers_smoke():
     assert lsh["queries_per_sec"] > 0
     assert 0.0 <= lsh["recall_at_10"] <= 1.0
 
+    bbit = bench.bench_bbit_scan(n_docs=2048, n_queries=32, k=5)
+    assert bbit["queries_per_sec"] > 0
+    assert 0.0 <= bbit["recall_at_10"] <= 1.0
+    assert bbit["compression_x"] == 32.0
+
     corpus = bench.make_corpus(64)
     assert bench.bench_ours(corpus) > 0
