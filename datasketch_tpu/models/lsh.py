@@ -462,12 +462,22 @@ class MinHashLSH:
         return MinHashLSHDeletionSession(self, buffer_size=buffer_size)
 
 
-class MinHashLSHInsertionSession:
-    """Buffered-insert context manager (lsh.py:592-631)."""
+class _BufferedSession:
+    """Shared machinery for the buffered bulk-mutation context managers.
+
+    Covers the session contract of the reference (lsh.py:592-668): entering
+    widens the index's storage buffers to ``buffer_size``, every mutation goes
+    through the buffered path, and leaving the ``with`` block (or calling
+    ``close()``) drains the keys table plus every band table.
+    """
 
     def __init__(self, lsh: MinHashLSH, buffer_size: int):
         self.lsh = lsh
         self.lsh.buffer_size = buffer_size
+
+    def close(self):
+        for storage in (self.lsh.keys, *self.lsh.hashtables):
+            storage.empty_buffer()
 
     def __enter__(self):
         return self
@@ -476,10 +486,9 @@ class MinHashLSHInsertionSession:
         self.close()
         return False
 
-    def close(self):
-        self.lsh.keys.empty_buffer()
-        for hashtable in self.lsh.hashtables:
-            hashtable.empty_buffer()
+
+class MinHashLSHInsertionSession(_BufferedSession):
+    """Buffered-insert session (reference lsh.py:592-631)."""
 
     def insert(self, key, minhash, check_duplication=True):
         self.lsh._insert(
@@ -487,24 +496,8 @@ class MinHashLSHInsertionSession:
         )
 
 
-class MinHashLSHDeletionSession:
-    """Buffered-delete context manager (lsh.py:634-668)."""
-
-    def __init__(self, lsh: MinHashLSH, buffer_size: int):
-        self.lsh = lsh
-        self.lsh.buffer_size = buffer_size
-
-    def __enter__(self):
-        return self
-
-    def __exit__(self, exc_type, exc_val, exc_tb):
-        self.close()
-        return False
-
-    def close(self):
-        self.lsh.keys.empty_buffer()
-        for hashtable in self.lsh.hashtables:
-            hashtable.empty_buffer()
+class MinHashLSHDeletionSession(_BufferedSession):
+    """Buffered-delete session (reference lsh.py:634-668)."""
 
     def remove(self, key):
         self.lsh._remove(key, buffer=True)
