@@ -99,6 +99,21 @@ def main() -> None:
         )
         rows.append((f"query_fused [Q={q}, N={n}, b=16]", "Mosaic+XLA", dt))
 
+    # b-bit packed scan (TpuBBitIndex serving)
+    from datasketch_tpu.ops import bbit_ops
+
+    for q, n in [(256, 131072)]:
+        sigs = rng.randint(0, 1 << 32, size=(n, 128), dtype=np.uint64).astype(
+            np.uint32
+        )
+        db_p = bbit_ops.pack_bbit_host(sigs, 1)
+        qp = db_p[:q]
+        dt = _timed(
+            bbit_ops.bbit_topk_scan, db_p, qp, 10, 1, 128,
+            n_valid=np.int32(n),
+        )
+        rows.append((f"bbit scan [Q={q}, N={n}, b=1]", "Mosaic+XLA", dt))
+
     print(f"\nplatform: {platform}\n")
     print("| serving shape | path | first-dispatch (compile) s |")
     print("|---|---|---|")

@@ -177,6 +177,18 @@ def bbit_topk_scan(db_packed, q_packed, k: int, b: int, num_perm: int,
     s = slot_size(b)
     spw = 32 // s
     pad_slots = w * spw - num_perm
+    # Mosaic scorer for the [Q, tile, W] XOR+fold+popcount (the XLA
+    # fusion of this shape family compiles pathologically through the
+    # remote-TPU path — same story as lsh_ops.topk_scan); query rows are
+    # padded to the kernel block and sliced after.
+    from datasketch_tpu.ops import lsh_ops
+    from datasketch_tpu.ops import pallas_kernels as pk
+
+    use_pallas = lsh_ops._score_kernel_ok(128) and tile % pk.SCORE_BT == 0
+    q_pad = ((-q) % pk.SCORE_BQ) if use_pallas else 0
+    if q_pad:
+        q_packed = jnp.pad(q_packed, ((0, q_pad), (0, 0)))
+    q_run = q + q_pad
     nv = jnp.int32(n_pad) if n_valid is None else n_valid.astype(jnp.int32)
     if alive is not None and alive.shape[0] != n_tiles * tile:
         alive = jnp.pad(alive, (0, n_tiles * tile - alive.shape[0]))
@@ -191,15 +203,21 @@ def bbit_topk_scan(db_packed, q_packed, k: int, b: int, num_perm: int,
             db_tile, t_idx = inp
             alive_tile = None
         ids = base + t_idx * tile
-        x = q_packed[:, None, :] ^ db_tile[None, :, :]  # [Q, tile, W]
-        cnt = _equal_slot_count(x, s).sum(axis=2) - jnp.int32(pad_slots)
+        if use_pallas:
+            cnt = pk.bbit_scores_pallas(
+                q_packed, db_tile, s,
+                interpret=lsh_ops.SCORE_KERNEL_INTERPRET,
+            ) - jnp.int32(pad_slots)
+        else:
+            x = q_packed[:, None, :] ^ db_tile[None, :, :]  # [Q, tile, W]
+            cnt = _equal_slot_count(x, s).sum(axis=2) - jnp.int32(pad_slots)
         valid = ids < nv
         if alive_tile is not None:
             valid = valid & alive_tile
         cnt = jnp.where(valid[None, :], cnt, -1)
         sc = jnp.concatenate([c_sc, cnt], axis=1)
         idc = jnp.concatenate(
-            [c_ids, jnp.broadcast_to(ids[None, :], (q, tile))], axis=1
+            [c_ids, jnp.broadcast_to(ids[None, :], (q_run, tile))], axis=1
         )
         top_sc, pos = jax.lax.top_k(sc, k_eff)
         top_ids = jnp.take_along_axis(idc, pos, axis=1)
@@ -211,8 +229,8 @@ def bbit_topk_scan(db_packed, q_packed, k: int, b: int, num_perm: int,
         (db_packed[:1, :1] & jnp.uint32(0)) | (q_packed[:1, :1] & jnp.uint32(0))
     ).astype(jnp.int32)
     init = (
-        jnp.broadcast_to(zero, (q, k_eff)) - 1,
-        jnp.broadcast_to(zero, (q, k_eff)) - 1,
+        jnp.broadcast_to(zero, (q_run, k_eff)) - 1,
+        jnp.broadcast_to(zero, (q_run, k_eff)) - 1,
     )
     xs = (
         db_packed.reshape(n_tiles, tile, w),
@@ -221,6 +239,8 @@ def bbit_topk_scan(db_packed, q_packed, k: int, b: int, num_perm: int,
     if alive is not None:
         xs = xs + (alive.reshape(n_tiles, tile),)
     (sc, ids), _ = jax.lax.scan(body, init, xs)
+    if q_pad:
+        sc, ids = sc[:q], ids[:q]
     ids = jnp.where(sc >= 0, ids, -1)
     if k_eff < k:
         ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)

@@ -31,6 +31,7 @@ __all__ = [
     "score_matrix_pallas",
     "rerank_scores_pallas",
     "cws_many_pallas",
+    "bbit_scores_pallas",
     "SCORE_BQ",
     "SCORE_BT",
     "CWS_BB",
@@ -363,3 +364,68 @@ def rerank_scores_pallas(q_sigs, cand_sigs, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((q, c), jnp.float32),
         interpret=interpret,
     )(q_sigs, cand_sigs)
+
+
+# ----------------------------------------------------------- b-bit scan path
+
+
+def _bbit_kernel(s: int, q_ref, db_ref, out_ref):
+    """Equal-slot counts for one (query block, packed db tile) pair.
+
+    q_ref: uint32[SCORE_BQ, W]; db_ref: uint32[SCORE_BT, W];
+    out_ref: int32[SCORE_BQ, SCORE_BT] = number of equal s-bit slots per
+    row pair, INCLUDING the always-equal padding slots past num_perm
+    (callers subtract those). XOR + SWAR OR-fold + popcount, bit-for-bit
+    the computation of :func:`datasketch_tpu.ops.bbit_ops._equal_slot_count`
+    (reference estimator input: ``/root/reference/datasketch/
+    b_bit_minhash.py:53-72``).
+    """
+    x = q_ref[:][:, None, :] ^ db_ref[:][None, :, :]  # [BQ, BT, W] u32
+    # OR-fold each slot's bits onto its LSB; a neighbouring slot's bits
+    # (distance >= s) can never reach this slot's LSB
+    sh = 1
+    while sh < s:
+        x = x | (x >> sh)
+        sh *= 2
+    mask = 0
+    for j in range(0, 32, s):
+        mask |= 1 << j
+    eq = (~x) & jnp.uint32(mask)
+    cnt = jax.lax.population_count(eq).astype(jnp.int32)
+    out_ref[:] = jnp.sum(cnt, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("s", "interpret"))
+def bbit_scores_pallas(q_packed, db_packed, s: int, interpret: bool = False):
+    """All-pairs packed equal-slot counts: [Q, W] x [T, W] -> i32[Q, T].
+
+    Mosaic form of the b-bit scan-body score (the [Q, T, W] XOR+fold+
+    popcount is the same shape-pathological elementwise+reduce family as
+    the full-signature compare+mean). ``s`` is the storage slot size in
+    bits (:func:`datasketch_tpu.ops.bbit_ops.slot_size`). Requires
+    Q % SCORE_BQ == 0 and T % SCORE_BT == 0 (W is the lane axis and
+    needs no tiling — it is at most 128 at num_perm=256, s=16).
+    """
+    q, w = q_packed.shape
+    t = db_packed.shape[0]
+    if q % SCORE_BQ or t % SCORE_BT:
+        raise ValueError(
+            "bbit_scores_pallas shapes (%d, %d) must tile by (%d, %d)"
+            % (q, t, SCORE_BQ, SCORE_BT)
+        )
+    return pl.pallas_call(
+        functools.partial(_bbit_kernel, s),
+        grid=(q // SCORE_BQ, t // SCORE_BT),
+        in_specs=[
+            pl.BlockSpec((SCORE_BQ, w), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SCORE_BT, w), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (SCORE_BQ, SCORE_BT), lambda i, j: (i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((q, t), jnp.int32),
+        interpret=interpret,
+    )(q_packed, db_packed)

@@ -47,6 +47,11 @@ DEVICE_ONLY_PATHS = [
         "(CWS_KERNEL_INTERPRET knob) in test_pallas_kernels.py",
     ),
     (
+        "ops/pallas_kernels.py bbit_scores_pallas (Mosaic packed scan)",
+        "interpret-mode parity vs bbit_ops.match_counts at every slot "
+        "size + forced bbit_topk_scan branch in test_pallas_kernels.py",
+    ),
+    (
         "ops/lsh_ops.py topk_scan/rerank_jaccard Pallas branch",
         "forced via SCORE_KERNEL_INTERPRET in test_pallas_kernels.py; "
         "platform gate keeps it off elsewhere in CPU CI",

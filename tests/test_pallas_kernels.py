@@ -172,3 +172,70 @@ def test_score_kernel_shape_validation():
             np.zeros((8, 100, 128), np.uint32),
             interpret=True,
         )
+
+
+@pytest.mark.parametrize("b", [1, 2, 4, 8, 16, 32])
+def test_bbit_scores_kernel_parity(b):
+    """Mosaic packed-scan scorer == the XLA SWAR computation, every slot
+    size on the reference ladder (b_bit_minhash.py:147-160)."""
+    from datasketch_tpu.ops import bbit_ops
+
+    rng = np.random.RandomState(31 + b)
+    num_perm = 128
+    sigs_q = rng.randint(0, 1 << 32, size=(8, num_perm), dtype=np.uint64)
+    sigs_db = rng.randint(0, 1 << 32, size=(128, num_perm), dtype=np.uint64)
+    # low-cardinality low bits so slots actually collide
+    sigs_q &= 0x3
+    sigs_db &= 0x3
+    qp = bbit_ops.pack_bbit_host(sigs_q.astype(np.uint32), b)
+    dbp = bbit_ops.pack_bbit_host(sigs_db.astype(np.uint32), b)
+    got = np.asarray(
+        pallas_kernels.bbit_scores_pallas(
+            qp, dbp, bbit_ops.slot_size(b), interpret=True
+        )
+    )
+    want = np.asarray(bbit_ops.match_counts(qp, dbp, b, num_perm))
+    s = bbit_ops.slot_size(b)
+    pad_slots = qp.shape[1] * (32 // s) - num_perm
+    np.testing.assert_array_equal(got - pad_slots, want)
+
+
+def test_bbit_topk_scan_pallas_branch_interpret():
+    """Integrated coverage of bbit_topk_scan's Mosaic-scorer branch
+    (platform-gated off in CPU CI; the knob forces interpret mode).
+    Query count is deliberately not a block multiple (pad+slice path)."""
+    import jax.numpy as jnp
+
+    from datasketch_tpu.ops import bbit_ops, lsh_ops
+
+    rng = np.random.RandomState(33)
+    num_perm, b = 128, 2
+    sigs = (rng.randint(0, 1 << 32, size=(300, num_perm), dtype=np.uint64)
+            & 0x7).astype(np.uint32)
+    packed = bbit_ops.pack_bbit_host(sigs, b)
+    db = np.zeros((384, packed.shape[1]), np.uint32)
+    db[:300] = packed
+    qp = packed[:11]
+    alive = np.ones(384, bool)
+    alive[5] = False
+    args = dict(k=7, b=b, num_perm=num_perm, tile=128)
+    want = [
+        np.asarray(x)
+        for x in bbit_ops.bbit_topk_scan(
+            jnp.asarray(db), jnp.asarray(qp),
+            n_valid=jnp.int32(300), alive=jnp.asarray(alive), **args
+        )
+    ]
+    lsh_ops.SCORE_KERNEL_INTERPRET = True
+    try:
+        got = [
+            np.asarray(x)
+            for x in bbit_ops.bbit_topk_scan(
+                jnp.asarray(db), jnp.asarray(qp),
+                n_valid=jnp.int32(300), alive=jnp.asarray(alive), **args
+            )
+        ]
+    finally:
+        lsh_ops.SCORE_KERNEL_INTERPRET = False
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_array_equal(got[1], want[1])
