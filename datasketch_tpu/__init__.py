@@ -8,7 +8,12 @@ device, hot loops are JAX/XLA (with Pallas kernels on TPU), and scale-out is
 Public API parity target: ``/root/reference/datasketch/__init__.py:10-44``.
 """
 
-from datasketch_tpu.hashfunc import device_hash, sha1_hash32, sha1_hash64
+from datasketch_tpu.hashfunc import (
+    device_hash,
+    sha1_hash32,
+    sha1_hash64,
+    xxhash_hash32,
+)
 from datasketch_tpu.models.minhash import MinHash
 from datasketch_tpu.models.lean_minhash import LeanMinHash
 from datasketch_tpu.models.weighted_minhash import (
@@ -70,6 +75,7 @@ __all__ = [
     "device_hash",
     "sha1_hash32",
     "sha1_hash64",
+    "xxhash_hash32",
     "ordered_storage",
     "unordered_storage",
     "DictListStorage",

@@ -19,6 +19,7 @@ __all__ = [
     "batch_sha1_hash32",
     "batch_sha1_hash64",
     "device_hash",
+    "xxhash_hash32",
 ]
 
 
@@ -44,6 +45,26 @@ def device_hash(token_id) -> int:
     from datasketch_tpu.ops.hashing import mix32_np
 
     return int(mix32_np(int(token_id) & 0xFFFFFFFF))
+
+
+def xxhash_hash32(data: bytes) -> int:
+    """A 32-bit xxHash (XXH32, seed 0) token hash — the fast NON-cryptographic
+    alternative the reference docs recommend plugging in for speed
+    (``/root/reference/docs/minhash.rst:79-121`` suggests mmh3/xxhash/farmhash;
+    ``/root/reference/datasketch/minhash.py:118`` is the pluggable hook).
+
+    Pass ``hashfunc=xxhash_hash32`` (or the string ``'xxh32'``) to
+    :class:`~datasketch_tpu.models.minhash.MinHash`: every bulk path then
+    routes tokens through the native C++ XXH32 batch hasher
+    (:mod:`datasketch_tpu.native`), which is several times faster than the
+    SHA-NI SHA1 default on short tokens. Output matches the canonical XXH32
+    spec (same values as the ``xxhash`` PyPI package's ``xxh32_intdigest``
+    at seed 0), so signatures interoperate with a reference install that
+    plugs in that library. NOT value-compatible with the SHA1 default.
+    """
+    from datasketch_tpu.native.hashlib_native import xxh32_one
+
+    return xxh32_one(data, 0)
 
 
 def sha1_hash32(data: bytes) -> int:

@@ -25,7 +25,7 @@ from typing import Callable, Iterable, Optional
 
 import numpy as np
 
-from datasketch_tpu.hashfunc import device_hash, sha1_hash32
+from datasketch_tpu.hashfunc import device_hash, sha1_hash32, xxhash_hash32
 
 __all__ = ["MinHash"]
 
@@ -147,6 +147,9 @@ class MinHash:
             # pre-tokenized integer corpora: hash on-chip (fmix32), fused
             # into the signature kernel — see datasketch_tpu.hashfunc
             hashfunc = device_hash
+        elif hashfunc == "xxh32":
+            # fast non-cryptographic token hash (native XXH32 batch path)
+            hashfunc = xxhash_hash32
         if not callable(hashfunc):
             raise ValueError("The hashfunc must be a callable.")
         self.hashfunc = hashfunc
@@ -258,6 +261,10 @@ class MinHash:
             from datasketch_tpu.native import corpus
 
             return corpus.hash_tokens(tokens, corpus.ALGO_SHA1_32)
+        if self.hashfunc is xxhash_hash32 and tokens:
+            from datasketch_tpu.native import corpus
+
+            return corpus.hash_tokens(tokens, corpus.ALGO_XXH32)
         if self.hashfunc is device_hash and tokens:
             from datasketch_tpu.ops.hashing import mix32_np
 
@@ -416,7 +423,10 @@ class MinHash:
 
         from datasketch_tpu.ops import minhash_ops
 
-        use_flat = proto.hashfunc is sha1_hash32 and scheme == "permutation"
+        use_flat = (
+            proto.hashfunc in (sha1_hash32, xxhash_hash32)
+            and scheme == "permutation"
+        )
         # Pre-tokenized integer corpora: ship the raw ids, hash ON-CHIP
         # (fmix32 fused into the signature kernel) — the host does zero
         # per-token work. ~10x headroom over the SHA1 path, whose
@@ -452,7 +462,9 @@ class MinHash:
                     ]
                     flat = corpus.hash_tokens(
                         list(itertools.chain.from_iterable(chunk)),
-                        corpus.ALGO_SHA1_32,
+                        corpus.ALGO_SHA1_32
+                        if proto.hashfunc is sha1_hash32
+                        else corpus.ALGO_XXH32,
                     )
                 dev = minhash_ops.compute_signatures_ragged(
                     flat, lengths, proto.seed, proto.num_perm,
@@ -493,6 +505,17 @@ class MinHash:
         proto = cls(**minhash_kwargs)
         custom_perms = proto._custom_permutations()
         _check_scheme(scheme, custom_perms)
+        if proto.hashfunc is sha1_hash32:
+            shingle_algo = 0  # corpus.ALGO_SHA1_32
+        elif proto.hashfunc is xxhash_hash32:
+            shingle_algo = 1  # corpus.ALGO_XXH32
+        else:
+            raise ValueError(
+                "bulk_from_text hashes shingles natively and supports only "
+                "the sha1_hash32 (default) and xxhash_hash32/'xxh32' hash "
+                "functions; shingle+hash with your callable and use "
+                "bulk_signatures instead"
+            )
         texts = texts if isinstance(texts, list) else list(texts)
         texts = [t.encode("utf-8") if isinstance(t, str) else t for t in texts]
         if not texts:
@@ -510,7 +533,7 @@ class MinHash:
             max_sh = max((max(0, len(t) - k + 1) for t in chunk), default=1)
             t_bucket = _pow2_at_least(max_sh)
             padded, lengths = corpus.hash_shingles_padded(
-                chunk, k, corpus.ALGO_SHA1_32, pad_multiple=t_bucket
+                chunk, k, shingle_algo, pad_multiple=t_bucket
             )
             if scheme != "permutation":
                 dev = _alt_scheme_signatures(

@@ -146,6 +146,14 @@ def _py_xxh32(data: bytes, seed: int) -> int:
     return h
 
 
+def xxh32_one(data, seed: int = 0) -> int:
+    """XXH32 of one token (the scalar form behind
+    :func:`datasketch_tpu.hashfunc.xxhash_hash32`). Pure Python is faster
+    than a batch-of-1 native call (no packing/ctypes overhead) and is
+    bit-identical to the C implementation."""
+    return _py_xxh32(bytes(data), seed)
+
+
 def batch_sha1_hash32(tokens) -> np.ndarray:
     lib = _load()
     if lib is None:

@@ -58,6 +58,58 @@ def test_xxhash32_known_vector():
     assert native_batch_xxhash32([b"hello world"])[0] == 0xCEBB6622
 
 
+def test_xxhash_hash32_scalar_matches_spec_and_batch():
+    from datasketch_tpu.hashfunc import xxhash_hash32
+    from datasketch_tpu.native.hashlib_native import batch_xxhash32
+
+    # canonical XXH32 vectors (seed 0)
+    assert xxhash_hash32(b"") == 0x02CC5D05
+    assert xxhash_hash32(b"hello world") == 0xCEBB6622
+    got = batch_xxhash32(TOKENS, 0)
+    np.testing.assert_array_equal(
+        got, np.array([xxhash_hash32(t) for t in TOKENS], dtype=np.uint32)
+    )
+
+
+def test_minhash_xxh32_paths_agree():
+    """'xxh32' string alias; update / update_batch / bulk_signatures /
+    bulk_from_text all produce identical signatures for equal input."""
+    from datasketch_tpu import MinHash
+    from datasketch_tpu.hashfunc import xxhash_hash32
+
+    rng = np.random.RandomState(3)
+    docs = [
+        [bytes(rng.randint(0, 256, 10, dtype=np.uint8)) for _ in range(30)]
+        for _ in range(6)
+    ]
+    sigs = MinHash.bulk_signatures(docs, num_perm=64, hashfunc="xxh32")
+    m = MinHash(num_perm=64, hashfunc=xxhash_hash32)
+    assert m.hashfunc is xxhash_hash32
+    for t in docs[0]:
+        m.update(t)
+    got = np.asarray(m.hashvalues, dtype=np.uint64).astype(np.uint32)
+    np.testing.assert_array_equal(got, sigs[0])
+    m2 = MinHash(num_perm=64, hashfunc="xxh32")
+    m2.update_batch(docs[1])
+    got2 = np.asarray(m2.hashvalues, dtype=np.uint64).astype(np.uint32)
+    np.testing.assert_array_equal(got2, sigs[1])
+    texts = [bytes(rng.randint(97, 123, 60, dtype=np.uint8)) for _ in range(4)]
+    ft = MinHash.bulk_from_text(texts, k=9, num_perm=64, hashfunc="xxh32")
+    manual = MinHash.bulk_signatures(
+        [[t[i : i + 9] for i in range(len(t) - 8)] for t in texts],
+        num_perm=64,
+        hashfunc=xxhash_hash32,
+    )
+    np.testing.assert_array_equal(ft, manual)
+
+
+def test_bulk_from_text_rejects_unsupported_hashfunc():
+    from datasketch_tpu import MinHash
+
+    with pytest.raises(ValueError, match="bulk_from_text"):
+        MinHash.bulk_from_text([b"abcdefghijkl"], k=9, hashfunc=lambda b: 0)
+
+
 def test_device_mix32_is_bijective_sample():
     import jax.numpy as jnp
 
