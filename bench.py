@@ -45,12 +45,14 @@ def make_corpus(n_docs: int, seed: int = 42):
     ]
 
 
-def bench_ours(corpus) -> float:
+def bench_ours(corpus, algo: Optional[int] = None) -> float:
     import jax
 
     from datasketch_tpu.native import corpus as native_corpus
     from datasketch_tpu.ops import minhash_ops
 
+    if algo is None:
+        algo = native_corpus.ALGO_SHA1_32
     chunk = min(8192, len(corpus))  # 8192 x 256 tokens x 4B = 8MB H2D fast-path cap
 
     def run(docs):
@@ -60,7 +62,7 @@ def bench_ours(corpus) -> float:
         for i in range(0, len(docs), chunk):
             padded, lengths = native_corpus.hash_corpus_padded(
                 docs[i : i + chunk],
-                native_corpus.ALGO_SHA1_32,
+                algo,
                 pad_multiple=256,
                 mode=native_corpus.MODE_INLINE,
             )
@@ -367,8 +369,23 @@ def main() -> None:
     except Exception as exc:
         bbit = {"error": repr(exc)}
     try:
-        # device-hash path: pre-tokenized int ids, hashed on-chip — the
-        # end-to-end rate with ZERO host per-token work
+        # xxh32 fast-hash path: same end-to-end pipeline as the headline,
+        # with the native XXH32 batch hasher instead of SHA-NI SHA1 — the
+        # reference's "plug in xxhash for speed" recipe, measured
+        from datasketch_tpu.native import corpus as native_corpus
+
+        xxh32_rate = round(
+            bench_ours(corpus, algo=native_corpus.ALGO_XXH32), 1
+        )
+    except Exception as exc:
+        xxh32_rate = repr(exc)
+    try:
+        # device-hash path: pre-tokenized int ids, hashed on-chip, result
+        # kept DEVICE-RESIDENT (out='device' — the serving form; like the
+        # headline row, no D2H of the signature matrix) — the end-to-end
+        # rate with ZERO host per-token work
+        import jax
+
         rng = np.random.RandomState(7)
         tok_docs = [
             rng.randint(0, 1 << 31, TOKENS_PER_DOC).astype(np.uint32)
@@ -376,15 +393,17 @@ def main() -> None:
         ]
         from datasketch_tpu import MinHash
 
-        MinHash.bulk_signatures(
-            tok_docs[:256], num_perm=NUM_PERM, hashfunc="device"
-        )  # warm
+        jax.block_until_ready(MinHash.bulk_signatures(
+            tok_docs[:256], num_perm=NUM_PERM, hashfunc="device",
+            out="device",
+        ))  # warm
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            MinHash.bulk_signatures(
-                tok_docs, num_perm=NUM_PERM, hashfunc="device"
-            )
+            jax.block_until_ready(MinHash.bulk_signatures(
+                tok_docs, num_perm=NUM_PERM, hashfunc="device",
+                out="device",
+            ))
             best = min(best, time.perf_counter() - t0)
         device_hash_rate = round(len(tok_docs) / best, 1)
     except Exception as exc:
@@ -399,6 +418,7 @@ def main() -> None:
                 "baseline_ref": baseline_ref,
                 "device": device_kind,
                 "degraded": device_kind != "tpu",
+                "xxh32_sigs_per_sec": xxh32_rate,
                 "device_hash_sigs_per_sec": device_hash_rate,
                 "signature_kernel": util,
                 "lsh_topk": lsh,

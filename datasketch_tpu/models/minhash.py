@@ -27,6 +27,14 @@ import numpy as np
 
 from datasketch_tpu.hashfunc import device_hash, sha1_hash32, xxhash_hash32
 
+
+def _jnp():
+    """Lazy jax.numpy (import hygiene: importing this module must never
+    initialize a backend — tests/test_import_hygiene.py)."""
+    import jax.numpy as jnp
+
+    return jnp
+
 __all__ = ["MinHash"]
 
 _mersenne_prime = np.uint64((1 << 61) - 1)
@@ -395,30 +403,47 @@ class MinHash:
 
     @classmethod
     def bulk_signatures(cls, b: Iterable, scheme: str = "permutation",
-                        **minhash_kwargs) -> np.ndarray:
+                        out: str = "host", **minhash_kwargs) -> np.ndarray:
         """Signature MATRIX for a corpus: uint32[N, num_perm], no objects.
 
         The pipeline form of :meth:`bulk` — at serving scale the per-doc
         ``MinHash`` object construction dominates; the matrix feeds
         :class:`~datasketch_tpu.models.tpu_lsh.TpuMinHashLSH` (and every
         ``ops``-level API) directly.
+
+        Args:
+            out: ``"host"`` (default) returns ``np.ndarray``; ``"device"``
+                returns the matrix as a device array WITHOUT the
+                device->host fetch — feed it straight to
+                ``TpuMinHashLSH.index`` / the ops layer. Through the remote
+                tunnel the D2H of a large matrix dominates end-to-end time
+                (~20-50 MB/s), so serving pipelines that keep signatures on
+                device should always pass ``out="device"``.
         """
+        if out not in ("host", "device"):
+            raise ValueError("out must be 'host' or 'device'")
         proto = cls(**minhash_kwargs)
         docs = b if isinstance(b, list) else list(b)
         docs = [d if hasattr(d, "__len__") else list(d) for d in docs]
         if not docs:
-            return np.zeros((0, proto.num_perm), dtype=np.uint32)
+            empty = np.zeros((0, proto.num_perm), dtype=np.uint32)
+            return _jnp().asarray(empty) if out == "device" else empty
         if proto._device_mode == "disable":
             # honor the host-only mode via the object path
             objs = cls.bulk(docs, scheme=scheme, **minhash_kwargs)
-            return np.stack(
+            host = np.stack(
                 [np.asarray(m.hashvalues, dtype=np.uint64).astype(np.uint32)
                  for m in objs]
             )
+            return _jnp().asarray(host) if out == "device" else host
         custom_perms = proto._custom_permutations()
         _check_scheme(scheme, custom_perms)
         order = sorted(range(len(docs)), key=lambda i: len(docs[i]))
-        out = np.empty((len(docs), proto.num_perm), dtype=np.uint32)
+        result = (
+            np.empty((len(docs), proto.num_perm), dtype=np.uint32)
+            if out == "host"
+            else None
+        )
         import itertools
 
         from datasketch_tpu.ops import minhash_ops
@@ -481,12 +506,28 @@ class MinHash:
                         padded, lengths, proto.seed, proto.num_perm,
                         permutations=custom_perms,
                     )[:n_real]
-            _start_host_copy(dev)
+            if out == "host":
+                _start_host_copy(dev)
             in_flight.append((idx, dev))
+        if out == "device":
+            # Device finish: concat the (length-sorted) chunks and undo the
+            # sort with one gather — the signatures never leave the device.
+            jnp = _jnp()
+            cat = (
+                jnp.concatenate([d for _, d in in_flight], axis=0)
+                if len(in_flight) > 1
+                else in_flight[0][1]
+            )
+            flat_idx = np.concatenate(
+                [np.asarray(idx, dtype=np.int64) for idx, _ in in_flight]
+            )
+            inv = np.empty(len(docs), dtype=np.int32)
+            inv[flat_idx] = np.arange(len(docs), dtype=np.int32)
+            return jnp.take(cat, jnp.asarray(inv), axis=0)
         # Phase 2: collect in dispatch order (copies already in flight).
         for idx, dev in in_flight:
-            out[np.asarray(idx)] = np.asarray(dev)
-        return out
+            result[np.asarray(idx)] = np.asarray(dev)
+        return result
 
     @classmethod
     def bulk_from_text(cls, texts: Iterable, k: int = 9,

@@ -199,7 +199,7 @@ class TpuMinHashLSH:
 
         sigs = MinHash.bulk_signatures(
             token_docs, scheme=scheme, num_perm=self.h, seed=seed,
-            hashfunc="device",
+            hashfunc="device", out="device",
         )
         self.index(keys, sigs)
 

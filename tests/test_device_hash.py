@@ -99,6 +99,39 @@ def test_bulk_accepts_plain_int_lists():
     )
 
 
+def test_bulk_out_device_matches_host():
+    """out='device' returns a device-resident matrix bit-identical to the
+    host path, with chunk order correctly inverted (docs sorted by length
+    internally) — for sha1, xxh32, and device-hash front ends."""
+    import jax
+
+    rng = np.random.RandomState(5)
+    docs = [
+        rng.randint(0, 1 << 31, size=n).astype(np.uint32)
+        for n in rng.randint(1, 300, size=40)
+    ]
+    host = MinHash.bulk_signatures(docs, num_perm=64, hashfunc="device")
+    dev = MinHash.bulk_signatures(
+        docs, num_perm=64, hashfunc="device", out="device"
+    )
+    assert isinstance(dev, jax.Array)
+    np.testing.assert_array_equal(host, np.asarray(dev))
+    byte_docs = [[bytes([j, j + 1, i]) for j in range(5 + i)]
+                 for i in range(7)]
+    for hf in ("xxh32", None):
+        kwargs = {"hashfunc": hf} if hf else {}
+        h = MinHash.bulk_signatures(byte_docs, num_perm=32, **kwargs)
+        d = MinHash.bulk_signatures(
+            byte_docs, num_perm=32, out="device", **kwargs
+        )
+        np.testing.assert_array_equal(h, np.asarray(d))
+    with pytest.raises(ValueError, match="out must be"):
+        MinHash.bulk_signatures(byte_docs, num_perm=32, out="both")
+    assert MinHash.bulk_signatures(
+        [], num_perm=16, out="device"
+    ).shape == (0, 16)
+
+
 def test_empty_and_missing_docs():
     sigs = MinHash.bulk_signatures(
         [np.zeros(0, np.uint32), np.array([5], np.uint32)],
