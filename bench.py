@@ -261,7 +261,10 @@ def bench_kernel_utilization(device_kind: str):
     lengths = jnp.asarray(np.full(b, t, np.int32))
     out = minhash_ops.compute_signatures(hashes, lengths, 1, NUM_PERM)
     jax.block_until_ready(out)  # warm compile
-    iters = 10 if device_kind == "tpu" else 3
+    # enough iterations that the single final-sync tunnel RTT (~30ms) is
+    # noise next to accumulated kernel time — at 10 iters it was ~half
+    # the measured wall time, understating utilization ~2x
+    iters = 50 if device_kind == "tpu" else 3
     t0 = time.perf_counter()
     outs = [
         minhash_ops.compute_signatures(hashes, lengths, 1, NUM_PERM)

@@ -121,6 +121,25 @@ class ShardedMinHashLSH:
             self._alive[: old_alive.shape[0]] = old_alive
         self._alive_dev = None
 
+    def index_tokens(self, keys: Sequence[Hashable], token_docs,
+                     seed: int = 1, scheme: str = "permutation") -> None:
+        """Bulk-build straight from PRE-TOKENIZED integer documents.
+
+        Same contract as
+        :meth:`datasketch_tpu.models.tpu_lsh.TpuMinHashLSH.index_tokens`:
+        raw token ids are uploaded and hashed ON-CHIP (fmix32 fused into
+        the signature kernel); signatures stay device-resident end to end
+        (``out='device'``) before being re-sharded over the mesh. Query
+        with sketches built at the same seed and ``hashfunc='device'``.
+        """
+        from datasketch_tpu.models.minhash import MinHash
+
+        sigs = MinHash.bulk_signatures(
+            token_docs, scheme=scheme, num_perm=self.h, seed=seed,
+            hashfunc="device", out="device",
+        )
+        self.index(keys, sigs)
+
     def _build(self, sigs) -> None:
         mesh, axis = self.mesh, self.shard_axis
         n = sigs.shape[0]

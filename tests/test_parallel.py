@@ -86,6 +86,24 @@ def test_sharded_lsh_self_recall_and_parity(mesh):
         index.index(["k0"], [mhs[0]])  # duplicate key
 
 
+def test_sharded_lsh_index_tokens(mesh):
+    """Pre-tokenized device-hash build on the mesh: signatures stay
+    device-resident (out='device') and queries built with
+    hashfunc='device' at the same seed hit their own doc."""
+    rng = np.random.RandomState(9)
+    docs = [rng.randint(0, 1 << 31, 60).astype(np.uint32) for _ in range(24)]
+    index = ShardedMinHashLSH(mesh, threshold=0.5, num_perm=128,
+                              bucket_cap=32)
+    index.index_tokens(["t%d" % i for i in range(24)], docs)
+    queries = []
+    for d in docs[:3]:
+        m = MinHash(num_perm=128, hashfunc="device")
+        m.update_batch([int(x) for x in d])
+        queries.append(m)
+    for i, res in enumerate(index.query_batch(queries)):
+        assert "t%d" % i in res
+
+
 def test_sharded_lsh_incremental_reindex(mesh):
     rng = np.random.RandomState(5)
     num_perm = 128
