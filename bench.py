@@ -276,6 +276,7 @@ def bench_kernel_utilization(device_kind: str):
     result = {
         "achieved_uint32_gops": round(gops, 1),
         "ops_per_slot": _OPS_PER_SLOT,
+        "docs_per_sec_staged": round(b * iters / dt, 1),
         "config": "[%d, %d] tokens x %d perms, device-resident" % (b, t, NUM_PERM),
     }
     if device_kind == "tpu":
@@ -351,26 +352,9 @@ def main() -> None:
             "recorded reference CPU rate %.0f docs/s (reference not "
             "importable on this host)" % FALLBACK_REF_RATE
         )
-    try:
-        lsh = bench_lsh_topk()
-    except Exception as exc:  # the primary metric must still report
-        lsh = {"error": repr(exc)}
-    try:
-        # at-scale row: full size on the TPU; bounded on the CPU fallback
-        if device_kind == "tpu":
-            lsh_scale = bench_lsh_scale()
-        else:
-            lsh_scale = bench_lsh_scale(n_docs=16384, n_queries=128)
-    except Exception as exc:
-        lsh_scale = {"error": repr(exc)}
-    try:
-        util = bench_kernel_utilization(device_kind)
-    except Exception as exc:
-        util = {"error": repr(exc)}
-    try:
-        bbit = bench_bbit_scan(131072 if device_kind == "tpu" else 16384)
-    except Exception as exc:
-        bbit = {"error": repr(exc)}
+    # fast-hash rows run BEFORE the index benches: late-in-process
+    # device/host state from the big index builds degrades end-to-end
+    # sigs/s ~3-4x (measured 2026-08-17), contaminating these rows
     try:
         # xxh32 fast-hash path: same end-to-end pipeline as the headline,
         # with the native XXH32 batch hasher instead of SHA-NI SHA1 — the
@@ -411,6 +395,26 @@ def main() -> None:
         device_hash_rate = round(len(tok_docs) / best, 1)
     except Exception as exc:
         device_hash_rate = repr(exc)
+    try:
+        lsh = bench_lsh_topk()
+    except Exception as exc:  # the primary metric must still report
+        lsh = {"error": repr(exc)}
+    try:
+        # at-scale row: full size on the TPU; bounded on the CPU fallback
+        if device_kind == "tpu":
+            lsh_scale = bench_lsh_scale()
+        else:
+            lsh_scale = bench_lsh_scale(n_docs=16384, n_queries=128)
+    except Exception as exc:
+        lsh_scale = {"error": repr(exc)}
+    try:
+        util = bench_kernel_utilization(device_kind)
+    except Exception as exc:
+        util = {"error": repr(exc)}
+    try:
+        bbit = bench_bbit_scan(131072 if device_kind == "tpu" else 16384)
+    except Exception as exc:
+        bbit = {"error": repr(exc)}
     print(
         json.dumps(
             {
