@@ -253,7 +253,15 @@ class TpuMinHashLSH:
                 all_sigs = jnp.concatenate(
                     [all_sigs, jnp.asarray(filler)], axis=0
                 )
-        all_sigs = jnp.asarray(all_sigs)
+        if isinstance(all_sigs, np.ndarray):
+            # chunked upload: one jnp.asarray of a multi-hundred-MB host
+            # corpus rides the slow H2D path (~6-12 MB/s through the
+            # tunnel); device_upload streams 8MB chunks (~50 MB/s)
+            from datasketch_tpu.ops.transfer import device_upload
+
+            all_sigs = device_upload(all_sigs)
+        else:
+            all_sigs = jnp.asarray(all_sigs)
         self._n_real = n_real
         # device scalar cached: a fresh jnp.int32(...) per query is a tiny
         # H2D transfer whose latency is visible through the axon tunnel

@@ -152,6 +152,12 @@ class ShardedMinHashLSH:
         while n_pad < n:
             n_pad *= 2
         n_pad = -(-n_pad // self.n_shards) * self.n_shards
+        if isinstance(sigs, np.ndarray):
+            # chunked upload: a single-shot H2D of a multi-hundred-MB host
+            # corpus rides the slow path (~6-12 MB/s through the tunnel)
+            from datasketch_tpu.ops.transfer import device_upload
+
+            sigs = device_upload(np.ascontiguousarray(sigs, dtype=np.uint32))
         pad = n_pad - n
         if pad:
             # Pseudo-random filler spreads across buckets; padded ids are
