@@ -157,7 +157,11 @@ def bench_nsw_tpu(mhs, query_idx, k, num_perm, m=16, ef=100):
     graph = knn_graph.build_nsw_graph(
         pts, m=m, metric="minhash_jaccard", tile=256
     )
-    graph.adj0.block_until_ready()
+    # dependent fetch, not block_until_ready: the build's H2D uploads are
+    # speculated complete through the tunnel (see utils/profiling)
+    from datasketch_tpu.utils.profiling import device_sync
+
+    device_sync([graph.adj0])
     indexing = time.perf_counter() - t0
 
     queries = pts[query_idx]

@@ -98,7 +98,7 @@ def scheme_sweep(num_perm=128, n_docs=512, tokens_per_doc=200, n_trials=3,
     """Signature schemes head to head: kernel throughput + estimator
     error at equal num_perm (permutation = reference-compatible;
     oph / cminhash trade compatibility for device efficiency)."""
-    import jax
+    import jax.numpy as jnp
 
     from datasketch_tpu.ops import cminhash, minhash_ops, oph
 
@@ -130,13 +130,22 @@ def scheme_sweep(num_perm=128, n_docs=512, tokens_per_doc=200, n_trials=3,
 
     print(f"{'scheme':>12} {'kernel_ms':>10} {'docs_per_s':>11} "
           f"{'mean_abs_err':>12}")
+    # stage inputs on device once: this sweep reports KERNEL time, and a
+    # numpy input would re-upload every call — through the axon tunnel
+    # those H2D-carrying dispatches are speculated complete
+    # (block_until_ready lies; see utils/profiling.device_sync), so the
+    # loop would time dispatch, not work
+    from datasketch_tpu.utils.profiling import device_sync
+
+    dev_hashes, dev_lengths = jnp.asarray(hashes), jnp.asarray(lengths)
+    device_sync([dev_hashes, dev_lengths])
     for name, fn in kernels.items():
-        out = fn(hashes, lengths)
-        jax.block_until_ready(out)
+        out = fn(dev_hashes, dev_lengths)
+        device_sync([out])
         best = float("inf")
         for _ in range(n_trials):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(hashes, lengths))
+            device_sync([fn(dev_hashes, dev_lengths)])
             best = min(best, time.perf_counter() - t0)
         sigs = np.asarray(fn(pair_h, pair_l))
         est = (sigs[0::2] == sigs[1::2]).mean(axis=1)

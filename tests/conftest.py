@@ -57,7 +57,8 @@ DEVICE_ONLY_PATHS = [
         "platform gate keeps it off elsewhere in CPU CI",
     ),
     (
-        "axon tunnel behavior (8MB H2D fast path, ~30ms RTT, wedge modes)",
+        "axon tunnel behavior (~50MB/s H2D, speculative dispatch "
+        "completion, ~30ms RTT, wedge modes)",
         "NOT coverable off-TPU; utils/health.py probe logic tested with "
         "DATASKETCH_TPU_PROBE_PLATFORM=cpu",
     ),
