@@ -92,6 +92,23 @@ def _start_host_copy(dev_array) -> None:
         pass
 
 
+def _device_finish(in_flight, n_docs: int):
+    """Concat per-chunk device results (length-sorted order) and undo the
+    sort with one gather — the signatures never leave the device."""
+    jnp = _jnp()
+    cat = (
+        jnp.concatenate([d for _, d in in_flight], axis=0)
+        if len(in_flight) > 1
+        else in_flight[0][1]
+    )
+    flat_idx = np.concatenate(
+        [np.asarray(idx, dtype=np.int64) for idx, _ in in_flight]
+    )
+    inv = np.empty(n_docs, dtype=np.int32)
+    inv[flat_idx] = np.arange(n_docs, dtype=np.int32)
+    return jnp.take(cat, jnp.asarray(inv), axis=0)
+
+
 def _budget_chunks(sorted_lengths, budget: int = _TOKEN_BUDGET):
     """Cut a length-sorted corpus into (start, end) ranges whose padded
     [B_pow2, T_pow2] area stays within ``budget`` tokens."""
@@ -444,8 +461,6 @@ class MinHash:
             if out == "host"
             else None
         )
-        import itertools
-
         from datasketch_tpu.ops import minhash_ops
 
         use_flat = (
@@ -468,25 +483,45 @@ class MinHash:
             chunk = [docs[i] for i in idx]
             if use_flat or use_ids:
                 # flat layout + device-side padding: ships no padding bytes
-                lengths = np.fromiter(
-                    map(len, chunk), np.int32, count=len(chunk)
-                )
                 if use_ids:
-                    flat = (
-                        np.concatenate(
-                            [np.asarray(d).astype(np.uint32) for d in chunk]
-                        )
-                        if len(chunk)
-                        else np.zeros(0, dtype=np.uint32)
+                    lengths = np.fromiter(
+                        map(len, chunk), np.int32, count=len(chunk)
                     )
+                    arrays = [np.asarray(d) for d in chunk]
+                    if arrays and all(
+                        a.dtype in (np.uint8, np.uint16) for a in arrays
+                    ):
+                        # already narrow: ship as-is (device zero-extends)
+                        tgt = (
+                            np.uint8
+                            if all(a.dtype == np.uint8 for a in arrays)
+                            else np.uint16
+                        )
+                        flat = np.concatenate(
+                            [a.astype(tgt, copy=False) for a in arrays]
+                        )
+                    else:
+                        flat = (
+                            np.concatenate(
+                                [a.astype(np.uint32) for a in arrays]
+                            )
+                            if arrays
+                            else np.zeros(0, dtype=np.uint32)
+                        )
+                        # small-vocab wide-dtype ids: one cheap host pass
+                        # halves the (bandwidth-bound) upload
+                        if flat.size and int(flat.max()) < (1 << 16):
+                            flat = flat.astype(np.uint16)
                 else:
                     from datasketch_tpu.native import corpus
 
                     chunk = [
                         d if isinstance(d, list) else list(d) for d in chunk
                     ]
-                    flat = corpus.hash_tokens(
-                        list(itertools.chain.from_iterable(chunk)),
+                    # ONE native call hashes straight into the contiguous
+                    # buffer (no Python-level flatten of the token lists)
+                    flat, lengths = corpus.hash_corpus_ragged(
+                        chunk,
                         corpus.ALGO_SHA1_32
                         if proto.hashfunc is sha1_hash32
                         else corpus.ALGO_XXH32,
@@ -510,20 +545,7 @@ class MinHash:
                 _start_host_copy(dev)
             in_flight.append((idx, dev))
         if out == "device":
-            # Device finish: concat the (length-sorted) chunks and undo the
-            # sort with one gather — the signatures never leave the device.
-            jnp = _jnp()
-            cat = (
-                jnp.concatenate([d for _, d in in_flight], axis=0)
-                if len(in_flight) > 1
-                else in_flight[0][1]
-            )
-            flat_idx = np.concatenate(
-                [np.asarray(idx, dtype=np.int64) for idx, _ in in_flight]
-            )
-            inv = np.empty(len(docs), dtype=np.int32)
-            inv[flat_idx] = np.arange(len(docs), dtype=np.int32)
-            return jnp.take(cat, jnp.asarray(inv), axis=0)
+            return _device_finish(in_flight, len(docs))
         # Phase 2: collect in dispatch order (copies already in flight).
         for idx, dev in in_flight:
             result[np.asarray(idx)] = np.asarray(dev)
@@ -531,65 +553,114 @@ class MinHash:
 
     @classmethod
     def bulk_from_text(cls, texts: Iterable, k: int = 9,
-                       scheme: str = "permutation", **minhash_kwargs) -> np.ndarray:
+                       scheme: str = "permutation", out: str = "host",
+                       **minhash_kwargs) -> np.ndarray:
         """Signature matrix straight from raw byte strings via k-shingling.
 
-        The canonical dedup front end with ZERO Python tokenization: every
-        overlapping k-byte shingle is hashed in C directly out of the text
-        buffer (SHA-NI + content cache), then the device kernel takes over.
+        The canonical dedup front end with ZERO Python tokenization. Two
+        engines, picked by ``hashfunc``:
+
+        - sha1 (default) / ``'xxh32'``: every overlapping k-byte shingle
+          is hashed in C directly out of the text buffer (SHA-NI +
+          content cache), then the device kernel takes over. Reference-
+          interoperable values for sha1.
+        - ``'device'``: the RAW TEXT is uploaded (1 byte per character
+          instead of 4 bytes per shingle hash — ~4x less over the
+          bandwidth-bound host->device link) and the shingles are hashed
+          ON-CHIP (:mod:`datasketch_tpu.ops.text_ops`: polynomial window
+          roll + fmix32). Host does zero per-shingle work. NOT
+          value-compatible with the sha1 path (same estimator
+          statistics).
+
         Returns uint32[N, num_perm]; a document shorter than k yields the
-        empty-sketch row (all MAX_HASH).
+        empty-sketch row (all MAX_HASH). ``out='device'`` keeps the
+        matrix device-resident (see :meth:`bulk_signatures`).
 
         Equivalent (but far faster) to hashing
         ``[text[i:i+k] for i in range(len(text)-k+1)]`` per document.
         """
+        if out not in ("host", "device"):
+            raise ValueError("out must be 'host' or 'device'")
         proto = cls(**minhash_kwargs)
         custom_perms = proto._custom_permutations()
         _check_scheme(scheme, custom_perms)
+        use_device_shingles = proto.hashfunc is device_hash
         if proto.hashfunc is sha1_hash32:
             shingle_algo = 0  # corpus.ALGO_SHA1_32
         elif proto.hashfunc is xxhash_hash32:
             shingle_algo = 1  # corpus.ALGO_XXH32
-        else:
+        elif not use_device_shingles:
             raise ValueError(
                 "bulk_from_text hashes shingles natively and supports only "
-                "the sha1_hash32 (default) and xxhash_hash32/'xxh32' hash "
-                "functions; shingle+hash with your callable and use "
+                "the sha1_hash32 (default), xxhash_hash32/'xxh32', and "
+                "'device' (on-chip window hash) hash functions; "
+                "shingle+hash with your callable and use "
                 "bulk_signatures instead"
+            )
+        if use_device_shingles and scheme != "permutation":
+            raise ValueError(
+                "hashfunc='device' shingling supports only the default "
+                "'permutation' scheme"
             )
         texts = texts if isinstance(texts, list) else list(texts)
         texts = [t.encode("utf-8") if isinstance(t, str) else t for t in texts]
         if not texts:
-            return np.zeros((0, proto.num_perm), dtype=np.uint32)
+            empty = np.zeros((0, proto.num_perm), dtype=np.uint32)
+            return _jnp().asarray(empty) if out == "device" else empty
         from datasketch_tpu.native import corpus
         from datasketch_tpu.ops import minhash_ops
 
         order = sorted(range(len(texts)), key=lambda i: len(texts[i]))
-        out = np.empty((len(texts), proto.num_perm), dtype=np.uint32)
+        result = (
+            np.empty((len(texts), proto.num_perm), dtype=np.uint32)
+            if out == "host"
+            else None
+        )
         shingle_counts = [max(0, len(texts[i]) - k + 1) for i in order]
         in_flight = []
         for start, stop in _budget_chunks(shingle_counts):
             idx = order[start:stop]
             chunk = [texts[i] for i in idx]
-            max_sh = max((max(0, len(t) - k + 1) for t in chunk), default=1)
-            t_bucket = _pow2_at_least(max_sh)
-            padded, lengths = corpus.hash_shingles_padded(
-                chunk, k, shingle_algo, pad_multiple=t_bucket
-            )
-            if scheme != "permutation":
-                dev = _alt_scheme_signatures(
-                    scheme, padded, lengths, proto.num_perm, proto.seed
-                )[: len(idx)]
-            else:
-                dev = minhash_ops.compute_signatures(
-                    padded, lengths, proto.seed, proto.num_perm,
+            if use_device_shingles:
+                from datasketch_tpu.ops import text_ops
+
+                lengths = np.fromiter(
+                    map(len, chunk), np.int32, count=len(chunk)
+                )
+                flat = (
+                    np.frombuffer(b"".join(chunk), dtype=np.uint8)
+                    if chunk
+                    else np.zeros(0, dtype=np.uint8)
+                )
+                dev = text_ops.shingle_signatures_ragged(
+                    flat, lengths, k, proto.seed, proto.num_perm,
                     permutations=custom_perms,
-                )[: len(idx)]
-            _start_host_copy(dev)
+                )
+            else:
+                max_sh = max(
+                    (max(0, len(t) - k + 1) for t in chunk), default=1
+                )
+                t_bucket = _pow2_at_least(max_sh)
+                padded, lengths = corpus.hash_shingles_padded(
+                    chunk, k, shingle_algo, pad_multiple=t_bucket
+                )
+                if scheme != "permutation":
+                    dev = _alt_scheme_signatures(
+                        scheme, padded, lengths, proto.num_perm, proto.seed
+                    )[: len(idx)]
+                else:
+                    dev = minhash_ops.compute_signatures(
+                        padded, lengths, proto.seed, proto.num_perm,
+                        permutations=custom_perms,
+                    )[: len(idx)]
+            if out == "host":
+                _start_host_copy(dev)
             in_flight.append((idx, dev))
+        if out == "device":
+            return _device_finish(in_flight, len(texts))
         for idx, dev in in_flight:
-            out[np.asarray(idx)] = np.asarray(dev)
-        return out
+            result[np.asarray(idx)] = np.asarray(dev)
+        return result
 
     @classmethod
     def generator(cls, b: Iterable, scheme: str = "permutation", **minhash_kwargs):

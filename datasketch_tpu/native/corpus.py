@@ -128,6 +128,37 @@ def hash_corpus_padded(docs, algo: int = ALGO_SHA1_32, seed: int = 0,
     return out, lengths
 
 
+def hash_corpus_ragged(docs, algo: int = ALGO_SHA1_32, seed: int = 0,
+                       mode: int = MODE_AUTO):
+    """Hash list-of-token-lists into one CONTIGUOUS flat buffer.
+
+    Returns (flat uint32[total], lengths int32[B]): doc d's hashes occupy
+    ``flat[lengths[:d].sum() : ...+lengths[d]]`` with no padding slots —
+    the layout :func:`datasketch_tpu.ops.minhash_ops.
+    compute_signatures_ragged` consumes. Vs :func:`hash_corpus_padded`
+    this ships only real bytes over the (bandwidth-bound) host->device
+    link; the padding to the kernel's tile shape happens device-side.
+    """
+    lengths = _doc_lengths(docs)
+    starts = np.zeros(len(docs), dtype=np.int64)
+    if len(docs) > 1:
+        np.cumsum(lengths[:-1], dtype=np.int64, out=starts[1:])
+    total = int(lengths.sum())
+    dtype = np.uint64 if algo == ALGO_SHA1_64 else np.uint32
+    out = np.empty(total, dtype=dtype)
+    mod = _load()
+    if mod is not None:
+        mod.hash_ragged(docs, out, starts, algo, seed, mode)
+        return out, lengths
+    # fallback: flat token list through hash_tokens
+    import itertools
+
+    flat_tokens = list(itertools.chain.from_iterable(docs))
+    if flat_tokens:
+        out[:] = hash_tokens(flat_tokens, algo, seed)
+    return out, lengths
+
+
 def hash_tokens(tokens, algo: int = ALGO_SHA1_32, seed: int = 0) -> np.ndarray:
     """Hash a flat token list in one native call (1-D output)."""
     dtype = np.uint64 if algo == ALGO_SHA1_64 else np.uint32

@@ -439,6 +439,93 @@ PyObject* hash_padded(PyObject*, PyObject* args) {
   return PyLong_FromSsize_t(static_cast<Py_ssize_t>(total));
 }
 
+// hash_ragged(docs, out, starts, algo, seed, mode=0) -> total_tokens
+//
+// Contiguous (flat) layout: doc d's token j hashes into
+// out[starts[d] + j] with NO padding slots between docs — the layout the
+// device-side gather (`ops.minhash_ops.compute_signatures_ragged`)
+// consumes, shipping only real bytes over the host->device link.
+// `starts` is an int64[n_docs] C-contiguous buffer of cumulative doc
+// offsets (starts[0] == 0); doc d's capacity is starts[d+1]-starts[d]
+// (last doc: out capacity - starts[d]).
+PyObject* hash_ragged(PyObject*, PyObject* args) {
+  PyObject* docs;
+  PyObject* out_obj;
+  PyObject* starts_obj;
+  int algo;
+  unsigned int seed;
+  int mode = 0;
+  if (!PyArg_ParseTuple(args, "OOOiI|i", &docs, &out_obj, &starts_obj, &algo,
+                        &seed, &mode))
+    return nullptr;
+
+  Keepalive keep;
+  PyObject* fast = PySequence_Fast(docs, "expected a sequence of documents");
+  if (!fast) return nullptr;
+  keep.objs.push_back(fast);
+  const Py_ssize_t n_docs = PySequence_Fast_GET_SIZE(fast);
+  PyObject** doc_items = PySequence_Fast_ITEMS(fast);
+
+  Py_buffer starts_view;
+  if (PyObject_GetBuffer(starts_obj, &starts_view, PyBUF_C_CONTIGUOUS) < 0)
+    return nullptr;
+  if (starts_view.itemsize != 8 ||
+      starts_view.len / starts_view.itemsize < n_docs) {
+    PyBuffer_Release(&starts_view);
+    PyErr_SetString(PyExc_ValueError,
+                    "starts must be int64 with one entry per doc");
+    return nullptr;
+  }
+  const int64_t* starts = static_cast<const int64_t*>(starts_view.buf);
+
+  Py_buffer view;
+  if (get_out_buffer(out_obj, &view, algo) < 0) {
+    PyBuffer_Release(&starts_view);
+    return nullptr;
+  }
+  const Py_ssize_t capacity = view.len / view.itemsize;
+
+  std::vector<TokenRef> refs;
+  Keepalive token_keep;
+  TokenSink sink;
+  dshash::TokenCache* cache =
+      (algo == 0 && n_docs >= 16) ? global_token_cache() : nullptr;
+  init_sink(sink, &refs, algo, seed, static_cast<uint32_t*>(view.buf),
+            static_cast<uint64_t*>(view.buf), mode, cache);
+  if (sink.refs) refs.reserve(static_cast<size_t>(n_docs) * 8);
+
+  int64_t total = 0;
+  for (Py_ssize_t d = 0; d < n_docs; d++) {
+    const int64_t base = starts[d];
+    const int64_t limit = (d + 1 < n_docs) ? starts[d + 1] : capacity;
+    if (base < 0 || limit < base || limit > capacity) {
+      PyBuffer_Release(&view);
+      PyBuffer_Release(&starts_view);
+      PyErr_Format(PyExc_ValueError, "bad starts at doc %zd", d);
+      return nullptr;
+    }
+    const Py_ssize_t count =
+        collect_tokens(doc_items[d], base, limit - base, sink, token_keep);
+    if (count < 0) {
+      PyBuffer_Release(&view);
+      PyBuffer_Release(&starts_view);
+      return nullptr;
+    }
+    total += count;
+  }
+  sink.flush();
+
+  if (sink.refs) {
+    Py_BEGIN_ALLOW_THREADS
+    hash_refs(refs, algo, seed, static_cast<uint32_t*>(view.buf),
+              static_cast<uint64_t*>(view.buf));
+    Py_END_ALLOW_THREADS
+  }
+  PyBuffer_Release(&view);
+  PyBuffer_Release(&starts_view);
+  return PyLong_FromSsize_t(static_cast<Py_ssize_t>(total));
+}
+
 // hash_shingles(texts, out, row_stride, k, algo, seed, mode=0) -> total
 //
 // texts: sequence of bytes-like documents; document d contributes
@@ -538,6 +625,8 @@ PyMethodDef methods[] = {
      "hash_flat(tokens, out, algo, seed, mode=0) -> n"},
     {"hash_padded", hash_padded, METH_VARARGS,
      "hash_padded(docs, out, row_stride, algo, seed, mode=0) -> total_tokens"},
+    {"hash_ragged", hash_ragged, METH_VARARGS,
+     "hash_ragged(docs, out, starts, algo, seed, mode=0) -> total_tokens"},
     {"hash_shingles", hash_shingles, METH_VARARGS,
      "hash_shingles(texts, out, row_stride, k, algo, seed, mode=0) -> total"},
     {"sha_ni_available", sha_ni, METH_NOARGS, "SHA-NI fast path active?"},

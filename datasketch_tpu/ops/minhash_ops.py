@@ -234,7 +234,11 @@ def compute_signatures_ragged(flat, lengths, seed: int, num_perm: int,
     """Fresh signatures from flat concatenated token hashes.
 
     Args:
-        flat: uint32[total] all docs' hashes back to back.
+        flat: uint32[total] all docs' hashes back to back. With ``mix``
+            (raw token ids) a narrower unsigned dtype (uint8/uint16) is
+            accepted and zero-extended ON DEVICE — small-vocab corpora
+            then ship 1/4-1/2 the bytes over the bandwidth-bound
+            host->device link for identical signatures.
         lengths: int32[B] tokens per doc.
         mix: ``flat`` holds raw token ids; hash them on-chip (fmix32).
     Returns:
@@ -257,9 +261,15 @@ def compute_signatures_ragged(flat, lengths, seed: int, num_perm: int,
     while t < max_len:
         t *= 2
     flat = np.asarray(flat)
+    if flat.dtype != np.uint32 and not (
+        mix and flat.dtype in (np.uint8, np.uint16)
+    ):
+        flat = flat.astype(np.uint32)
     if flat.shape[0] == 0:
-        flat = np.zeros(1, dtype=np.uint32)
+        flat = np.zeros(1, dtype=flat.dtype)
     hashes = _gather_rows(jnp.asarray(flat), jnp.asarray(starts), t)
+    if hashes.dtype != jnp.uint32:
+        hashes = hashes.astype(jnp.uint32)  # widen post-gather, on device
     return compute_signatures(hashes, lengths, seed, num_perm,
                               permutations=permutations, mix=mix)[:n_real]
 

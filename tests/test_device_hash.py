@@ -132,6 +132,69 @@ def test_bulk_out_device_matches_host():
     ).shape == (0, 16)
 
 
+def test_narrow_dtype_ids_bit_identical():
+    """Small-vocab corpora upload uint8/uint16 ids (the device widens
+    post-gather): signatures must be bit-identical to the uint32 path —
+    the upload is bandwidth-bound, so the narrow path is the perf lever,
+    never an accuracy trade."""
+    rng = np.random.RandomState(21)
+    lens = [3, 70, 129, 400]
+    docs16 = [rng.randint(0, 60000, size=n).astype(np.uint16) for n in lens]
+    docs8 = [rng.randint(0, 250, size=n).astype(np.uint8) for n in lens]
+    for docs in (docs16, docs8):
+        wide = [d.astype(np.uint32) for d in docs]
+        s_narrow = MinHash.bulk_signatures(
+            docs, num_perm=128, hashfunc="device"
+        )
+        s_wide = MinHash.bulk_signatures(
+            wide, num_perm=128, hashfunc="device"
+        )
+        np.testing.assert_array_equal(s_narrow, s_wide)
+    # wide-dtype ids with a small value range are downcast by a max check
+    docs64 = [d.astype(np.int64) for d in docs16]
+    np.testing.assert_array_equal(
+        MinHash.bulk_signatures(docs64, num_perm=128, hashfunc="device"),
+        MinHash.bulk_signatures(
+            [d.astype(np.uint32) for d in docs16], num_perm=128,
+            hashfunc="device",
+        ),
+    )
+
+
+def test_compute_signatures_ragged_narrow_flat():
+    rng = np.random.RandomState(22)
+    lengths = np.array([5, 200, 33], np.int32)
+    flat16 = rng.randint(0, 1 << 16, size=int(lengths.sum())).astype(
+        np.uint16
+    )
+    got = minhash_ops.compute_signatures_ragged(flat16, lengths, 1, 64,
+                                                mix=True)
+    want = minhash_ops.compute_signatures_ragged(
+        flat16.astype(np.uint32), lengths, 1, 64, mix=True
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_hash_corpus_ragged_matches_padded():
+    from datasketch_tpu.native import corpus as nc
+
+    rng = np.random.RandomState(23)
+    docs = [
+        [bytes(rng.randint(0, 256, size=rng.randint(1, 30), dtype=np.uint8))
+         for _ in range(rng.randint(0, 40))]
+        for _ in range(50)
+    ]
+    for algo in (nc.ALGO_SHA1_32, nc.ALGO_XXH32, nc.ALGO_SHA1_64):
+        flat, lengths = nc.hash_corpus_ragged(docs, algo, seed=3)
+        padded, lengths2 = nc.hash_corpus_padded(docs, algo, seed=3)
+        np.testing.assert_array_equal(lengths, lengths2)
+        assert flat.shape[0] == int(lengths.sum())
+        off = 0
+        for i, n in enumerate(lengths):
+            np.testing.assert_array_equal(flat[off:off + n], padded[i, :n])
+            off += n
+
+
 def test_empty_and_missing_docs():
     sigs = MinHash.bulk_signatures(
         [np.zeros(0, np.uint32), np.array([5], np.uint32)],
