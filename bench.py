@@ -46,10 +46,9 @@ def make_corpus(n_docs: int, seed: int = 42):
 
 
 def bench_ours(corpus, algo: Optional[int] = None) -> float:
-    import jax
-
     from datasketch_tpu.native import corpus as native_corpus
     from datasketch_tpu.ops import minhash_ops
+    from datasketch_tpu.utils.profiling import device_sync
 
     if algo is None:
         algo = native_corpus.ALGO_SHA1_32
@@ -57,19 +56,30 @@ def bench_ours(corpus, algo: Optional[int] = None) -> float:
 
     def run(docs):
         # Chunked pipeline: JAX dispatch is async, so native SHA-NI hashing
-        # of chunk i+1 overlaps device permute+min of chunk i.
+        # of chunk i+1 overlaps device permute+min of chunk i. Flat ragged
+        # upload (padding happens device-side): end-to-end rate is bound by
+        # the ~50MB/s tunnel H2D, so bytes-per-doc shipped IS the metric —
+        # 200-token docs padded to 256 would pay 28% more wall time.
         out = []
         for i in range(0, len(docs), chunk):
-            padded, lengths = native_corpus.hash_corpus_padded(
+            flat, lengths = native_corpus.hash_corpus_ragged(
                 docs[i : i + chunk],
                 algo,
-                pad_multiple=256,
                 mode=native_corpus.MODE_INLINE,
             )
             out.append(
-                minhash_ops.compute_signatures(padded, lengths, 1, NUM_PERM)
+                minhash_ops.compute_signatures_ragged(
+                    flat, lengths, 1, NUM_PERM
+                )
             )
-        jax.block_until_ready(out)
+        # force REAL completion: through the axon tunnel, H2D-carrying
+        # dispatches are SPECULATED complete — block_until_ready returns
+        # with the transfers still queued client-side, so a timing loop
+        # without a dependent D2H fetch measures dispatch, not work
+        # (measured: the deferred backlog of 9 such "3ms" calls took 163s
+        # to absorb at the first real read). device_sync fetches one
+        # reduced scalar per chunk in a single device_get.
+        device_sync(out)
         return out
 
     run(corpus[:chunk])  # warm up jit + native lib
@@ -107,6 +117,38 @@ def bench_reference(corpus) -> float:
         run(corpus)
         best = min(best, time.perf_counter() - t0)
     return len(corpus) / best
+
+
+def bench_text_shingles(n_docs: int, chars_per_doc: int = 1024, k: int = 9):
+    """Text-dedup front end, host-hashed vs on-device shingles: the sha1
+    path ships 4 bytes per overlapping k-shingle (~4B/char), the
+    hashfunc='device' path ships the raw text (1B/char) and hashes
+    windows on the VPU (ops/text_ops.py). End-to-end rates are bound by
+    the ~50MB/s tunnel H2D, so the byte ratio is the expected speedup."""
+    from datasketch_tpu import MinHash
+    from datasketch_tpu.utils.profiling import device_sync
+
+    rng = np.random.RandomState(11)
+    texts = [
+        bytes(rng.randint(32, 127, size=chars_per_doc, dtype=np.uint8))
+        for _ in range(n_docs)
+    ]
+    rows = {"chars_per_doc": chars_per_doc, "k": k}
+    for hf, label in ((None, "sha1_docs_per_sec"),
+                      ("device", "device_docs_per_sec")):
+        kwargs = {"hashfunc": hf} if hf else {}
+        device_sync(MinHash.bulk_from_text(
+            texts[:256], k=k, num_perm=NUM_PERM, out="device", **kwargs
+        ))  # warm the shape family
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            device_sync(MinHash.bulk_from_text(
+                texts, k=k, num_perm=NUM_PERM, out="device", **kwargs
+            ))
+            best = min(best, time.perf_counter() - t0)
+        rows[label] = round(n_docs / best, 1)
+    return rows
 
 
 def bench_lsh_topk(n_sets: int = 2000, n_queries: int = 50, k: int = 10):
@@ -259,8 +301,10 @@ def bench_kernel_utilization(device_kind: str):
         )
     )
     lengths = jnp.asarray(np.full(b, t, np.int32))
+    from datasketch_tpu.utils.profiling import device_sync
+
     out = minhash_ops.compute_signatures(hashes, lengths, 1, NUM_PERM)
-    jax.block_until_ready(out)  # warm compile
+    device_sync([out])  # warm compile + force the staged input to land
     # enough iterations that the single final-sync tunnel RTT (~30ms) is
     # noise next to accumulated kernel time — at 10 iters it was ~half
     # the measured wall time, understating utilization ~2x
@@ -270,7 +314,8 @@ def bench_kernel_utilization(device_kind: str):
         minhash_ops.compute_signatures(hashes, lengths, 1, NUM_PERM)
         for _ in range(iters)
     ]
-    jax.block_until_ready(outs)
+    device_sync(outs)  # real completion (cross-checked vs a chained-
+    # dependency measurement: 1.21 vs 1.32 ms/iter at [1024, 512])
     dt = time.perf_counter() - t0
     gops = b * t * NUM_PERM * _OPS_PER_SLOT * iters / dt / 1e9
     result = {
@@ -371,7 +416,7 @@ def main() -> None:
         # kept DEVICE-RESIDENT (out='device' — the serving form; like the
         # headline row, no D2H of the signature matrix) — the end-to-end
         # rate with ZERO host per-token work
-        import jax
+        from datasketch_tpu.utils.profiling import device_sync
 
         rng = np.random.RandomState(7)
         tok_docs = [
@@ -380,14 +425,14 @@ def main() -> None:
         ]
         from datasketch_tpu import MinHash
 
-        jax.block_until_ready(MinHash.bulk_signatures(
+        device_sync(MinHash.bulk_signatures(
             tok_docs[:256], num_perm=NUM_PERM, hashfunc="device",
             out="device",
         ))  # warm
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            jax.block_until_ready(MinHash.bulk_signatures(
+            device_sync(MinHash.bulk_signatures(
                 tok_docs, num_perm=NUM_PERM, hashfunc="device",
                 out="device",
             ))
@@ -395,6 +440,12 @@ def main() -> None:
         device_hash_rate = round(len(tok_docs) / best, 1)
     except Exception as exc:
         device_hash_rate = repr(exc)
+    try:
+        text_rows = bench_text_shingles(
+            8192 if device_kind == "tpu" else 512
+        )
+    except Exception as exc:
+        text_rows = {"error": repr(exc)}
     try:
         lsh = bench_lsh_topk()
     except Exception as exc:  # the primary metric must still report
@@ -427,6 +478,7 @@ def main() -> None:
                 "degraded": device_kind != "tpu",
                 "xxh32_sigs_per_sec": xxh32_rate,
                 "device_hash_sigs_per_sec": device_hash_rate,
+                "text_shingles": text_rows,
                 "signature_kernel": util,
                 "lsh_topk": lsh,
                 "lsh_topk_scale": lsh_scale,

@@ -203,6 +203,28 @@ class TpuMinHashLSH:
         )
         self.index(keys, sigs)
 
+    def index_text(self, keys: Sequence[Hashable], texts, k: int = 9,
+                   seed: int = 1) -> None:
+        """Bulk-build straight from RAW TEXT via on-device k-shingling.
+
+        The raw bytes are uploaded (1 byte/char — ~4x less than
+        host-hashed shingles over the bandwidth-bound link) and every
+        overlapping k-byte window is hashed on the VPU
+        (:mod:`datasketch_tpu.ops.text_ops`); signatures stay
+        device-resident end to end. Query with sketches built by
+        ``MinHash.bulk_from_text(..., hashfunc='device')`` at equal
+        ``(k, seed)``.
+        """
+        if len(keys) != len(texts):
+            raise ValueError("keys and texts must have equal length")
+        from datasketch_tpu.models.minhash import MinHash
+
+        sigs = MinHash.bulk_from_text(
+            texts, k=k, num_perm=self.h, seed=seed, hashfunc="device",
+            out="device",
+        )
+        self.index(keys, sigs)
+
     def insert(self, key: Hashable, minhash, check_duplication: bool = True) -> None:
         """Insert one (key, minhash); buffers and reindexes lazily."""
         if check_duplication and key in self._key_to_pos:

@@ -140,6 +140,28 @@ class ShardedMinHashLSH:
         )
         self.index(keys, sigs)
 
+    def index_text(self, keys: Sequence[Hashable], texts, k: int = 9,
+                   seed: int = 1) -> None:
+        """Bulk-build from RAW TEXT via on-device k-shingling, sharded.
+
+        Same contract as
+        :meth:`datasketch_tpu.models.tpu_lsh.TpuMinHashLSH.index_text`:
+        raw bytes upload (1 byte/char), VPU window hashing
+        (:mod:`datasketch_tpu.ops.text_ops`), device-resident signatures
+        re-sharded over the mesh. Query with
+        ``MinHash.bulk_from_text(..., hashfunc='device')`` sketches at
+        equal ``(k, seed)``.
+        """
+        if len(keys) != len(texts):
+            raise ValueError("keys and texts must have equal length")
+        from datasketch_tpu.models.minhash import MinHash
+
+        sigs = MinHash.bulk_from_text(
+            texts, k=k, num_perm=self.h, seed=seed, hashfunc="device",
+            out="device",
+        )
+        self.index(keys, sigs)
+
     def _build(self, sigs) -> None:
         mesh, axis = self.mesh, self.shard_axis
         n = sigs.shape[0]

@@ -1,0 +1,169 @@
+"""On-device k-shingle hashing from raw text (ops/text_ops.py).
+
+The device path uploads 1 byte/char and hashes windows on-chip — the
+bandwidth-optimal text front end (BASELINE.md round-3: end-to-end rates
+are bound by ~50MB/s tunnel H2D, so bytes/doc is the lever). These tests
+pin bit-parity between the device kernel and its host twin, the
+empty/short-text edge semantics, agreement of the bulk API with the ops
+layer, and the statistical acceptance bound vs TRUE shingle Jaccard.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from datasketch_tpu import MinHash
+from datasketch_tpu.ops import text_ops
+
+
+def _random_text(rng, n):
+    return bytes(rng.randint(32, 127, size=n, dtype=np.uint8))
+
+
+def test_window_hashes_np_basics():
+    wh = text_ops.window_hashes_np(b"abcdefghij", 9)
+    assert wh.shape == (2,) and wh.dtype == np.uint32
+    assert wh[0] != wh[1]
+    # deterministic, position-independent: same window -> same hash
+    wh2 = text_ops.window_hashes_np(b"XXabcdefghi", 9)
+    assert wh2[2] == wh[0]
+    assert text_ops.window_hashes_np(b"short", 9).shape == (0,)
+
+
+def test_device_matches_host_twin():
+    rng = np.random.RandomState(31)
+    texts = [_random_text(rng, n) for n in (9, 10, 57, 300, 1000)]
+    k = 9
+    lengths = np.array([len(t) for t in texts], np.int32)
+    flat = np.frombuffer(b"".join(texts), dtype=np.uint8)
+    sigs = text_ops.shingle_signatures_ragged(flat, lengths, k, 1, 64)
+    from datasketch_tpu.ops import minhash_ops
+
+    for i, t in enumerate(texts):
+        wh = text_ops.window_hashes_np(t, k)
+        want = minhash_ops.compute_signatures(
+            wh[None, :], np.array([len(wh)], np.int32), 1, 64
+        )
+        np.testing.assert_array_equal(
+            np.asarray(sigs[i]), np.asarray(want[0]), err_msg=f"text {i}"
+        )
+
+
+def test_short_and_empty_texts_yield_empty_sketch():
+    rng = np.random.RandomState(32)
+    texts = [b"", b"abc", _random_text(rng, 100)]
+    lengths = np.array([len(t) for t in texts], np.int32)
+    flat = np.frombuffer(b"".join(texts), dtype=np.uint8)
+    sigs = np.asarray(
+        text_ops.shingle_signatures_ragged(flat, lengths, 9, 1, 32)
+    )
+    assert (sigs[0] == 0xFFFFFFFF).all()
+    assert (sigs[1] == 0xFFFFFFFF).all()
+    assert not (sigs[2] == 0xFFFFFFFF).all()
+
+
+def test_bulk_from_text_device_matches_ops_layer():
+    import jax
+
+    rng = np.random.RandomState(33)
+    texts = [_random_text(rng, n) for n in rng.randint(5, 400, size=30)]
+    host = MinHash.bulk_from_text(texts, k=9, hashfunc="device", seed=3,
+                                  num_perm=64)
+    lengths = np.array([len(t) for t in texts], np.int32)
+    flat = np.frombuffer(b"".join(texts), dtype=np.uint8)
+    want = np.asarray(
+        text_ops.shingle_signatures_ragged(flat, lengths, 9, 3, 64)
+    )
+    np.testing.assert_array_equal(host, want)
+    dev = MinHash.bulk_from_text(texts, k=9, hashfunc="device", seed=3,
+                                 num_perm=64, out="device")
+    assert isinstance(dev, jax.Array)
+    np.testing.assert_array_equal(host, np.asarray(dev))
+    # str inputs are utf-8 encoded like the native path
+    s = MinHash.bulk_from_text(["hello world galaxy"], k=5,
+                               hashfunc="device", num_perm=32)
+    s2 = MinHash.bulk_from_text([b"hello world galaxy"], k=5,
+                                hashfunc="device", num_perm=32)
+    np.testing.assert_array_equal(s, s2)
+
+
+def test_bulk_from_text_device_rejects_alt_schemes():
+    with pytest.raises(ValueError, match="permutation"):
+        MinHash.bulk_from_text([b"abcdefghij"], hashfunc="device",
+                               scheme="oph")
+    with pytest.raises(ValueError, match="out must be"):
+        MinHash.bulk_from_text([b"abcdefghij"], hashfunc="device",
+                               out="both")
+
+
+def test_jaccard_tracks_true_shingle_jaccard():
+    """Statistical acceptance: device-shingle signature Jaccard estimates
+    the TRUE k-shingle-set Jaccard within the 1/sqrt(P) MinHash bound —
+    i.e. the polynomial+fmix32 window hash behaves like a random hash."""
+    rng = np.random.RandomState(34)
+    k, num_perm = 9, 256
+    errs = []
+    for _ in range(20):
+        n = 600
+        a = bytearray(_random_text(rng, n))
+        b = bytearray(a)
+        # mutate a random suffix region to dial similarity
+        cut = rng.randint(50, 550)
+        b[cut:] = _random_text(rng, n - cut)
+        a, b = bytes(a), bytes(b)
+        sa = set(a[i:i + k] for i in range(len(a) - k + 1))
+        sb = set(b[i:i + k] for i in range(len(b) - k + 1))
+        true_j = len(sa & sb) / len(sa | sb)
+        sigs = MinHash.bulk_from_text([a, b], k=k, hashfunc="device",
+                                      num_perm=num_perm)
+        est = float((sigs[0] == sigs[1]).mean())
+        errs.append(abs(est - true_j))
+    assert float(np.mean(errs)) < 1.0 / np.sqrt(num_perm)
+
+
+def test_empty_corpus():
+    out = MinHash.bulk_from_text([], hashfunc="device", num_perm=16)
+    assert out.shape == (0, 16)
+
+
+def test_index_text_end_to_end():
+    from datasketch_tpu import TpuMinHashLSH
+
+    rng = np.random.RandomState(35)
+    texts = [_random_text(rng, 400) for _ in range(40)]
+    # near-duplicates of the first 8: keep a 360-char prefix
+    dups = [t[:360] + _random_text(rng, 40) for t in texts[:8]]
+    index = TpuMinHashLSH(threshold=0.5, num_perm=128, bucket_cap=64)
+    index.index_text(list(range(40)), texts, k=9, seed=2)
+    qsigs = MinHash.bulk_from_text(dups, k=9, hashfunc="device", seed=2,
+                                   num_perm=128)
+    hits = index.query_batch(
+        [MinHash(hashvalues=row, hashfunc="device") for row in qsigs]
+    )
+    found = sum(1 for i, row in enumerate(hits) if i in row)
+    assert found >= 7
+    with pytest.raises(ValueError, match="equal length"):
+        index.index_text([1], texts[:2])
+
+
+def test_sharded_index_text():
+    import jax
+    from jax.sharding import Mesh
+
+    from datasketch_tpu.parallel import ShardedMinHashLSH
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("data",))
+    rng = np.random.RandomState(36)
+    texts = [_random_text(rng, 300) for _ in range(30)]
+    dups = [t[:270] + _random_text(rng, 30) for t in texts[:5]]
+    index = ShardedMinHashLSH(mesh, threshold=0.5, num_perm=128,
+                              bucket_cap=64)
+    index.index_text(list(range(30)), texts, k=9, seed=2)
+    qsigs = MinHash.bulk_from_text(dups, k=9, hashfunc="device", seed=2,
+                                   num_perm=128)
+    rows = index.query_batch(
+        [MinHash(hashvalues=row, hashfunc="device") for row in qsigs]
+    )
+    found = sum(1 for i, row in enumerate(rows) if i in row)
+    assert found >= 4
