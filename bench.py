@@ -45,16 +45,15 @@ def make_corpus(n_docs: int, seed: int = 42):
     ]
 
 
-def bench_ours(corpus, algo: Optional[int] = None) -> float:
+def _sigs_runner(corpus, algo):
+    """One-shot end-to-end pass: hash corpus -> signatures, REAL sync."""
     from datasketch_tpu.native import corpus as native_corpus
     from datasketch_tpu.ops import minhash_ops
     from datasketch_tpu.utils.profiling import device_sync
 
-    if algo is None:
-        algo = native_corpus.ALGO_SHA1_32
-    chunk = min(8192, len(corpus))  # 8192 x 256 tokens x 4B = 8MB H2D fast-path cap
+    chunk = min(8192, len(corpus))  # 8192 x 200 tokens x 4B = 6.6MB/chunk
 
-    def run(docs):
+    def run(docs=corpus):
         # Chunked pipeline: JAX dispatch is async, so native SHA-NI hashing
         # of chunk i+1 overlaps device permute+min of chunk i. Flat ragged
         # upload (padding happens device-side): end-to-end rate is bound by
@@ -83,10 +82,19 @@ def bench_ours(corpus, algo: Optional[int] = None) -> float:
         return out
 
     run(corpus[:chunk])  # warm up jit + native lib
+    return run
+
+
+def bench_ours(corpus, algo: Optional[int] = None) -> float:
+    from datasketch_tpu.native import corpus as native_corpus
+
+    if algo is None:
+        algo = native_corpus.ALGO_SHA1_32
+    run = _sigs_runner(corpus, algo)
     best = float("inf")
     for _ in range(4):
         t0 = time.perf_counter()
-        run(corpus)
+        run()
         best = min(best, time.perf_counter() - t0)
     return len(corpus) / best
 
@@ -119,35 +127,79 @@ def bench_reference(corpus) -> float:
     return len(corpus) / best
 
 
-def bench_text_shingles(n_docs: int, chars_per_doc: int = 1024, k: int = 9):
-    """Text-dedup front end, host-hashed vs on-device shingles: the sha1
-    path ships 4 bytes per overlapping k-shingle (~4B/char), the
-    hashfunc='device' path ships the raw text (1B/char) and hashes
-    windows on the VPU (ops/text_ops.py). End-to-end rates are bound by
-    the ~50MB/s tunnel H2D, so the byte ratio is the expected speedup."""
+def bench_fast_rows(corpus, n_docs: int, chars_per_doc: int = 1024,
+                    k: int = 9, rounds: int = 5):
+    """The fast-hash front-end rows, sampled INTERLEAVED round-robin.
+
+    The tunnel's H2D rate drifts between ~15 and ~55 MB/s over windows
+    of seconds (measured 2026-08-17: identical code+shapes, 20k vs 58k
+    sigs/s in back-to-back captures), so per-row best-of loops can sink
+    a whole row into one degraded window; round-robin sampling bounds a
+    window's impact to one sample per row.
+
+    Rows (all end-to-end, result device-resident, real-completion sync):
+    - xxh32: native XXH32 batch hashing, flat ragged upload — the
+      reference docs' "plug in xxhash" recipe, measured.
+    - device_ids / device_ids_u16: pre-tokenized ids hashed ON-CHIP
+      (4B/token wide ids vs 2B/token for a 50k vocab via the automatic
+      uint16 downcast).
+    - text shingles: raw-text dedup front end, host-hashed (sha1,
+      ~4B/char) vs on-device window hashing (1B/char, ops/text_ops.py).
+    """
     from datasketch_tpu import MinHash
+    from datasketch_tpu.native import corpus as native_corpus
     from datasketch_tpu.utils.profiling import device_sync
 
-    rng = np.random.RandomState(11)
+    rng = np.random.RandomState(7)
+    wide_ids = [
+        rng.randint(0, 1 << 31, TOKENS_PER_DOC).astype(np.uint32)
+        for _ in range(n_docs)
+    ]
+    vocab_ids = [
+        rng.randint(0, 50000, TOKENS_PER_DOC).astype(np.uint32)
+        for _ in range(n_docs)
+    ]
     texts = [
         bytes(rng.randint(32, 127, size=chars_per_doc, dtype=np.uint8))
         for _ in range(n_docs)
     ]
-    rows = {"chars_per_doc": chars_per_doc, "k": k}
-    for hf, label in ((None, "sha1_docs_per_sec"),
-                      ("device", "device_docs_per_sec")):
+    xxh_run = _sigs_runner(corpus, native_corpus.ALGO_XXH32)  # self-warming
+
+    def ids_run(docs):
+        device_sync(MinHash.bulk_signatures(
+            docs, num_perm=NUM_PERM, hashfunc="device", out="device"
+        ))
+
+    def text_run(texts_, hf):
         kwargs = {"hashfunc": hf} if hf else {}
         device_sync(MinHash.bulk_from_text(
-            texts[:256], k=k, num_perm=NUM_PERM, out="device", **kwargs
-        ))  # warm the shape family
-        best = float("inf")
-        for _ in range(3):
+            texts_, k=k, num_perm=NUM_PERM, out="device", **kwargs
+        ))
+
+    runners = {
+        "xxh32": (lambda: xxh_run(), len(corpus)),
+        "device_ids": (lambda: ids_run(wide_ids), n_docs),
+        "device_ids_u16": (lambda: ids_run(vocab_ids), n_docs),
+        "text_sha1": (lambda: text_run(texts, None), n_docs),
+        "text_device": (lambda: text_run(texts, "device"), n_docs),
+    }
+    # warm every shape family before any timing
+    ids_run(wide_ids[:256])
+    ids_run(vocab_ids[:256])
+    text_run(texts[:256], None)
+    text_run(texts[:256], "device")
+    best = {name: float("inf") for name in runners}
+    for _ in range(rounds):
+        for name, (fn, _n) in runners.items():
             t0 = time.perf_counter()
-            device_sync(MinHash.bulk_from_text(
-                texts, k=k, num_perm=NUM_PERM, out="device", **kwargs
-            ))
-            best = min(best, time.perf_counter() - t0)
-        rows[label] = round(n_docs / best, 1)
+            fn()
+            best[name] = min(best[name], time.perf_counter() - t0)
+    rows = {
+        name + "_docs_per_sec": round(n / best[name], 1)
+        for name, (_f, n) in runners.items()
+    }
+    rows["text_chars_per_doc"] = chars_per_doc
+    rows["k"] = k
     return rows
 
 
@@ -397,55 +449,16 @@ def main() -> None:
             "recorded reference CPU rate %.0f docs/s (reference not "
             "importable on this host)" % FALLBACK_REF_RATE
         )
-    # fast-hash rows run BEFORE the index benches: late-in-process
-    # device/host state from the big index builds degrades end-to-end
-    # sigs/s ~3-4x (measured 2026-08-17), contaminating these rows
+    # fast-hash rows run BEFORE the index benches (late-in-process state
+    # degrades them ~3-4x, measured 2026-08-17) and INTERLEAVED
+    # round-robin (the tunnel H2D rate drifts in multi-second windows —
+    # see bench_fast_rows)
     try:
-        # xxh32 fast-hash path: same end-to-end pipeline as the headline,
-        # with the native XXH32 batch hasher instead of SHA-NI SHA1 — the
-        # reference's "plug in xxhash for speed" recipe, measured
-        from datasketch_tpu.native import corpus as native_corpus
-
-        xxh32_rate = round(
-            bench_ours(corpus, algo=native_corpus.ALGO_XXH32), 1
+        fast_rows = bench_fast_rows(
+            corpus, 8192 if device_kind == "tpu" else 512
         )
     except Exception as exc:
-        xxh32_rate = repr(exc)
-    try:
-        # device-hash path: pre-tokenized int ids, hashed on-chip, result
-        # kept DEVICE-RESIDENT (out='device' — the serving form; like the
-        # headline row, no D2H of the signature matrix) — the end-to-end
-        # rate with ZERO host per-token work
-        from datasketch_tpu.utils.profiling import device_sync
-
-        rng = np.random.RandomState(7)
-        tok_docs = [
-            rng.randint(0, 1 << 31, TOKENS_PER_DOC).astype(np.uint32)
-            for _ in range(n_docs)
-        ]
-        from datasketch_tpu import MinHash
-
-        device_sync(MinHash.bulk_signatures(
-            tok_docs[:256], num_perm=NUM_PERM, hashfunc="device",
-            out="device",
-        ))  # warm
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            device_sync(MinHash.bulk_signatures(
-                tok_docs, num_perm=NUM_PERM, hashfunc="device",
-                out="device",
-            ))
-            best = min(best, time.perf_counter() - t0)
-        device_hash_rate = round(len(tok_docs) / best, 1)
-    except Exception as exc:
-        device_hash_rate = repr(exc)
-    try:
-        text_rows = bench_text_shingles(
-            8192 if device_kind == "tpu" else 512
-        )
-    except Exception as exc:
-        text_rows = {"error": repr(exc)}
+        fast_rows = {"error": repr(exc)}
     try:
         lsh = bench_lsh_topk()
     except Exception as exc:  # the primary metric must still report
@@ -476,9 +489,7 @@ def main() -> None:
                 "baseline_ref": baseline_ref,
                 "device": device_kind,
                 "degraded": device_kind != "tpu",
-                "xxh32_sigs_per_sec": xxh32_rate,
-                "device_hash_sigs_per_sec": device_hash_rate,
-                "text_shingles": text_rows,
+                "fast_hash_rows": fast_rows,
                 "signature_kernel": util,
                 "lsh_topk": lsh,
                 "lsh_topk_scale": lsh_scale,
