@@ -19,6 +19,7 @@ __all__ = [
     "batch_sha1_hash32",
     "batch_sha1_hash64",
     "device_hash",
+    "device_hash64",
     "xxhash_hash32",
 ]
 
@@ -45,6 +46,20 @@ def device_hash(token_id) -> int:
     from datasketch_tpu.ops.hashing import mix32_np
 
     return int(mix32_np(int(token_id) & 0xFFFFFFFF))
+
+
+def device_hash64(token_id) -> int:
+    """64-bit on-device token hash for pre-tokenized integer corpora.
+
+    The 64-bit sibling of :func:`device_hash` for sketches that need the
+    full 64-bit hash range (``HyperLogLogPlusPlus``): limb-pair fmix32
+    rounds (:func:`datasketch_tpu.ops.hashing.mix64`), bit-identical
+    between this host twin and the device path. Like ``device_hash``,
+    NOT value-compatible with the SHA1 default.
+    """
+    from datasketch_tpu.ops.hashing import mix64_np
+
+    return int(mix64_np(int(token_id) & 0xFFFFFFFFFFFFFFFF))
 
 
 def xxhash_hash32(data: bytes) -> int:

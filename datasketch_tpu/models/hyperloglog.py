@@ -90,17 +90,15 @@ class HyperLogLog:
                 )
             self.reg = reg
         if hashfunc == "device":
-            # pre-tokenized integer streams: fmix32, vectorized host twin
-            # of the on-device mix (HLL updates are scatter-bound, so the
+            # pre-tokenized integer streams: fmix32 (or the limb-pair
+            # mix64 for the 64-bit HLL++ range), vectorized host twin of
+            # the on-device mix (HLL updates are scatter-bound, so the
             # host never does per-token Python work either way)
-            if self._hash_range_bit != 32:
-                raise ValueError(
-                    "hashfunc='device' is 32-bit; HyperLogLogPlusPlus "
-                    "needs a 64-bit hashfunc"
-                )
-            from datasketch_tpu.hashfunc import device_hash
+            from datasketch_tpu.hashfunc import device_hash, device_hash64
 
-            hashfunc = device_hash
+            hashfunc = (
+                device_hash64 if self._hash_range_bit == 64 else device_hash
+            )
         if not callable(hashfunc):
             raise ValueError("The hashfunc must be a callable.")
         if hashobj is not None:
@@ -195,6 +193,31 @@ class HyperLogLog:
         if proto.device_mode == "always":
             # device rows feed on-device pipelines (count_batch /
             # distributed_hll_union) without a host round trip
+            from datasketch_tpu.hashfunc import device_hash64
+
+            if proto.hashfunc is device_hash64:
+                # 64-bit device hash: ship the RAW uint32 ids (4B/token)
+                # and run the mix64 limb rounds on device — half the
+                # upload of host-hashed uint64 values
+                from datasketch_tpu.ops import hll_ops
+
+                lengths = np.fromiter(
+                    map(len, docs), np.int32, count=len(docs)
+                )
+                t = 128
+                while t < max(1, int(lengths.max()) if len(lengths) else 1):
+                    t *= 2
+                b = 128
+                while b < len(docs):
+                    b *= 2
+                ids = np.zeros((b, t), dtype=np.uint32)
+                for i, d in enumerate(docs):
+                    ids[i, : len(d)] = np.asarray(d).astype(np.uint32)
+                lengths = np.pad(lengths, (0, b - len(docs)))
+                rows = np.asarray(
+                    hll_ops.sketch_batch64_ids(ids, lengths, proto.p)
+                )
+                return rows[: len(docs)]
             padded, lengths = proto._pad_hash_corpus(docs)
             rows = np.asarray(proto._device_sketch_rows(padded, lengths))
             return rows[: len(docs)]
@@ -235,7 +258,7 @@ class HyperLogLog:
             )
         if self.hashfunc is _sha64 and self._hash_range_bit == 64:
             return corpus.hash_tokens(tokens, corpus.ALGO_SHA1_64)
-        from datasketch_tpu.hashfunc import device_hash
+        from datasketch_tpu.hashfunc import device_hash, device_hash64
 
         if self.hashfunc is device_hash:
             from datasketch_tpu.ops.hashing import mix32_np
@@ -243,6 +266,10 @@ class HyperLogLog:
             return mix32_np(
                 np.asarray(tokens).astype(np.uint32)
             ).astype(np.uint64)
+        if self.hashfunc is device_hash64:
+            from datasketch_tpu.ops.hashing import mix64_np
+
+            return mix64_np(np.asarray(tokens).astype(np.uint64))
         hv = np.array([self.hashfunc(t) for t in tokens], dtype=np.uint64)
         if np.any((hv >> np.uint64(self._hash_range_bit - 1)) >> 1 != 0):
             raise ValueError(
@@ -272,15 +299,24 @@ class HyperLogLog:
             algo = corpus.ALGO_SHA1_64
         else:
             algo = None
-        if self.hashfunc is device_hash:
+        from datasketch_tpu.hashfunc import device_hash64
+
+        if self.hashfunc is device_hash or self.hashfunc is device_hash64:
             # vectorized host mix; falls through to the shared T/B
             # pow-of-two bucketing below (compile-shape discipline)
-            from datasketch_tpu.ops.hashing import mix32_np
+            from datasketch_tpu.ops.hashing import mix32_np, mix64_np
 
-            hashed = [
-                mix32_np(np.asarray(d).astype(np.uint32)).astype(np.uint64)
-                for d in docs
-            ]
+            if self.hashfunc is device_hash64:
+                hashed = [
+                    mix64_np(np.asarray(d).astype(np.uint64)) for d in docs
+                ]
+            else:
+                hashed = [
+                    mix32_np(np.asarray(d).astype(np.uint32)).astype(
+                        np.uint64
+                    )
+                    for d in docs
+                ]
             lengths = np.array([len(h) for h in hashed], dtype=np.int32)
             t = 128
             while t < max(1, int(lengths.max()) if len(lengths) else 1):
@@ -540,7 +576,40 @@ class HyperLogLogPlusPlus(HyperLogLog):
 
             hv = batch_sha1_hash64(list(bs))
         else:
-            hv = np.array([self.hashfunc(b) for b in bs], dtype=np.uint64)
+            from datasketch_tpu.hashfunc import device_hash64
+
+            if self.hashfunc is device_hash64:
+                from datasketch_tpu.ops.hashing import mix64_np
+
+                ids = np.asarray(list(bs)).astype(np.uint64)
+                if (
+                    not self._sparse
+                    and ids.size
+                    and int(ids.max()) < (1 << 32)
+                    and (
+                        self.device_mode == "always"
+                        or (
+                            self.device_mode == "auto"
+                            and ids.size >= self._DEVICE_BATCH_THRESHOLD
+                        )
+                    )
+                ):
+                    # raw 4-byte ids up, mix64 limb rounds on device —
+                    # half the upload of host-mixed uint64 hashes
+                    from datasketch_tpu.ops import hll_ops
+
+                    row = hll_ops.sketch_batch64_ids(
+                        ids.astype(np.uint32)[None, :],
+                        np.array([ids.size], dtype=np.int32),
+                        self.p,
+                    )
+                    np.maximum(self.reg, np.asarray(row)[0], out=self.reg)
+                    return
+                hv = mix64_np(ids)
+            else:
+                hv = np.array(
+                    [self.hashfunc(b) for b in bs], dtype=np.uint64
+                )
         if hv.size == 0:
             return
         if not self._sparse and (

@@ -13,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-__all__ = ["mix32", "mix64", "mix32_np"]
+__all__ = ["mix32", "mix64", "mix32_np", "mix64_np"]
 
 
 def mix32(x):
@@ -52,3 +52,23 @@ def mix64(hi, lo):
     lo = mix32(lo ^ hi)
     hi = mix32(hi ^ (lo >> 13))
     return hi, lo
+
+
+def mix64_np(x) -> np.ndarray:
+    """Host NumPy twin of :func:`mix64` over uint64 arrays, bit-identical.
+
+    Splits into uint32 limbs, applies the same fmix32 rounds, and
+    recombines — so 64-bit sketches (``HyperLogLogPlusPlus`` with
+    ``hashfunc='device'``) hash identically on host and device paths.
+    """
+    x = np.asarray(x).astype(np.uint64)
+    hi = (x >> np.uint64(32)).astype(np.uint32)
+    lo = (x & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = mix32_np(
+        hi
+        ^ (lo >> np.uint32(16))
+        ^ np.left_shift(lo, np.uint32(16), dtype=np.uint32)
+    )
+    lo = mix32_np(lo ^ hi)
+    hi = mix32_np(hi ^ (lo >> np.uint32(13)))
+    return (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)

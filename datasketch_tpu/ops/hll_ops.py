@@ -114,6 +114,27 @@ def sketch_batch64(hash_hi, hash_lo, lengths, p: int):
     )
 
 
+@functools.partial(jax.jit, static_argnames=("p",))
+def sketch_batch64_ids(ids, lengths, p: int):
+    """HLL++ registers straight from RAW uint32 token ids, one dispatch.
+
+    The 64-bit device hash (:func:`datasketch_tpu.ops.hashing.mix64`
+    limb rounds — bit-identical to ``hashfunc.device_hash64``) is
+    applied ON DEVICE, so the upload is the 4-byte ids instead of the
+    8-byte host-computed hashes the generic :func:`sketch_batch64` path
+    ships — half the bytes over the bandwidth-bound host->device link.
+    """
+    from datasketch_tpu.ops.hashing import mix64
+
+    ids = ids.astype(jnp.uint32)
+    hi, lo = mix64(jnp.zeros_like(ids), ids)
+    idx, rank = ranks_and_indices64(hi, lo, p)
+    regs = jnp.zeros((ids.shape[0], 1 << p), jnp.int8)
+    return update_regs(
+        regs, idx, rank, _valid_mask(ids.shape, lengths), 1 << p
+    )
+
+
 @jax.jit
 def merge_regs(a, b):
     """Union of two register batches (hyperloglog.py:170-183)."""

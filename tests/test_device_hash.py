@@ -290,8 +290,77 @@ def test_hll_device_hash_paths_agree():
     n_distinct = len(np.unique(ids))
     assert abs(full.count() - n_distinct) / n_distinct < 0.15
 
-    with pytest.raises(ValueError):
-        HyperLogLogPlusPlus(p=10, hashfunc="device")  # 64-bit sketch
+    # 64-bit sketch: 'device' maps to the mix64 limb hash
+    from datasketch_tpu.hashfunc import device_hash64
+
+    assert HyperLogLogPlusPlus(p=10, hashfunc="device").hashfunc \
+        is device_hash64
+
+
+def test_mix64_np_matches_device_mix64():
+    from datasketch_tpu.ops.hashing import mix64, mix64_np
+
+    rng = np.random.RandomState(41)
+    x = rng.randint(0, 1 << 63, size=2048).astype(np.uint64) * 2 + 1
+    import jax.numpy as jnp
+
+    hi = jnp.asarray((x >> np.uint64(32)).astype(np.uint32))
+    lo = jnp.asarray((x & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    dhi, dlo = mix64(hi, lo)
+    dev = (np.asarray(dhi).astype(np.uint64) << np.uint64(32)) | np.asarray(
+        dlo
+    ).astype(np.uint64)
+    np.testing.assert_array_equal(dev, mix64_np(x))
+
+
+def test_hllpp_device_hash_paths_agree():
+    from datasketch_tpu import HyperLogLogPlusPlus
+
+    rng = np.random.RandomState(42)
+    ids = rng.randint(0, 1 << 31, size=6000).astype(np.uint64)
+    h1 = HyperLogLogPlusPlus(p=10, hashfunc="device")
+    for x in ids[:300]:
+        h1.update(int(x))
+    h2 = HyperLogLogPlusPlus(p=10, hashfunc="device")
+    h2.update_batch([int(x) for x in ids[:300]])
+    np.testing.assert_array_equal(h1.reg, h2.reg)
+
+    # device scatter path (raw-id upload + on-device mix64) matches host
+    h3 = HyperLogLogPlusPlus(p=10, hashfunc="device", device_mode="always")
+    h3.update_batch([int(x) for x in ids[:300]])
+    np.testing.assert_array_equal(h1.reg, h3.reg)
+
+    # sparse mode agrees and densifies consistently
+    hs = HyperLogLogPlusPlus(p=10, hashfunc="device", sparse=True)
+    hs.update_batch([int(x) for x in ids[:300]])
+    np.testing.assert_array_equal(hs._dense_reg(), h1.reg)
+
+    # bulk paths (host and device) match the object path
+    docs = [[int(x) for x in ids[:300]], [int(x) for x in ids]]
+    regs = HyperLogLogPlusPlus.bulk_registers(
+        docs, p=10, hashfunc="device"
+    )
+    np.testing.assert_array_equal(regs[0], h1.reg)
+    regs_dev = HyperLogLogPlusPlus.bulk_registers(
+        docs, p=10, hashfunc="device", device_mode="always"
+    )
+    np.testing.assert_array_equal(regs, regs_dev)
+
+    # cardinality estimate is sane on distinct ids
+    full = HyperLogLogPlusPlus(p=12, hashfunc="device")
+    full.update_batch([int(x) for x in ids])
+    n_distinct = len(np.unique(ids))
+    assert abs(full.count() - n_distinct) / n_distinct < 0.1
+
+    # ids wider than 32 bits still hash correctly (host mix64 fallback)
+    wide = [int(x) for x in
+            rng.randint(0, 1 << 62, size=100).astype(np.uint64)]
+    hw = HyperLogLogPlusPlus(p=10, hashfunc="device")
+    hw.update_batch(wide)
+    hw2 = HyperLogLogPlusPlus(p=10, hashfunc="device")
+    for x in wide:
+        hw2.update(x)
+    np.testing.assert_array_equal(hw.reg, hw2.reg)
 
 
 def test_alt_schemes_accept_device_hash():
