@@ -8,6 +8,11 @@ for this library's device path vs the reference's MinHash+MinHashLSH on
 CPU (imported from /root/reference).
 
 Usage: python benchmarks/dedup_pipeline.py [n_docs] [ref_docs] [banding_t]
+       [engine]
+
+engine: 'tokens' (default — byte tokens, SHA1), 'text_sha1' (raw texts,
+k=9 shingles hashed in C, reference-interoperable), 'text_device' (raw
+texts, shingles hashed ON DEVICE — 1 byte/char over the link).
 """
 
 from __future__ import annotations
@@ -28,15 +33,38 @@ def make_docs(n, seed=3):
     return utils.sets_to_docs(sets)
 
 
-def ours(docs, threshold=0.8, num_perm=128, banding_threshold=None):
+def make_texts(n, seed=3):
+    """Text form of the same corpus: tokens joined into one byte string
+    per doc (text engines then define similarity over k-byte shingles)."""
+    return [b" ".join(d) for d in make_docs(n, seed)]
+
+
+SHINGLE_K = 9
+
+
+def ours(docs, threshold=0.8, num_perm=128, banding_threshold=None,
+         engine="tokens"):
     """banding_threshold < threshold casts a wider candidate net (recall
     1.0 at the exact threshold in our sweeps) at more rerank cost; None
     bands at the target threshold (reference behavior: ~50% recall for
-    pairs sitting exactly at the threshold, by the S-curve)."""
+    pairs sitting exactly at the threshold, by the S-curve).
+
+    engine: 'tokens' (byte tokens, SHA1), 'text_sha1' (raw texts,
+    shingles hashed in C), or 'text_device' (raw texts, shingles hashed
+    ON DEVICE — 1B/char on the wire, ops/text_ops.py)."""
     from datasketch_tpu import MinHash, TpuMinHashLSH
 
     t0 = time.perf_counter()
-    sigs = MinHash.bulk_signatures(docs, num_perm=num_perm)
+    if engine == "tokens":
+        sigs = MinHash.bulk_signatures(docs, num_perm=num_perm)
+    elif engine == "text_sha1":
+        sigs = MinHash.bulk_from_text(docs, k=SHINGLE_K, num_perm=num_perm)
+    elif engine == "text_device":
+        sigs = MinHash.bulk_from_text(
+            docs, k=SHINGLE_K, num_perm=num_perm, hashfunc="device"
+        )
+    else:
+        raise ValueError(engine)
     index = TpuMinHashLSH(
         threshold=banding_threshold or threshold,
         num_perm=num_perm,
@@ -71,7 +99,7 @@ def ours(docs, threshold=0.8, num_perm=128, banding_threshold=None):
     return time.perf_counter() - t0, pairs
 
 
-def reference(docs, threshold=0.8, num_perm=128):
+def reference(docs, threshold=0.8, num_perm=128, engine="tokens"):
     sys.path.insert(0, "/root/reference")
     import importlib
 
@@ -81,7 +109,13 @@ def reference(docs, threshold=0.8, num_perm=128):
     mhs = []
     for doc in docs:
         m = ds.MinHash(num_perm=num_perm, seed=1)
-        m.update_batch(doc)
+        if engine == "tokens":
+            m.update_batch(doc)
+        else:  # the reference docs' text recipe: shingle in Python
+            m.update_batch(
+                [doc[i : i + SHINGLE_K]
+                 for i in range(max(0, len(doc) - SHINGLE_K + 1))]
+            )
         mhs.append(m)
     lsh = ds.MinHashLSH(threshold=threshold, num_perm=num_perm)
     for i, m in enumerate(mhs):
@@ -122,18 +156,22 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
     n_ref = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
     banding_t = float(sys.argv[3]) if len(sys.argv) > 3 else None
+    engine = sys.argv[4] if len(sys.argv) > 4 else "tokens"
     threshold_of_run = 0.8
-    docs = make_docs(n)
+    docs = make_docs(n) if engine == "tokens" else make_texts(n)
 
     # first pass pays one-time jit compiles for this corpus' shapes;
     # report the steady-state (second) pass
-    ours(docs, banding_threshold=banding_t)
-    t_ours, pairs_ours = ours(docs, banding_threshold=banding_t)
+    ours(docs, banding_threshold=banding_t, engine=engine)
+    t_ours, pairs_ours = ours(docs, banding_threshold=banding_t,
+                              engine=engine)
     rate_ours = n / t_ours
-    print(f"ours      {n} docs: {t_ours:.2f}s ({rate_ours:,.0f} docs/s), "
+    print(f"ours[{engine}] {n} docs: {t_ours:.2f}s "
+          f"({rate_ours:,.0f} docs/s), "
           f"{len(pairs_ours)} duplicate pairs")
 
-    t_ref, pairs_ref = reference(docs[:n_ref])
+    ref_engine = "tokens" if engine == "tokens" else "text"
+    t_ref, pairs_ref = reference(docs[:n_ref], engine=ref_engine)
     rate_ref = n_ref / t_ref
     print(f"reference {n_ref} docs: {t_ref:.2f}s ({rate_ref:,.0f} docs/s)")
     print(f"pipeline speedup: {rate_ours / rate_ref:.1f}x")
@@ -146,7 +184,15 @@ def main():
     # EXACT all-pairs ground truth on the slice (sparse intersection
     # counts): restricting the denominator to pairs either method
     # surfaced would hide duplicates BOTH methods missed and overstate R
-    true_pairs = exact_duplicate_pairs(docs[:n_ref], threshold_of_run)
+    if engine == "tokens":
+        gt_docs = docs[:n_ref]
+    else:  # text engines define similarity over the k-shingle sets
+        gt_docs = [
+            [t[i : i + SHINGLE_K]
+             for i in range(max(0, len(t) - SHINGLE_K + 1))]
+            for t in docs[:n_ref]
+        ]
+    true_pairs = exact_duplicate_pairs(gt_docs, threshold_of_run)
     for name, pairs in (("ours", sub_ours), ("ref ", sub_ref)):
         tp = len(pairs & true_pairs)
         prec = tp / len(pairs) if pairs else 1.0
