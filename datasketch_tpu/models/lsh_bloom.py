@@ -332,7 +332,11 @@ class TpuMinHashLSHBloom:
     def _band_keys(self, minhashes) -> np.ndarray:
         """uint64[N, b] band keys: sum of the band's hashvalues mod p."""
         sigs = np.stack(
-            [np.asarray(m.hashvalues, dtype=np.uint64) for m in minhashes]
+            [np.asarray(
+                m.hashvalues if hasattr(m, "hashvalues") else m,
+                dtype=np.uint64,
+             )
+             for m in minhashes]
         )
         n = sigs.shape[0]
         bands = sigs[:, : self.b * self.r].reshape(n, self.b, self.r)
@@ -396,6 +400,28 @@ class TpuMinHashLSHBloom:
         self._words = self._words.at[band, word].set(
             cur | jnp.asarray(mask_u), mode="drop"
         )
+
+    def insert_tokens(self, token_docs, seed: int = 1) -> None:
+        """Bulk-insert straight from PRE-TOKENIZED integer documents —
+        ids hashed ON-CHIP (contract of
+        :meth:`~datasketch_tpu.models.tpu_lsh.TpuMinHashLSH.index_tokens`;
+        membership-only, so no keys). Query with ``hashfunc='device'``
+        sketches at equal seed."""
+        from datasketch_tpu.models.minhash import MinHash
+
+        self.insert_batch(list(MinHash.bulk_signatures(
+            token_docs, num_perm=self.h, seed=seed, hashfunc="device",
+        )))
+
+    def insert_text(self, texts, k: int = 9, seed: int = 1) -> None:
+        """Bulk-insert straight from RAW TEXT via on-device k-shingling
+        (contract of
+        :meth:`~datasketch_tpu.models.tpu_lsh.TpuMinHashLSH.index_text`)."""
+        from datasketch_tpu.models.minhash import MinHash
+
+        self.insert_batch(list(MinHash.bulk_from_text(
+            texts, k=k, num_perm=self.h, seed=seed, hashfunc="device",
+        )))
 
     def query(self, minhash) -> bool:
         return bool(self.query_batch([minhash])[0])

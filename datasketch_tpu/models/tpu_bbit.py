@@ -120,6 +120,35 @@ class TpuBBitIndex:
         )
         self._sync_device()
 
+    def insert_tokens(self, keys: Sequence[Hashable], token_docs,
+                      seed: int = 1) -> None:
+        """Bulk-insert straight from PRE-TOKENIZED integer documents —
+        ids hashed ON-CHIP (same contract as
+        :meth:`~datasketch_tpu.models.tpu_lsh.TpuMinHashLSH.index_tokens`).
+        Query with ``hashfunc='device'`` sketches at equal seed."""
+        if len(keys) != len(token_docs):
+            raise ValueError("keys and token_docs must have equal length")
+        from datasketch_tpu.models.minhash import MinHash
+
+        self.insert_batch(keys, MinHash.bulk_signatures(
+            token_docs, num_perm=self.num_perm, seed=seed,
+            hashfunc="device",
+        ))
+
+    def insert_text(self, keys: Sequence[Hashable], texts, k: int = 9,
+                    seed: int = 1) -> None:
+        """Bulk-insert straight from RAW TEXT via on-device k-shingling
+        (same contract as
+        :meth:`~datasketch_tpu.models.tpu_lsh.TpuMinHashLSH.index_text`)."""
+        if len(keys) != len(texts):
+            raise ValueError("keys and texts must have equal length")
+        from datasketch_tpu.models.minhash import MinHash
+
+        self.insert_batch(keys, MinHash.bulk_from_text(
+            texts, k=k, num_perm=self.num_perm, seed=seed,
+            hashfunc="device",
+        ))
+
     def remove(self, key: Hashable) -> None:
         self.remove_batch([key])
 

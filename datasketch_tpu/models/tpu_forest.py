@@ -124,6 +124,42 @@ class TpuMinHashLSHForest:
         new_keys, new_rows = zip(*self._pending)
         self._pending = []
         tail = np.stack(new_rows).astype(np.uint32)
+        self._finish_index(new_keys, tail)
+
+    def index_tokens(self, keys: Sequence[Hashable], token_docs,
+                     seed: int = 1, scheme: str = "permutation") -> None:
+        """Bulk-build straight from PRE-TOKENIZED integer documents —
+        ids hashed ON-CHIP; same contract as
+        :meth:`datasketch_tpu.models.tpu_lsh.TpuMinHashLSH.index_tokens`.
+        Query with ``hashfunc='device'`` sketches at equal seed."""
+        if len(keys) != len(token_docs):
+            raise ValueError("keys and token_docs must have equal length")
+        from datasketch_tpu.models.minhash import MinHash
+
+        sigs = MinHash.bulk_signatures(
+            token_docs, scheme=scheme, num_perm=self.num_perm, seed=seed,
+            hashfunc="device",
+        )
+        self.index(list(keys), sigs)
+
+    def index_text(self, keys: Sequence[Hashable], texts, k: int = 9,
+                   seed: int = 1) -> None:
+        """Bulk-build straight from RAW TEXT via on-device k-shingling —
+        same contract as
+        :meth:`datasketch_tpu.models.tpu_lsh.TpuMinHashLSH.index_text`.
+        Query with ``MinHash.bulk_from_text(..., hashfunc='device')``
+        sketches at equal ``(k, seed)``."""
+        if len(keys) != len(texts):
+            raise ValueError("keys and texts must have equal length")
+        from datasketch_tpu.models.minhash import MinHash
+
+        sigs = MinHash.bulk_from_text(
+            texts, k=k, num_perm=self.num_perm, seed=seed,
+            hashfunc="device",
+        )
+        self.index(list(keys), sigs)
+
+    def _finish_index(self, new_keys, tail) -> None:
         if self._sigs_dev is None:
             all_sigs = jnp.asarray(tail)
         else:

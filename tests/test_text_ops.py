@@ -147,6 +147,59 @@ def test_index_text_end_to_end():
         index.index_text([1], texts[:2])
 
 
+def test_front_ends_on_other_device_indexes():
+    """index_tokens/index_text (forest), insert_tokens/insert_text (b-bit,
+    bloom): every device index builds straight from ids or raw text with
+    the same contract as TpuMinHashLSH."""
+    from datasketch_tpu import (
+        TpuBBitIndex,
+        TpuMinHashLSHBloom,
+        TpuMinHashLSHForest,
+    )
+
+    rng = np.random.RandomState(37)
+    texts = [_random_text(rng, 300) for _ in range(24)]
+    dups = [t[:270] + _random_text(rng, 30) for t in texts[:4]]
+    qsigs = MinHash.bulk_from_text(dups, k=9, hashfunc="device", seed=2,
+                                   num_perm=128)
+    qmhs = [MinHash(hashvalues=row, hashfunc="device") for row in qsigs]
+
+    forest = TpuMinHashLSHForest(num_perm=128, l=8, cap=16)
+    forest.index_text(list(range(24)), texts, k=9, seed=2)
+    rows = forest.query_batch(qsigs, k=3)
+    assert sum(1 for i, row in enumerate(rows) if i in row) >= 3
+    with pytest.raises(ValueError, match="equal length"):
+        forest.index_tokens([1], [np.array([1, 2], np.uint32)] * 2)
+
+    bbit = TpuBBitIndex(b=8, num_perm=128)
+    bbit.insert_text(list(range(24)), texts, k=9, seed=2)
+    rows = bbit.query_batch(qsigs, 3)
+    assert sum(1 for i, row in enumerate(rows) if i in row) >= 3
+
+    bloom = TpuMinHashLSHBloom(threshold=0.5, num_perm=128, n=1000)
+    bloom.insert_text(texts, k=9, seed=2)
+    assert bloom.query_batch(qmhs).sum() >= 3
+
+    # token front ends on the same classes
+    docs = [rng.choice(5000, size=120, replace=False).astype(np.uint32)
+            for _ in range(20)]
+    tok_sigs = MinHash.bulk_signatures(docs[:3], num_perm=128, seed=1,
+                                       hashfunc="device")
+    forest2 = TpuMinHashLSHForest(num_perm=128, l=8, cap=16)
+    forest2.index_tokens(list(range(20)), docs, seed=1)
+    rows = forest2.query_batch(tok_sigs, k=3)
+    assert all(i in row for i, row in enumerate(rows))
+    bbit2 = TpuBBitIndex(b=8, num_perm=128)
+    bbit2.insert_tokens(list(range(20)), docs, seed=1)
+    rows = bbit2.query_batch(tok_sigs, 3)
+    assert all(i in row for i, row in enumerate(rows))
+    bloom2 = TpuMinHashLSHBloom(threshold=0.5, num_perm=128, n=1000)
+    bloom2.insert_tokens(docs, seed=1)
+    assert bloom2.query_batch(
+        [MinHash(hashvalues=r, hashfunc="device") for r in tok_sigs]
+    ).all()
+
+
 def test_sharded_index_text():
     import jax
     from jax.sharding import Mesh
