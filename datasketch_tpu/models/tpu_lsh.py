@@ -213,7 +213,8 @@ class TpuMinHashLSH:
         (:mod:`datasketch_tpu.ops.text_ops`); signatures stay
         device-resident end to end. Query with sketches built by
         ``MinHash.bulk_from_text(..., hashfunc='device')`` at equal
-        ``(k, seed)``.
+        ``(k, seed)`` — or directly with :meth:`query_text` /
+        :meth:`top_k_text`.
         """
         if len(keys) != len(texts):
             raise ValueError("keys and texts must have equal length")
@@ -224,6 +225,54 @@ class TpuMinHashLSH:
             out="device",
         )
         self.index(keys, sigs)
+
+    def _token_query_sigs(self, token_docs, seed: int):
+        from datasketch_tpu.models.minhash import MinHash
+
+        return MinHash.bulk_signatures(
+            token_docs, num_perm=self.h, seed=seed, hashfunc="device",
+            out="device",
+        )
+
+    def _text_query_sigs(self, texts, shingle_k: int, seed: int):
+        from datasketch_tpu.models.minhash import MinHash
+
+        return MinHash.bulk_from_text(
+            texts, k=shingle_k, num_perm=self.h, seed=seed,
+            hashfunc="device", out="device",
+        )
+
+    def query_tokens(self, token_docs, seed: int = 1, **kwargs) -> list:
+        """Threshold-query straight from pre-tokenized integer documents
+        (query-side twin of :meth:`index_tokens` — ids hashed ON-CHIP,
+        no per-query sketch objects). ``seed`` must match the indexed
+        corpus; extra kwargs pass to :meth:`query_batch`."""
+        return self.query_batch(self._token_query_sigs(token_docs, seed),
+                                **kwargs)
+
+    def top_k_tokens(self, token_docs, k: int, seed: int = 1,
+                     **kwargs) -> list:
+        """Top-k straight from pre-tokenized integer documents (see
+        :meth:`query_tokens`); extra kwargs pass to :meth:`top_k`."""
+        return self.top_k(self._token_query_sigs(token_docs, seed), k,
+                          **kwargs)
+
+    def query_text(self, texts, shingle_k: int = 9, seed: int = 1,
+                   **kwargs) -> list:
+        """Threshold-query straight from raw texts (query-side twin of
+        :meth:`index_text` — shingles hashed ON-CHIP). ``(shingle_k,
+        seed)`` must match the indexed corpus; extra kwargs pass to
+        :meth:`query_batch`."""
+        return self.query_batch(
+            self._text_query_sigs(texts, shingle_k, seed), **kwargs
+        )
+
+    def top_k_text(self, texts, k: int, shingle_k: int = 9, seed: int = 1,
+                   **kwargs) -> list:
+        """Top-k straight from raw texts (see :meth:`query_text`);
+        extra kwargs pass to :meth:`top_k`."""
+        return self.top_k(self._text_query_sigs(texts, shingle_k, seed),
+                          k, **kwargs)
 
     def insert(self, key: Hashable, minhash, check_duplication: bool = True) -> None:
         """Insert one (key, minhash); buffers and reindexes lazily."""

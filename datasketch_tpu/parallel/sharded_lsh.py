@@ -162,6 +162,49 @@ class ShardedMinHashLSH:
         )
         self.index(keys, sigs)
 
+    def query_tokens(self, token_docs, seed: int = 1, **kwargs) -> list:
+        """Threshold-query straight from pre-tokenized integer documents
+        (ids hashed ON-CHIP; ``seed`` must match the indexed corpus);
+        extra kwargs pass to :meth:`query_batch`."""
+        from datasketch_tpu.models.minhash import MinHash
+
+        return self.query_batch(MinHash.bulk_signatures(
+            token_docs, num_perm=self.h, seed=seed, hashfunc="device",
+        ), **kwargs)
+
+    def top_k_tokens(self, token_docs, k: int, seed: int = 1,
+                     **kwargs) -> list:
+        """Top-k straight from pre-tokenized integer documents (see
+        :meth:`query_tokens`); extra kwargs pass to :meth:`top_k`."""
+        from datasketch_tpu.models.minhash import MinHash
+
+        return self.top_k(MinHash.bulk_signatures(
+            token_docs, num_perm=self.h, seed=seed, hashfunc="device",
+        ), k, **kwargs)
+
+    def query_text(self, texts, shingle_k: int = 9, seed: int = 1,
+                   **kwargs) -> list:
+        """Threshold-query straight from raw texts (shingles hashed
+        ON-CHIP; ``(shingle_k, seed)`` must match the indexed corpus);
+        extra kwargs pass to :meth:`query_batch`."""
+        from datasketch_tpu.models.minhash import MinHash
+
+        return self.query_batch(MinHash.bulk_from_text(
+            texts, k=shingle_k, num_perm=self.h, seed=seed,
+            hashfunc="device",
+        ), **kwargs)
+
+    def top_k_text(self, texts, k: int, shingle_k: int = 9, seed: int = 1,
+                   **kwargs) -> list:
+        """Top-k straight from raw texts (see :meth:`query_text`);
+        extra kwargs pass to :meth:`top_k`."""
+        from datasketch_tpu.models.minhash import MinHash
+
+        return self.top_k(MinHash.bulk_from_text(
+            texts, k=shingle_k, num_perm=self.h, seed=seed,
+            hashfunc="device",
+        ), k, **kwargs)
+
     def _build(self, sigs) -> None:
         mesh, axis = self.mesh, self.shard_axis
         n = sigs.shape[0]

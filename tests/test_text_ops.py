@@ -147,6 +147,59 @@ def test_index_text_end_to_end():
         index.index_text([1], texts[:2])
 
 
+def test_query_side_token_and_text_conveniences():
+    """query_tokens/top_k_tokens/query_text/top_k_text: symmetric
+    query-side twins of the index_* front ends — no per-query sketch
+    objects, everything hashed on-chip."""
+    from datasketch_tpu import TpuMinHashLSH
+
+    rng = np.random.RandomState(38)
+    texts = [_random_text(rng, 300) for _ in range(30)]
+    index = TpuMinHashLSH(threshold=0.5, num_perm=128, bucket_cap=64)
+    index.index_text(list(range(30)), texts, k=9, seed=2)
+    rows = index.query_text(texts[:5], shingle_k=9, seed=2)
+    assert all(i in row for i, row in enumerate(rows))
+    top = index.top_k_text(texts[:5], k=3, shingle_k=9, seed=2)
+    assert all(row and row[0][0] == i for i, row in enumerate(top))
+
+    docs = [rng.choice(5000, size=120, replace=False).astype(np.uint32)
+            for _ in range(30)]
+    tindex = TpuMinHashLSH(threshold=0.5, num_perm=128, bucket_cap=64)
+    tindex.index_tokens(list(range(30)), docs, seed=1)
+    rows = tindex.query_tokens(docs[:5], seed=1, return_scores=True)
+    assert all(any(kk == i and s > 0.99 for kk, s in row)
+               for i, row in enumerate(rows))
+    top = tindex.top_k_tokens(docs[:5], k=3, seed=1)
+    assert all(row and row[0][0] == i for i, row in enumerate(top))
+
+
+def test_sharded_query_side_conveniences():
+    import jax
+    from jax.sharding import Mesh
+
+    from datasketch_tpu.parallel import ShardedMinHashLSH
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("data",))
+    rng = np.random.RandomState(39)
+    texts = [_random_text(rng, 300) for _ in range(24)]
+    index = ShardedMinHashLSH(mesh, threshold=0.5, num_perm=128,
+                              bucket_cap=64)
+    index.index_text(list(range(24)), texts, k=9, seed=2)
+    rows = index.query_text(texts[:4], shingle_k=9, seed=2)
+    assert all(i in row for i, row in enumerate(rows))
+    top = index.top_k_text(texts[:4], k=3, shingle_k=9, seed=2)
+    assert all(row and row[0][0] == i for i, row in enumerate(top))
+    docs = [rng.choice(5000, size=120, replace=False).astype(np.uint32)
+            for _ in range(24)]
+    tix = ShardedMinHashLSH(mesh, threshold=0.5, num_perm=128,
+                            bucket_cap=64)
+    tix.index_tokens(list(range(24)), docs, seed=1)
+    assert all(i in row for i, row in
+               enumerate(tix.query_tokens(docs[:4], seed=1)))
+    top = tix.top_k_tokens(docs[:4], k=3, seed=1)
+    assert all(row and row[0][0] == i for i, row in enumerate(top))
+
+
 def test_front_ends_on_other_device_indexes():
     """index_tokens/index_text (forest), insert_tokens/insert_text (b-bit,
     bloom): every device index builds straight from ids or raw text with
