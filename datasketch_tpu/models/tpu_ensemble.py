@@ -87,6 +87,27 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
 
     # ------------------------------------------------------------------ build
 
+    def index_tokens(self, keys, token_docs, seed: int = 1) -> None:
+        """One-shot bulk build straight from PRE-TOKENIZED integer
+        documents: ids hash ON-CHIP (contract of
+        :meth:`datasketch_tpu.models.tpu_lsh.TpuMinHashLSH.index_tokens`)
+        and each entry's set size — the containment denominators the DP
+        partitioner needs — is the EXACT distinct-id count
+        (``np.unique`` per doc, cheap host metadata). Query with
+        ``hashfunc='device'`` sketches at equal seed and the same exact
+        sizes."""
+        if len(keys) != len(token_docs):
+            raise ValueError("keys and token_docs must have equal length")
+        from datasketch_tpu.models.minhash import MinHash
+
+        sigs = MinHash.bulk_signatures(
+            token_docs, num_perm=self.h, seed=seed, hashfunc="device",
+        )
+        sizes = [int(np.unique(np.asarray(d)).size) for d in token_docs]
+        self.index(
+            (key, sig, size) for key, sig, size in zip(keys, sigs, sizes)
+        )
+
     def index(self, entries: Iterable) -> None:
         """One-shot bulk build: size partitions by DP, then ONE stacked
         device build per unique r."""

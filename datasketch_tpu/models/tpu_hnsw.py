@@ -85,6 +85,45 @@ class TpuHNSW:
             pts = np.concatenate([old_pts, pts], axis=0)
         self._rebuild(keys, pts)
 
+    def index_tokens(self, keys: Sequence[Hashable], token_docs,
+                     num_perm: int = 128, seed: int = 1) -> None:
+        """Bulk-build the ANN graph straight from PRE-TOKENIZED integer
+        documents: ids hash ON-CHIP into MinHash signatures (the
+        ``minhash_jaccard`` metric's point form) — the contract of
+        :meth:`datasketch_tpu.models.tpu_lsh.TpuMinHashLSH.index_tokens`.
+        Requires ``distance_metric='minhash_jaccard'``; query with
+        signatures built the same way at equal seed."""
+        self._require_minhash_metric("index_tokens")
+        if len(keys) != len(token_docs):
+            raise ValueError("keys and token_docs must have equal length")
+        from datasketch_tpu.models.minhash import MinHash
+
+        self.index(keys, MinHash.bulk_signatures(
+            token_docs, num_perm=num_perm, seed=seed, hashfunc="device",
+        ))
+
+    def index_text(self, keys: Sequence[Hashable], texts, k: int = 9,
+                   num_perm: int = 128, seed: int = 1) -> None:
+        """Bulk-build the ANN graph straight from RAW TEXT via on-device
+        k-shingling (contract of
+        :meth:`datasketch_tpu.models.tpu_lsh.TpuMinHashLSH.index_text`).
+        Requires ``distance_metric='minhash_jaccard'``."""
+        self._require_minhash_metric("index_text")
+        if len(keys) != len(texts):
+            raise ValueError("keys and texts must have equal length")
+        from datasketch_tpu.models.minhash import MinHash
+
+        self.index(keys, MinHash.bulk_from_text(
+            texts, k=k, num_perm=num_perm, seed=seed, hashfunc="device",
+        ))
+
+    def _require_minhash_metric(self, name: str) -> None:
+        if self.metric != "minhash_jaccard":
+            raise ValueError(
+                "%s requires distance_metric='minhash_jaccard' (points "
+                "are MinHash signatures)" % name
+            )
+
     def add(self, key: Hashable, point) -> None:
         """Buffer one (key, point); the graph rebuilds at the next query.
 

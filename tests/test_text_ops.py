@@ -253,6 +253,41 @@ def test_front_ends_on_other_device_indexes():
     ).all()
 
 
+def test_hnsw_and_ensemble_front_ends():
+    from datasketch_tpu import TpuHNSW
+    from datasketch_tpu.models.tpu_ensemble import TpuMinHashLSHEnsemble
+
+    rng = np.random.RandomState(40)
+    texts = [_random_text(rng, 300) for _ in range(24)]
+    ann = TpuHNSW("minhash_jaccard", m=4, ef=16)
+    ann.index_text(list(range(24)), texts, k=9, seed=2)
+    qsigs = MinHash.bulk_from_text(texts[:4], k=9, hashfunc="device",
+                                   seed=2, num_perm=128)
+    rows = ann.query_batch(qsigs, k=3)
+    assert all(row and row[0][0] == i for i, row in enumerate(rows))
+    with pytest.raises(ValueError, match="minhash_jaccard"):
+        TpuHNSW("l2").index_text([0], texts[:1])
+
+    docs = [rng.choice(5000, size=50 + 10 * (i % 4),
+                       replace=False).astype(np.uint32)
+            for i in range(24)]
+    ann2 = TpuHNSW("minhash_jaccard", m=4, ef=16)
+    ann2.index_tokens(list(range(24)), docs, seed=1)
+    tsigs = MinHash.bulk_signatures(docs[:4], num_perm=128, seed=1,
+                                    hashfunc="device")
+    rows = ann2.query_batch(tsigs, k=3)
+    assert all(row and row[0][0] == i for i, row in enumerate(rows))
+
+    ens = TpuMinHashLSHEnsemble(threshold=0.8, num_perm=128, num_part=4,
+                                bucket_cap=16)
+    ens.index_tokens(list(range(24)), docs, seed=1)
+    hits = ens.query_batch(
+        [(MinHash(hashvalues=row, hashfunc="device"),
+          int(np.unique(docs[i]).size)) for i, row in enumerate(tsigs)]
+    )
+    assert all(i in row for i, row in enumerate(hits))
+
+
 def test_sharded_index_text():
     import jax
     from jax.sharding import Mesh
