@@ -167,9 +167,19 @@ class HyperLogLog:
         np.maximum.at(self.reg, idx, ranks.astype(np.int8))
 
     def _device_sketch_rows(self, hv: np.ndarray, lengths: np.ndarray):
-        """Device register rows for padded uint64 hash rows [B, T]."""
+        """Device register rows for padded uint64 hash rows [B, T].
+
+        T is bucketed to a power of two here (no-op for callers that
+        already pad): every distinct batch length would otherwise
+        compile a fresh program through the remote-TPU path.
+        """
         from datasketch_tpu.ops import hll_ops
 
+        t = 128
+        while t < hv.shape[1]:
+            t *= 2
+        if t != hv.shape[1]:
+            hv = np.pad(hv, ((0, 0), (0, t - hv.shape[1])))
         if self._hash_range_bit == 64:
             hi = (hv >> np.uint64(32)).astype(np.uint32)
             lo = (hv & np.uint64(0xFFFFFFFF)).astype(np.uint32)
@@ -198,26 +208,21 @@ class HyperLogLog:
             if proto.hashfunc is device_hash64:
                 # 64-bit device hash: ship the RAW uint32 ids (4B/token)
                 # and run the mix64 limb rounds on device — half the
-                # upload of host-hashed uint64 values
-                from datasketch_tpu.ops import hll_ops
+                # upload of host-hashed uint64 values. Only valid when
+                # every id fits 32 bits (the on-device mix zero-extends);
+                # wider ids fall through to the host mix64_np path below,
+                # keeping all paths bit-identical.
+                arrays = [np.asarray(d, dtype=np.uint64) for d in docs]
+                if all(
+                    a.size == 0 or int(a.max()) < (1 << 32) for a in arrays
+                ):
+                    from datasketch_tpu.ops import hll_ops
 
-                lengths = np.fromiter(
-                    map(len, docs), np.int32, count=len(docs)
-                )
-                t = 128
-                while t < max(1, int(lengths.max()) if len(lengths) else 1):
-                    t *= 2
-                b = 128
-                while b < len(docs):
-                    b *= 2
-                ids = np.zeros((b, t), dtype=np.uint32)
-                for i, d in enumerate(docs):
-                    ids[i, : len(d)] = np.asarray(d).astype(np.uint32)
-                lengths = np.pad(lengths, (0, b - len(docs)))
-                rows = np.asarray(
-                    hll_ops.sketch_batch64_ids(ids, lengths, proto.p)
-                )
-                return rows[: len(docs)]
+                    ids, lengths = _pad_pow2_ids(arrays)
+                    rows = np.asarray(
+                        hll_ops.sketch_batch64_ids(ids, lengths, proto.p)
+                    )
+                    return rows[: len(docs)]
             padded, lengths = proto._pad_hash_corpus(docs)
             rows = np.asarray(proto._device_sketch_rows(padded, lengths))
             return rows[: len(docs)]
@@ -470,6 +475,24 @@ class HyperLogLog:
         self.reg = np.array(struct.unpack_from("%dB" % self.m, mv, offset), dtype=np.int8)
 
 
+def _pad_pow2_ids(docs) -> tuple:
+    """Pad integer-id docs to (uint32[B_pow2, T_pow2], int32[B_pow2])
+    — the shared pow-of-two shape bucketing (compile-shape discipline)
+    for raw-id device uploads. Padding slots are zero and masked by the
+    lengths vector on device."""
+    lengths = np.fromiter(map(len, docs), np.int32, count=len(docs))
+    t = 128
+    while t < max(1, int(lengths.max()) if lengths.size else 1):
+        t *= 2
+    b = 128
+    while b < len(docs):
+        b *= 2
+    ids = np.zeros((b, t), dtype=np.uint32)
+    for i, d in enumerate(docs):
+        ids[i, : len(d)] = np.asarray(d).astype(np.uint32)
+    return ids, np.pad(lengths, (0, b - len(docs)))
+
+
 def _np_bit_length(x: np.ndarray) -> np.ndarray:
     """Vectorized int.bit_length() for nonnegative int64 arrays."""
     x = x.astype(np.uint64)
@@ -595,11 +618,19 @@ class HyperLogLogPlusPlus(HyperLogLog):
                     )
                 ):
                     # raw 4-byte ids up, mix64 limb rounds on device —
-                    # half the upload of host-mixed uint64 hashes
+                    # half the upload of host-mixed uint64 hashes;
+                    # T bucketed to a power of two (every distinct batch
+                    # length would otherwise compile a fresh program
+                    # through the remote-TPU path)
                     from datasketch_tpu.ops import hll_ops
 
+                    t = 128
+                    while t < ids.size:
+                        t *= 2
+                    padded = np.zeros(t, dtype=np.uint32)
+                    padded[: ids.size] = ids.astype(np.uint32)
                     row = hll_ops.sketch_batch64_ids(
-                        ids.astype(np.uint32)[None, :],
+                        padded[None, :],
                         np.array([ids.size], dtype=np.int32),
                         self.p,
                     )

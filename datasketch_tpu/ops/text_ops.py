@@ -69,13 +69,14 @@ def window_hashes_np(text: bytes, k: int) -> np.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("k", "width"))
 def _window_hashes_device(chars_flat, starts, k: int, width: int):
-    """Gather ragged byte rows and hash every k-window on device."""
-    b = starts.shape[0]
-    t = width + k  # over-gather k bytes so the last window is complete
-    idx = starts[:, None] + jax.lax.broadcasted_iota(jnp.int32, (b, t), 1)
-    idx = jnp.clip(idx, 0, chars_flat.shape[0] - 1)
-    chars = chars_flat[idx].astype(jnp.uint32)
-    return _window_accumulate_jnp(chars, k, width)
+    """Gather ragged byte rows and hash every k-window on device.
+
+    Over-gathers ``k`` extra bytes per row (shared ragged-expansion
+    helper ``minhash_ops._gather_rows``) so the last window is complete;
+    clamped out-of-range reads produce garbage only in rows' masked
+    tails."""
+    chars = minhash_ops._gather_rows(chars_flat, starts, width + k)
+    return _window_accumulate_jnp(chars.astype(jnp.uint32), k, width)
 
 
 def shingle_signatures_ragged(flat_bytes, text_lengths, k: int, seed: int,

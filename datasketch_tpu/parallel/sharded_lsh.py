@@ -162,48 +162,53 @@ class ShardedMinHashLSH:
         )
         self.index(keys, sigs)
 
-    def query_tokens(self, token_docs, seed: int = 1, **kwargs) -> list:
-        """Threshold-query straight from pre-tokenized integer documents
-        (ids hashed ON-CHIP; ``seed`` must match the indexed corpus);
-        extra kwargs pass to :meth:`query_batch`."""
+    def _token_query_sigs(self, token_docs, seed: int):
         from datasketch_tpu.models.minhash import MinHash
 
-        return self.query_batch(MinHash.bulk_signatures(
+        return MinHash.bulk_signatures(
             token_docs, num_perm=self.h, seed=seed, hashfunc="device",
-        ), **kwargs)
+            out="device",
+        )
+
+    def _text_query_sigs(self, texts, shingle_k: int, seed: int):
+        from datasketch_tpu.models.minhash import MinHash
+
+        return MinHash.bulk_from_text(
+            texts, k=shingle_k, num_perm=self.h, seed=seed,
+            hashfunc="device", out="device",
+        )
+
+    def query_tokens(self, token_docs, seed: int = 1, **kwargs) -> list:
+        """Threshold-query straight from pre-tokenized integer documents
+        (ids hashed ON-CHIP, signatures stay device-resident; ``seed``
+        must match the indexed corpus); extra kwargs pass to
+        :meth:`query_batch`."""
+        return self.query_batch(self._token_query_sigs(token_docs, seed),
+                                **kwargs)
 
     def top_k_tokens(self, token_docs, k: int, seed: int = 1,
                      **kwargs) -> list:
         """Top-k straight from pre-tokenized integer documents (see
         :meth:`query_tokens`); extra kwargs pass to :meth:`top_k`."""
-        from datasketch_tpu.models.minhash import MinHash
-
-        return self.top_k(MinHash.bulk_signatures(
-            token_docs, num_perm=self.h, seed=seed, hashfunc="device",
-        ), k, **kwargs)
+        return self.top_k(self._token_query_sigs(token_docs, seed), k,
+                          **kwargs)
 
     def query_text(self, texts, shingle_k: int = 9, seed: int = 1,
                    **kwargs) -> list:
         """Threshold-query straight from raw texts (shingles hashed
-        ON-CHIP; ``(shingle_k, seed)`` must match the indexed corpus);
-        extra kwargs pass to :meth:`query_batch`."""
-        from datasketch_tpu.models.minhash import MinHash
-
-        return self.query_batch(MinHash.bulk_from_text(
-            texts, k=shingle_k, num_perm=self.h, seed=seed,
-            hashfunc="device",
-        ), **kwargs)
+        ON-CHIP, signatures stay device-resident; ``(shingle_k, seed)``
+        must match the indexed corpus); extra kwargs pass to
+        :meth:`query_batch`."""
+        return self.query_batch(
+            self._text_query_sigs(texts, shingle_k, seed), **kwargs
+        )
 
     def top_k_text(self, texts, k: int, shingle_k: int = 9, seed: int = 1,
                    **kwargs) -> list:
         """Top-k straight from raw texts (see :meth:`query_text`);
         extra kwargs pass to :meth:`top_k`."""
-        from datasketch_tpu.models.minhash import MinHash
-
-        return self.top_k(MinHash.bulk_from_text(
-            texts, k=shingle_k, num_perm=self.h, seed=seed,
-            hashfunc="device",
-        ), k, **kwargs)
+        return self.top_k(self._text_query_sigs(texts, shingle_k, seed),
+                          k, **kwargs)
 
     def _build(self, sigs) -> None:
         mesh, axis = self.mesh, self.shard_axis

@@ -352,6 +352,28 @@ def test_hllpp_device_hash_paths_agree():
     n_distinct = len(np.unique(ids))
     assert abs(full.count() - n_distinct) / n_distinct < 0.1
 
+    # bulk device path agrees with host even for ids >= 2**32: the
+    # raw-id device upload is range-guarded and wide ids take the host
+    # mix64 (regression: the unguarded path silently truncated to u32)
+    wide_docs = [[5, 7, (1 << 40) + 3, 1 << 33], [1, 2, 3]]
+    np.testing.assert_array_equal(
+        HyperLogLogPlusPlus.bulk_registers(
+            wide_docs, p=10, hashfunc="device"
+        ),
+        HyperLogLogPlusPlus.bulk_registers(
+            wide_docs, p=10, hashfunc="device", device_mode="always"
+        ),
+    )
+    hword = HyperLogLogPlusPlus(p=10, hashfunc="device")
+    for x in wide_docs[0]:
+        hword.update(x)
+    np.testing.assert_array_equal(
+        HyperLogLogPlusPlus.bulk_registers(
+            wide_docs, p=10, hashfunc="device", device_mode="always"
+        )[0],
+        hword.reg,
+    )
+
     # ids wider than 32 bits still hash correctly (host mix64 fallback)
     wide = [int(x) for x in
             rng.randint(0, 1 << 62, size=100).astype(np.uint64)]
