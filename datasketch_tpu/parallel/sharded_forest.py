@@ -64,6 +64,37 @@ class ShardedMinHashLSHForest:
 
     # ------------------------------------------------------------- building
 
+    def index_tokens(self, keys: Sequence[Hashable], token_docs,
+                     seed: int = 1) -> None:
+        """Bulk-build straight from PRE-TOKENIZED integer documents (ids
+        hashed ON-CHIP, signatures device-resident end to end — contract
+        of :meth:`datasketch_tpu.models.tpu_lsh.TpuMinHashLSH.
+        index_tokens`). Query with ``hashfunc='device'`` sketches at
+        equal seed."""
+        if len(keys) != len(token_docs):
+            raise ValueError("keys and token_docs must have equal length")
+        from datasketch_tpu.models.minhash import MinHash
+
+        self.index(keys, MinHash.bulk_signatures(
+            token_docs, num_perm=self.num_perm, seed=seed,
+            hashfunc="device",
+        ))
+
+    def index_text(self, keys: Sequence[Hashable], texts, k: int = 9,
+                   seed: int = 1) -> None:
+        """Bulk-build straight from RAW TEXT via on-device k-shingling
+        (contract of :meth:`datasketch_tpu.models.tpu_lsh.TpuMinHashLSH.
+        index_text`). Query with ``MinHash.bulk_from_text(...,
+        hashfunc='device')`` sketches at equal ``(k, seed)``."""
+        if len(keys) != len(texts):
+            raise ValueError("keys and texts must have equal length")
+        from datasketch_tpu.models.minhash import MinHash
+
+        self.index(keys, MinHash.bulk_from_text(
+            texts, k=k, num_perm=self.num_perm, seed=seed,
+            hashfunc="device",
+        ))
+
     def index(self, keys: Sequence[Hashable], minhashes) -> None:
         """Bulk-build (or extend) the sharded forest.
 

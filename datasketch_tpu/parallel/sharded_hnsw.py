@@ -72,6 +72,43 @@ class ShardedHNSW:
 
     # ------------------------------------------------------------- building
 
+    def _require_minhash_metric(self, name: str) -> None:
+        if self.metric != "minhash_jaccard":
+            raise ValueError(
+                "%s requires distance_metric='minhash_jaccard' (points "
+                "are MinHash signatures)" % name
+            )
+
+    def index_tokens(self, keys: Sequence[Hashable], token_docs,
+                     num_perm: int = 128, seed: int = 1) -> None:
+        """Bulk-build the sharded ANN graphs straight from PRE-TOKENIZED
+        integer documents (ids hashed ON-CHIP; contract of
+        :meth:`datasketch_tpu.models.tpu_hnsw.TpuHNSW.index_tokens`).
+        Requires ``distance_metric='minhash_jaccard'``."""
+        self._require_minhash_metric("index_tokens")
+        if len(keys) != len(token_docs):
+            raise ValueError("keys and token_docs must have equal length")
+        from datasketch_tpu.models.minhash import MinHash
+
+        self.index(keys, MinHash.bulk_signatures(
+            token_docs, num_perm=num_perm, seed=seed, hashfunc="device",
+        ))
+
+    def index_text(self, keys: Sequence[Hashable], texts, k: int = 9,
+                   num_perm: int = 128, seed: int = 1) -> None:
+        """Bulk-build the sharded ANN graphs straight from RAW TEXT via
+        on-device k-shingling (contract of
+        :meth:`datasketch_tpu.models.tpu_hnsw.TpuHNSW.index_text`).
+        Requires ``distance_metric='minhash_jaccard'``."""
+        self._require_minhash_metric("index_text")
+        if len(keys) != len(texts):
+            raise ValueError("keys and texts must have equal length")
+        from datasketch_tpu.models.minhash import MinHash
+
+        self.index(keys, MinHash.bulk_from_text(
+            texts, k=k, num_perm=num_perm, seed=seed, hashfunc="device",
+        ))
+
     def index(self, keys: Sequence[Hashable], points) -> None:
         """Bulk (re)build the sharded graphs from (keys, points).
 

@@ -253,6 +253,39 @@ def test_front_ends_on_other_device_indexes():
     ).all()
 
 
+def test_sharded_forest_hnsw_front_ends():
+    import jax
+    from jax.sharding import Mesh
+
+    from datasketch_tpu.parallel import ShardedHNSW, ShardedMinHashLSHForest
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("data",))
+    rng = np.random.RandomState(43)
+    texts = [_random_text(rng, 300) for _ in range(24)]
+    qsigs = MinHash.bulk_from_text(texts[:4], k=9, hashfunc="device",
+                                   seed=2, num_perm=128)
+    forest = ShardedMinHashLSHForest(mesh, num_perm=128, l=8, cap=16)
+    forest.index_text(list(range(24)), texts, k=9, seed=2)
+    rows = forest.query_batch(qsigs, k=3)
+    assert sum(1 for i, row in enumerate(rows) if i in row) >= 3
+
+    ann = ShardedHNSW(mesh, "minhash_jaccard", m=4, ef=16)
+    ann.index_text(list(range(24)), texts, k=9, seed=2)
+    rows = ann.query_batch(qsigs.astype(np.float32), k=3)
+    assert all(row and row[0][0] == i for i, row in enumerate(rows))
+    with pytest.raises(ValueError, match="minhash_jaccard"):
+        ShardedHNSW(mesh, "l2").index_tokens([0], [[1, 2, 3]])
+
+    docs = [rng.choice(5000, size=100, replace=False).astype(np.uint32)
+            for _ in range(20)]
+    tsigs = MinHash.bulk_signatures(docs[:3], num_perm=128, seed=1,
+                                    hashfunc="device")
+    forest2 = ShardedMinHashLSHForest(mesh, num_perm=128, l=8, cap=16)
+    forest2.index_tokens(list(range(20)), docs, seed=1)
+    rows = forest2.query_batch(tsigs, k=3)
+    assert all(i in row for i, row in enumerate(rows))
+
+
 def test_hnsw_and_ensemble_front_ends():
     from datasketch_tpu import TpuHNSW
     from datasketch_tpu.models.tpu_ensemble import TpuMinHashLSHEnsemble
