@@ -268,11 +268,18 @@ def bench_lsh_scale(n_docs: int = 131072, n_queries: int = 800, k: int = 10):
     from datasketch_tpu import TpuMinHashLSH
 
     sigs, src, dst = synth_signatures(n_docs, NUM_PERM)
-    index = TpuMinHashLSH(threshold=0.5, num_perm=NUM_PERM, bucket_cap=128)
-    t0 = time.perf_counter()
-    index.index(list(range(n_docs)), sigs)
-    index.status()  # forces the build to complete (device sync)
-    build_s = time.perf_counter() - t0
+    # two build samples (fresh index each): the one-shot build is
+    # upload-dominated and the tunnel rate drifts in multi-minute
+    # windows — a single sample can land 7x low
+    build_s = float("inf")
+    for _ in range(2):
+        index = TpuMinHashLSH(
+            threshold=0.5, num_perm=NUM_PERM, bucket_cap=128
+        )
+        t0 = time.perf_counter()
+        index.index(list(range(n_docs)), sigs)
+        index.status()  # forces the build to complete (device sync)
+        build_s = min(build_s, time.perf_counter() - t0)
     queries = sigs[dst[-n_queries:]]
     expect = src[-n_queries:]
     index.top_k(queries, k=k)  # warm the serving-shape compile

@@ -285,6 +285,23 @@ def test_sharded_forest_hnsw_front_ends():
     rows = forest2.query_batch(tsigs, k=3)
     assert all(i in row for i, row in enumerate(rows))
 
+    # inherited front ends route through the SHARDED build paths
+    from datasketch_tpu.parallel import (
+        ShardedBBitIndex,
+        ShardedMinHashLSHBloom,
+    )
+
+    bbit = ShardedBBitIndex(mesh, b=8, num_perm=128)
+    bbit.insert_tokens(list(range(20)), docs, seed=1)
+    rows = bbit.query_batch(tsigs, 3)
+    assert all(i in row for i, row in enumerate(rows))
+    bloom = ShardedMinHashLSHBloom(mesh, threshold=0.5, num_perm=128,
+                                   n=1000)
+    bloom.insert_tokens(docs, seed=1)
+    assert bloom.query_batch(
+        [MinHash(hashvalues=r, hashfunc="device") for r in tsigs]
+    ).all()
+
 
 def test_hnsw_and_ensemble_front_ends():
     from datasketch_tpu import TpuHNSW
