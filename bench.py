@@ -17,6 +17,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -128,14 +129,20 @@ def bench_reference(corpus) -> float:
 
 
 def bench_fast_rows(corpus, n_docs: int, chars_per_doc: int = 1024,
-                    k: int = 9, rounds: int = 5):
-    """The fast-hash front-end rows, sampled INTERLEAVED round-robin.
+                    k: int = 9, passes: int = 2, iters: int = 3):
+    """The fast-hash front-end rows, sampled SEQUENTIALLY with a strict
+    corpus lifecycle: each row's data is created right before its
+    samples and freed right after.
 
-    The tunnel's H2D rate drifts between ~15 and ~55 MB/s over windows
-    of seconds (measured 2026-08-17: identical code+shapes, 20k vs 58k
-    sigs/s in back-to-back captures), so per-row best-of loops can sink
-    a whole row into one degraded window; round-robin sampling bounds a
-    window's impact to one sample per row.
+    Two tunnel pathologies shape this protocol (measured 2026-08-17):
+    (1) the H2D rate drifts between ~15 and ~55 MB/s in multi-second
+    windows, so each row is sampled in ``passes`` separate time windows
+    (best across all samples wins); (2) keeping four-plus distinct
+    upload corpora/program families LIVE in one process pins most
+    upload paths at ~8-13k docs/s (reproduced and bisected: any pair is
+    fine at 52-65k, the quad collapses), so at most two corpora coexist
+    here — the shared headline corpus (for the xxh32 row) and the
+    current row's.
 
     Rows (all end-to-end, result device-resident, real-completion sync):
     - xxh32: native XXH32 batch hashing, flat ragged upload — the
@@ -150,20 +157,23 @@ def bench_fast_rows(corpus, n_docs: int, chars_per_doc: int = 1024,
     from datasketch_tpu.native import corpus as native_corpus
     from datasketch_tpu.utils.profiling import device_sync
 
-    rng = np.random.RandomState(7)
-    wide_ids = [
-        rng.randint(0, 1 << 31, TOKENS_PER_DOC).astype(np.uint32)
-        for _ in range(n_docs)
-    ]
-    vocab_ids = [
-        rng.randint(0, 50000, TOKENS_PER_DOC).astype(np.uint32)
-        for _ in range(n_docs)
-    ]
-    texts = [
-        bytes(rng.randint(32, 127, size=chars_per_doc, dtype=np.uint8))
-        for _ in range(n_docs)
-    ]
-    xxh_run = _sigs_runner(corpus, native_corpus.ALGO_XXH32)  # self-warming
+    def make_wide(rng):
+        return [
+            rng.randint(0, 1 << 31, TOKENS_PER_DOC).astype(np.uint32)
+            for _ in range(n_docs)
+        ]
+
+    def make_vocab(rng):
+        return [
+            rng.randint(0, 50000, TOKENS_PER_DOC).astype(np.uint32)
+            for _ in range(n_docs)
+        ]
+
+    def make_texts(rng):
+        return [
+            bytes(rng.randint(32, 127, size=chars_per_doc, dtype=np.uint8))
+            for _ in range(n_docs)
+        ]
 
     def ids_run(docs):
         device_sync(MinHash.bulk_signatures(
@@ -176,28 +186,36 @@ def bench_fast_rows(corpus, n_docs: int, chars_per_doc: int = 1024,
             texts_, k=k, num_perm=NUM_PERM, out="device", **kwargs
         ))
 
-    runners = {
-        "xxh32": (lambda: xxh_run(), len(corpus)),
-        "device_ids": (lambda: ids_run(wide_ids), n_docs),
-        "device_ids_u16": (lambda: ids_run(vocab_ids), n_docs),
-        "text_sha1": (lambda: text_run(texts, None), n_docs),
-        "text_device": (lambda: text_run(texts, "device"), n_docs),
-    }
-    # warm every runner at FULL size before any timing: the first
-    # full-size dispatch pays the jit compile AND the tunnel's
-    # first-transfer warmup for that buffer size (measured: a 256-doc
-    # warm leaves the 8192-doc first pass 8-17x slow)
-    for _name, (fn, _n) in runners.items():
-        fn()
-    best = {name: float("inf") for name in runners}
-    for _ in range(rounds):
-        for name, (fn, _n) in runners.items():
-            t0 = time.perf_counter()
-            fn()
-            best[name] = min(best[name], time.perf_counter() - t0)
+    rows_spec = [
+        ("xxh32", None, None, len(corpus)),
+        ("device_ids", make_wide, ids_run, n_docs),
+        ("device_ids_u16", make_vocab, ids_run, n_docs),
+        ("text_sha1", make_texts, lambda d: text_run(d, None), n_docs),
+        ("text_device", make_texts, lambda d: text_run(d, "device"),
+         n_docs),
+    ]
+    best = {name: float("inf") for name, _m, _r, _n in rows_spec}
+    for _pass in range(passes):
+        for name, maker, runner, _n in rows_spec:
+            if maker is None:  # xxh32 shares the headline corpus
+                run = _sigs_runner(corpus, native_corpus.ALGO_XXH32)
+            else:
+                data = maker(np.random.RandomState(7))
+                run = functools.partial(runner, data)
+                run()  # full-size warm: first dispatch pays the jit
+                # compile AND the tunnel's first-transfer warmup for
+                # this buffer size (a small warm leaves the full-size
+                # first pass 8-17x slow)
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                run()
+                best[name] = min(best[name], time.perf_counter() - t0)
+            del run  # free this row's corpus before the next row's
+            if maker is not None:
+                del data
     rows = {
         name + "_docs_per_sec": round(n / best[name], 1)
-        for name, (_f, n) in runners.items()
+        for name, _m, _r, n in rows_spec
     }
     rows["text_chars_per_doc"] = chars_per_doc
     rows["k"] = k
