@@ -141,8 +141,8 @@ def bench_fast_rows(corpus, n_docs: int, chars_per_doc: int = 1024,
     upload corpora/program families LIVE in one process pins most
     upload paths at ~8-13k docs/s (reproduced and bisected: any pair is
     fine at 52-65k, the quad collapses), so at most two corpora coexist
-    here — the shared headline corpus (for the xxh32 row) and the
-    current row's.
+    here — the headline corpus (still referenced by the caller) and the
+    current row's own, freed before the next row's is built.
 
     Rows (all end-to-end, result device-resident, real-completion sync):
     - xxh32: native XXH32 batch hashing, flat ragged upload — the
@@ -156,6 +156,16 @@ def bench_fast_rows(corpus, n_docs: int, chars_per_doc: int = 1024,
     from datasketch_tpu import MinHash
     from datasketch_tpu.native import corpus as native_corpus
     from datasketch_tpu.utils.profiling import device_sync
+
+    def make_byte_docs(rng):
+        vocab = [
+            bytes(rng.randint(0, 256, size=10, dtype=np.uint8))
+            for _ in range(30000)
+        ]
+        return [
+            [vocab[j] for j in rng.randint(0, 30000, TOKENS_PER_DOC)]
+            for _ in range(n_docs)
+        ]
 
     def make_wide(rng):
         return [
@@ -187,7 +197,7 @@ def bench_fast_rows(corpus, n_docs: int, chars_per_doc: int = 1024,
         ))
 
     rows_spec = [
-        ("xxh32", None, None, len(corpus)),
+        ("xxh32", make_byte_docs, None, n_docs),
         ("device_ids", make_wide, ids_run, n_docs),
         ("device_ids_u16", make_vocab, ids_run, n_docs),
         ("text_sha1", make_texts, lambda d: text_run(d, None), n_docs),
@@ -197,10 +207,11 @@ def bench_fast_rows(corpus, n_docs: int, chars_per_doc: int = 1024,
     best = {name: float("inf") for name, _m, _r, _n in rows_spec}
     for _pass in range(passes):
         for name, maker, runner, _n in rows_spec:
-            if maker is None:  # xxh32 shares the headline corpus
-                run = _sigs_runner(corpus, native_corpus.ALGO_XXH32)
+            data = maker(np.random.RandomState(7))
+            if runner is None:  # xxh32: the chunked sigs pipeline
+                run = _sigs_runner(data, native_corpus.ALGO_XXH32)
+                # (self-warming at construction)
             else:
-                data = maker(np.random.RandomState(7))
                 run = functools.partial(runner, data)
                 run()  # full-size warm: first dispatch pays the jit
                 # compile AND the tunnel's first-transfer warmup for
@@ -210,9 +221,7 @@ def bench_fast_rows(corpus, n_docs: int, chars_per_doc: int = 1024,
                 t0 = time.perf_counter()
                 run()
                 best[name] = min(best[name], time.perf_counter() - t0)
-            del run  # free this row's corpus before the next row's
-            if maker is not None:
-                del data
+            del run, data  # free this row's corpus before the next row's
     rows = {
         name + "_docs_per_sec": round(n / best[name], 1)
         for name, _m, _r, n in rows_spec
