@@ -128,7 +128,7 @@ def bench_reference(corpus) -> float:
     return len(corpus) / best
 
 
-def bench_fast_rows(corpus, n_docs: int, chars_per_doc: int = 1024,
+def bench_fast_rows(n_docs: int, chars_per_doc: int = 1024,
                     k: int = 9, passes: int = 2, iters: int = 3):
     """The fast-hash front-end rows, sampled SEQUENTIALLY with a strict
     corpus lifecycle: each row's data is created right before its
@@ -485,13 +485,10 @@ def main() -> None:
             "importable on this host)" % FALLBACK_REF_RATE
         )
     # fast-hash rows run BEFORE the index benches (late-in-process state
-    # degrades them ~3-4x, measured 2026-08-17) and INTERLEAVED
-    # round-robin (the tunnel H2D rate drifts in multi-second windows —
-    # see bench_fast_rows)
+    # degrades them ~3-4x, measured 2026-08-17), sequentially with a
+    # strict per-row corpus lifecycle (see bench_fast_rows)
     try:
-        fast_rows = bench_fast_rows(
-            corpus, 8192 if device_kind == "tpu" else 512
-        )
+        fast_rows = bench_fast_rows(8192 if device_kind == "tpu" else 512)
     except Exception as exc:
         fast_rows = {"error": repr(exc)}
     try:

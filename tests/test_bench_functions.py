@@ -43,7 +43,7 @@ def test_bench_helpers_smoke():
     corpus = bench.make_corpus(64)
     assert bench.bench_ours(corpus) > 0
 
-    rows = bench.bench_fast_rows(corpus, 32, chars_per_doc=128, passes=1,
+    rows = bench.bench_fast_rows(32, chars_per_doc=128, passes=1,
                                  iters=1)
     for key in ("xxh32", "device_ids", "device_ids_u16", "text_sha1",
                 "text_device"):
