@@ -76,19 +76,33 @@ def ours(docs, threshold=0.8, num_perm=128, banding_threshold=None,
     from datasketch_tpu.ops import lsh_ops
 
     pairs = set()
-    chunk = 8192
     max_dups = 64  # per-doc duplicate budget; raise for heavier clustering
     n = len(sigs)
     sigs_dev = index._sigs_dev
+    # Scan vs bands for the all-pairs sweep, measured at 100k docs:
+    # the exact streaming scan wins ONLY at serving-sized query chunks
+    # (~1k — at Q=8192/chunk its [Q, tile] score intermediates blow past
+    # VMEM and the per-tile top_k grows quadratic-ish: 84s vs the band
+    # path's 59s); at 1024-query chunks the scan runs at its ~10k q/s
+    # serving rate. Bands keep the big chunks (their cost scales with
+    # Q*b*cap, not Q*N).
+    use_scan = sigs_dev.shape[0] <= 1024 * index.b * index.bucket_cap
+    chunk = 1024 if use_scan else 8192
     for i in range(0, n, chunk):
         q = sigs[i : i + chunk]
         if q.shape[0] != chunk:  # keep one compiled shape
             q = np.pad(q, ((0, chunk - q.shape[0]), (0, 0)))
-        ids, sc, _ = lsh_ops.topk_fused(
-            index._sorted_fp, index._sorted_ids, sigs_dev, jnp.asarray(q),
-            index.b, index.r, index.bucket_cap, max_dups,
-            n_valid=jnp.int32(index._n_real),
-        )
+        if use_scan:
+            ids, sc = lsh_ops.topk_scan(
+                sigs_dev, jnp.asarray(q), max_dups,
+                n_valid=jnp.int32(index._n_real),
+            )
+        else:
+            ids, sc, _ = lsh_ops.topk_fused(
+                index._sorted_fp, index._sorted_ids, sigs_dev,
+                jnp.asarray(q), index.b, index.r, index.bucket_cap,
+                max_dups, n_valid=jnp.int32(index._n_real),
+            )
         ids = np.asarray(ids)[: min(chunk, n - i)]
         sc = np.asarray(sc)[: min(chunk, n - i)]
         qi = np.arange(i, i + ids.shape[0])[:, None]
