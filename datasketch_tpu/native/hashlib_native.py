@@ -151,6 +151,10 @@ def xxh32_one(data, seed: int = 0) -> int:
     :func:`datasketch_tpu.hashfunc.xxhash_hash32`). Pure Python is faster
     than a batch-of-1 native call (no packing/ctypes overhead) and is
     bit-identical to the C implementation."""
+    if isinstance(data, int):
+        # bytes(int) would silently hash N zero bytes; match the sha1
+        # hashfuncs, which raise for non-buffer input.
+        raise TypeError("a bytes-like object is required, not 'int'")
     return _py_xxh32(bytes(data), seed)
 
 

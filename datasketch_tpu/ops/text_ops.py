@@ -102,7 +102,15 @@ def shingle_signatures_ragged(flat_bytes, text_lengths, k: int, seed: int,
     if b_pad != n_real:
         text_lengths = np.pad(text_lengths, (0, b_pad - n_real))
         sh_lengths = np.pad(sh_lengths, (0, b_pad - n_real))
-    starts = np.zeros_like(text_lengths)
+    total = int(text_lengths.astype(np.int64).sum())
+    if total >= 2**31:
+        # starts are int32 on device; callers (bulk_from_text) chunk well
+        # below this — fail loudly rather than overflow silently.
+        raise ValueError(
+            "batch holds %d text bytes; int32 starts overflow at 2**31 — "
+            "chunk the batch (bulk_from_text does this automatically)" % total
+        )
+    starts = np.zeros(text_lengths.shape[0], dtype=np.int32)
     if text_lengths.size:
         np.cumsum(text_lengths[:-1], out=starts[1:])
     width = 128
@@ -110,8 +118,15 @@ def shingle_signatures_ragged(flat_bytes, text_lengths, k: int, seed: int,
     while width < max_sh:
         width *= 2
     flat_bytes = np.asarray(flat_bytes, dtype=np.uint8)
-    if flat_bytes.shape[0] == 0:
-        flat_bytes = np.zeros(1, dtype=np.uint8)
+    # Bucket the flat axis to powers of two: the jit below would otherwise
+    # compile one XLA program per distinct total byte count (every program
+    # compiles through the remote tunnel). Clamped out-of-range gathers are
+    # masked by sh_lengths, so the zero padding is never observed.
+    flat_pad = 1024
+    while flat_pad < max(total, 1):
+        flat_pad *= 2
+    if flat_bytes.shape[0] != flat_pad:
+        flat_bytes = np.pad(flat_bytes, (0, flat_pad - flat_bytes.shape[0]))
     wh = _window_hashes_device(
         jnp.asarray(flat_bytes), jnp.asarray(starts), k, width
     )

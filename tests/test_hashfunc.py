@@ -118,3 +118,14 @@ def test_device_mix32_is_bijective_sample():
     x = np.arange(100000, dtype=np.uint32)
     y = np.asarray(mix32(jnp.asarray(x)))
     assert len(np.unique(y)) == len(x)
+
+
+def test_xxhash_hash32_rejects_int():
+    """An int must raise (bytes(int) would silently hash N zero bytes,
+    diverging from the sha1 hashfuncs and the native batch path)."""
+    import pytest
+
+    from datasketch_tpu.hashfunc import xxhash_hash32
+
+    with pytest.raises(TypeError):
+        xxhash_hash32(5)

@@ -358,3 +358,23 @@ def test_sharded_index_text():
     )
     found = sum(1 for i, row in enumerate(rows) if i in row)
     assert found >= 4
+
+
+def test_shingle_signatures_flat_axis_bucketed():
+    """Distinct total byte counts within one pow-2 bucket must reuse one
+    compiled program (the flat axis is padded like B and width are)."""
+    import jax
+
+    from datasketch_tpu.ops import text_ops
+
+    def sig_for(texts):
+        lengths = np.array([len(t) for t in texts], dtype=np.int32)
+        flat = np.frombuffer(b"".join(texts), dtype=np.uint8)
+        return text_ops.shingle_signatures_ragged(flat, lengths, 9, 1, 64)
+
+    base = text_ops._window_hashes_device._cache_size()
+    sig_for([b"a" * 40, b"b" * 30])
+    n1 = text_ops._window_hashes_device._cache_size()
+    sig_for([b"c" * 37, b"d" * 21])  # different total, same pow-2 bucket
+    assert text_ops._window_hashes_device._cache_size() == n1
+    assert n1 > base or base > 0

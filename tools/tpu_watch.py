@@ -46,17 +46,26 @@ def main() -> None:
         if res.get("ok"):
             log("tunnel HEALTHY — starting recapture")
             open(MARKER, "w").write(str(time.time()))
+            rc = None
             try:
-                subprocess.run(
+                rc = subprocess.run(
                     [sys.executable, os.path.join(ROOT, "tools", "tpu_recapture.py"),
                      "--skip-probe"],
                     cwd=ROOT, timeout=3 * 3600, check=False,
-                )
+                ).returncode
+            except subprocess.TimeoutExpired:
+                log("recapture TIMED OUT after 3h")
+            except Exception as exc:
+                log(f"recapture crashed: {exc!r}")
             finally:
                 os.remove(MARKER)
-            open(DONE, "w").write(str(time.time()))
-            log("recapture finished -> tpu_evidence/")
-            return
+            if rc == 0:
+                # DONE means SUCCEEDED — readers gate on it, so only a
+                # zero exit earns the marker.
+                open(DONE, "w").write(str(time.time()))
+                log("recapture finished -> tpu_evidence/")
+                return
+            log(f"recapture failed (rc={rc}); will retry next probe")
         time.sleep(900)
     log("max hours elapsed, tunnel never healed")
 
