@@ -35,22 +35,27 @@ def _as_signature_matrix(minhashes) -> np.ndarray:
     2^-32 mix collision), preserving the Jaccard-estimation semantics the
     banding and rerank rely on.
     """
+    from datasketch_tpu.ops.cws_ops import kt_slots, kt_slots_np
+
     if isinstance(minhashes, np.ndarray) and minhashes.ndim == 2:
         # matrix fast path (MinHash.bulk_signatures output)
         return np.ascontiguousarray(minhashes, dtype=np.uint32)
+    if isinstance(minhashes, np.ndarray) and minhashes.ndim == 3:
+        # host batch of (k, t) pairs: [N, sample_size, 2]
+        return kt_slots_np(minhashes)
     if isinstance(minhashes, jax.Array) and minhashes.ndim == 2:
         # device-resident matrix: keep it on device (no host round trip)
         return minhashes.astype(jnp.uint32)
+    if isinstance(minhashes, jax.Array) and minhashes.ndim == 3:
+        # device-resident (k, t) pairs (WeightedMinHashGenerator
+        # .minhash_many(out='device') / ops.cws_ops.cws_many output):
+        # mixed to slots ON DEVICE — CWS weights never round-trip to host
+        return kt_slots(minhashes)
     rows = []
     for m in minhashes:
         hv = np.asarray(m.hashvalues if hasattr(m, "hashvalues") else m)
         if hv.ndim == 2:  # WeightedMinHash (k, t) pairs
-            k = hv[:, 0].astype(np.uint64)
-            t = hv[:, 1].astype(np.int64).astype(np.uint64)  # t may be negative
-            mixed = (k * np.uint64(0x9E3779B97F4A7C15) + t) * np.uint64(
-                0xC2B2AE3D27D4EB4F
-            )
-            rows.append(((mixed >> np.uint64(32)) ^ mixed).astype(np.uint32))
+            rows.append(kt_slots_np(hv))
         else:
             rows.append(hv.astype(np.uint64).astype(np.uint32))
     return np.stack(rows) if rows else np.zeros((0, 0), dtype=np.uint32)

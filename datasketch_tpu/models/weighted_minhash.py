@@ -118,7 +118,7 @@ class WeightedMinHashGenerator:
     # weighted_minhash.py:192-247).
     _CHUNK_ELEMS = 1 << 22
 
-    def minhash_many(self, X) -> list:
+    def minhash_many(self, X, out: str = "objects"):
         """Sketch each row of a (sparse or dense) weight matrix.
 
         Rows that are entirely zero yield ``None`` (parity with
@@ -127,9 +127,22 @@ class WeightedMinHashGenerator:
         kernel, STREAMING the input in bounded row chunks — sparse matrices
         are densified one chunk at a time, never whole (a dim=10k, 50k-row
         CSR would otherwise materialize 2GB on host).
+
+        Args:
+            out: ``'objects'`` (default) — list of
+                :class:`WeightedMinHash` / None. ``'device'`` — one
+                DEVICE-RESIDENT int32[N, sample_size, 2] array of (k, t)
+                pairs that the device LSH indexes accept directly
+                (``TpuMinHashLSH.index`` mixes them to band slots on
+                device — weights in, servable index out, no host
+                round trip of the sketches). All-zero rows raise
+                ``ValueError`` here (there is no None slot in a dense
+                device batch; filter them first).
         """
         import scipy.sparse as sp
 
+        if out not in ("objects", "device"):
+            raise ValueError("out must be 'objects' or 'device'")
         if not isinstance(X, (sp.spmatrix, np.ndarray)) and not sp.issparse(X):
             raise TypeError("Input X must be a sparse matrix or numpy matrix")
         if X.ndim != 2:
@@ -140,6 +153,8 @@ class WeightedMinHashGenerator:
         if issparse:
             X = X.tocsr()
         n = X.shape[0]
+        if out == "device":
+            return self._minhash_many_device(X, issparse, n)
         ret: list = [None] * n
         if n == 0:
             return ret
@@ -187,3 +202,38 @@ class WeightedMinHashGenerator:
         ):
             pass
         return ret
+
+    def _minhash_many_device(self, X, issparse: bool, n: int):
+        """``minhash_many(out='device')`` body: chunked CWS straight to a
+        device-resident (k, t) batch. Chunks stay a fixed pow-2 shape
+        (one compiled kernel program); the tail chunk is zero-padded and
+        sliced off after the device concat."""
+        import jax.numpy as jnp
+
+        from datasketch_tpu.ops import cws_ops
+
+        if n == 0:
+            return jnp.zeros((0, self.sample_size, 2), dtype=jnp.int32)
+        chunk = max(8, self._CHUNK_ELEMS // max(1, self.dim))
+        chunk = 1 << (int(chunk) - 1).bit_length()
+        parts = []
+        for start in range(0, n, chunk):
+            block = X[start : start + chunk]
+            dense = np.asarray(
+                block.todense() if issparse else block, dtype=np.float32
+            )
+            if np.any(np.all(dense == 0, axis=1)):
+                bad = start + int(
+                    np.nonzero(np.all(dense == 0, axis=1))[0][0]
+                )
+                raise ValueError(
+                    "row %d is all zeros; out='device' has no None slot — "
+                    "filter zero rows first" % bad
+                )
+            if dense.shape[0] != chunk:
+                dense = np.pad(dense, ((0, chunk - dense.shape[0]), (0, 0)))
+            parts.append(
+                cws_ops.cws_many_best(dense, self.rs, self.ln_cs, self.betas)
+            )
+        kt = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        return kt[:n]

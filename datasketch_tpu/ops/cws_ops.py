@@ -16,7 +16,19 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["cws_many", "cws_many_best", "CWS_KERNEL_INTERPRET"]
+__all__ = [
+    "cws_many",
+    "cws_many_best",
+    "kt_slots",
+    "kt_slots_np",
+    "CWS_KERNEL_INTERPRET",
+]
+
+# splitmix64-style odd constants for the (k, t) -> uint32 slot mix; the
+# host twin lives in kt_slots_np and models/tpu_lsh._as_signature_matrix
+# relies on bit-identity between the two.
+_KT_C1 = 0x9E3779B97F4A7C15
+_KT_C2 = 0xC2B2AE3D27D4EB4F
 
 # Test knob: force the Mosaic CWS kernel in interpret mode on CPU CI
 # (the platform gate would otherwise leave it untested until a real-TPU
@@ -89,3 +101,55 @@ def cws_many(weights, rs, ln_cs, betas, sample_block: int = 16):
     ks = jnp.transpose(ks, (1, 0, 2)).reshape(b, -1)[:, :s]
     ts = jnp.transpose(ts, (1, 0, 2)).reshape(b, -1)[:, :s]
     return jnp.stack([ks, ts], axis=-1)
+
+
+def kt_slots_np(kt: "np.ndarray"):
+    """Host (k, t) pair -> uint32 slot mix: ``[..., S, 2] int -> uint32[..., S]``.
+
+    One uint32 per CWS sample with slot equality iff (k, t) equality (up
+    to a 2^-32 mix collision): ``((k * C1 + t) * C2) folded hi^lo``. This
+    is what lets WeightedMinHash sketches ride the SAME device band
+    tables and Jaccard rerank as plain signatures — the rerank's
+    equal-slot fraction IS the reference's weighted-Jaccard estimator
+    (fraction of equal (k, t) rows,
+    ``/root/reference/datasketch/weighted_minhash.py:37-52``).
+    """
+    import numpy as np
+
+    k = np.asarray(kt)[..., 0].astype(np.int64).astype(np.uint64)
+    t = np.asarray(kt)[..., 1].astype(np.int64).astype(np.uint64)
+    mixed = (k * np.uint64(_KT_C1) + t) * np.uint64(_KT_C2)
+    return ((mixed >> np.uint64(32)) ^ mixed).astype(np.uint32)
+
+
+@jax.jit
+def kt_slots(kt):
+    """Device twin of :func:`kt_slots_np`, bit-identical.
+
+    Args:
+        kt: int32[..., S, 2] (k, t) pairs (``cws_many`` output).
+    Returns:
+        uint32[..., S] slots, ready for ``lsh_ops.band_fingerprints`` /
+        the signature-equality rerank.
+
+    uint64 arithmetic runs in uint32 limb pairs (datasketch_tpu/ops/u64
+    — TPUs have no useful 64-bit integer path); ``t`` may be negative,
+    so both operands are sign-extended into their high limbs exactly as
+    NumPy's int64 -> uint64 cast wraps.
+    """
+    from datasketch_tpu.ops import u64
+
+    k = kt[..., 0].astype(jnp.int32)
+    t = kt[..., 1].astype(jnp.int32)
+    k_hi = (k >> 31).astype(jnp.uint32)  # arithmetic shift: sign extension
+    k_lo = k.astype(jnp.uint32)
+    t_hi = (t >> 31).astype(jnp.uint32)
+    t_lo = t.astype(jnp.uint32)
+    c1_hi = jnp.uint32(_KT_C1 >> 32)
+    c1_lo = jnp.uint32(_KT_C1 & 0xFFFFFFFF)
+    c2_hi = jnp.uint32(_KT_C2 >> 32)
+    c2_lo = jnp.uint32(_KT_C2 & 0xFFFFFFFF)
+    m_hi, m_lo = u64.mul64(k_hi, k_lo, c1_hi, c1_lo)
+    s_hi, s_lo = u64.add64(m_hi, m_lo, t_hi, t_lo)
+    r_hi, r_lo = u64.mul64(s_hi, s_lo, c2_hi, c2_lo)
+    return r_hi ^ r_lo
