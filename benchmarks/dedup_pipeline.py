@@ -79,20 +79,37 @@ def ours(docs, threshold=0.8, num_perm=128, banding_threshold=None,
     max_dups = 64  # per-doc duplicate budget; raise for heavier clustering
     n = len(sigs)
     sigs_dev = index._sigs_dev
-    # Scan vs bands for the all-pairs sweep, measured at 100k docs:
-    # the exact streaming scan wins ONLY at serving-sized query chunks
-    # (~1k — at Q=8192/chunk its [Q, tile] score intermediates blow past
-    # VMEM and the per-tile top_k grows quadratic-ish: 84s vs the band
-    # path's 59s); at 1024-query chunks the scan runs at its ~10k q/s
-    # serving rate. Bands keep the big chunks (their cost scales with
-    # Q*b*cap, not Q*N).
-    use_scan = sigs_dev.shape[0] <= 1024 * index.b * index.bucket_cap
-    chunk = 1024 if use_scan else 8192
+    from datasketch_tpu.ops import pallas_kernels as pk
+
+    fused = (
+        pk.signature_kernel_available() or lsh_ops.SCORE_KERNEL_INTERPRET
+    ) and num_perm % 128 == 0
+    if fused:
+        # Fused Mosaic scan (round 4): the running top-k lives in VMEM,
+        # so no [Q, tile] score matrix bounds the chunk — 8k-query
+        # chunks at flat memory. count_ge=threshold lets tiles without
+        # a single above-cutoff score skip the merge entirely, which
+        # for a dedup sweep (hits are rare) leaves ~just the compare.
+        use_scan, chunk = True, 8192
+    else:
+        # XLA-scan fallback, measured at 100k docs: the exact streaming
+        # scan wins ONLY at serving-sized query chunks (~1k — at
+        # Q=8192/chunk its [Q, tile] score intermediates blow past VMEM
+        # and the per-tile top_k grows quadratic-ish: 84s vs the band
+        # path's 59s). Bands keep the big chunks (cost Q*b*cap, not Q*N).
+        use_scan = sigs_dev.shape[0] <= 1024 * index.b * index.bucket_cap
+        chunk = 1024 if use_scan else 8192
     for i in range(0, n, chunk):
         q = sigs[i : i + chunk]
         if q.shape[0] != chunk:  # keep one compiled shape
             q = np.pad(q, ((0, chunk - q.shape[0]), (0, 0)))
-        if use_scan:
+        if fused:
+            ids, sc, _cnt = lsh_ops.topk_scan(
+                sigs_dev, jnp.asarray(q), max_dups,
+                n_valid=jnp.int32(index._n_real),
+                count_ge=jnp.float32(threshold),
+            )
+        elif use_scan:
             ids, sc = lsh_ops.topk_scan(
                 sigs_dev, jnp.asarray(q), max_dups,
                 n_valid=jnp.int32(index._n_real),

@@ -492,6 +492,19 @@ def topk_scan(db_sigs, q_sigs, k: int, n_valid=None, alive=None,
     """
     n_pad, p = db_sigs.shape
     q = q_sigs.shape[0]
+    from datasketch_tpu.ops import pallas_kernels as pk
+
+    if (
+        p % 128 == 0
+        and k <= pk._TOPK_MAX_K
+        and (pk.signature_kernel_available() or SCORE_KERNEL_INTERPRET)
+    ):
+        # Fused Mosaic scan: the running top-k lives in VMEM across db
+        # tiles, so no [Q, tile] score matrix ever reaches HBM — query
+        # chunks scale to 8k+ where the lax.scan form capped at ~1024
+        # (the round-3 dedup bottleneck).
+        return _topk_scan_fused(db_sigs, q_sigs, k, n_valid, alive,
+                                count_ge)
     tile = min(tile, n_pad)
     n_tiles = -(-n_pad // tile)
     pad_rows = n_tiles * tile - n_pad
@@ -587,6 +600,48 @@ def topk_scan(db_sigs, q_sigs, k: int, n_valid=None, alive=None,
     if k_eff < k:
         ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
         sc = jnp.pad(sc, ((0, 0), (0, k - k_eff)), constant_values=-1.0)
+    if count_ge is None:
+        return ids, sc
+    return ids, sc, cnt
+
+
+def _topk_scan_fused(db_sigs, q_sigs, k: int, n_valid, alive, count_ge):
+    """Trace-time body for :func:`topk_scan`'s Mosaic branch: pad shapes
+    to the kernel tiles, normalize the dynamic scalars, slice the query
+    padding back off. Same return contract as the lax.scan form."""
+    from datasketch_tpu.ops import pallas_kernels as pk
+
+    n_pad, _ = db_sigs.shape
+    q = q_sigs.shape[0]
+    bq, bt = pk.topk_blocks(db_sigs.shape[1])
+    n_bt = -(-n_pad // bt) * bt
+    if n_bt != n_pad:
+        db_sigs = jnp.pad(db_sigs, ((0, n_bt - n_pad), (0, 0)))
+    q_pad = (-q) % bq
+    if q_pad:
+        q_sigs = jnp.pad(q_sigs, ((0, q_pad), (0, 0)))
+    nv = (
+        jnp.int32(n_pad)
+        if n_valid is None
+        else jnp.asarray(n_valid, jnp.int32)
+    )
+    # estimated Jaccard is never negative, so cutoff 0.0 == plain top-k
+    cut = (
+        jnp.float32(0.0)
+        if count_ge is None
+        else jnp.asarray(count_ge, jnp.float32)
+    )
+    use_mask = alive is not None
+    alive_i32 = None
+    if use_mask:
+        if alive.shape[0] != n_bt:
+            alive = jnp.pad(alive, (0, n_bt - alive.shape[0]))
+        alive_i32 = alive.astype(jnp.int32).reshape(n_bt // bt, bt)
+    ids, sc, cnt = pk.topk_scan_pallas(
+        db_sigs, q_sigs, nv, cut, k, alive_i32=alive_i32,
+        use_mask=use_mask, interpret=SCORE_KERNEL_INTERPRET,
+    )
+    ids, sc, cnt = ids[:q], sc[:q], cnt[:q]
     if count_ge is None:
         return ids, sc
     return ids, sc, cnt

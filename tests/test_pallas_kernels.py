@@ -239,3 +239,65 @@ def test_bbit_topk_scan_pallas_branch_interpret():
         lsh_ops.SCORE_KERNEL_INTERPRET = False
     np.testing.assert_array_equal(got[0], want[0])
     np.testing.assert_array_equal(got[1], want[1])
+
+
+def test_topk_scan_fused_count_ge_and_alive_interpret():
+    """The fused Mosaic top-k scan (round-4 dedup kernel) matches the
+    lax.scan form on the full contract: cutoff masking, exact match
+    counts, tombstone mask, query padding."""
+    import jax.numpy as jnp
+
+    from datasketch_tpu.ops import lsh_ops
+
+    rng = np.random.RandomState(33)
+    db = rng.randint(0, 3, size=(700, 128)).astype(np.uint32)
+    qs = db[rng.randint(0, 700, size=21)].copy()  # real high-score hits
+    qs[:, :40] = rng.randint(0, 3, size=(21, 40))
+    alive = np.ones(700, dtype=bool)
+    alive[::13] = False
+    args = dict(
+        n_valid=jnp.int32(700),
+        alive=jnp.asarray(alive),
+        count_ge=jnp.float32(0.5),
+    )
+    want = [
+        np.asarray(x)
+        for x in lsh_ops.topk_scan(
+            jnp.asarray(db), jnp.asarray(qs), 9, tile=128, **args
+        )
+    ]
+    lsh_ops.topk_scan.clear_cache()
+    lsh_ops.SCORE_KERNEL_INTERPRET = True
+    try:
+        got = [
+            np.asarray(x)
+            for x in lsh_ops.topk_scan(
+                jnp.asarray(db), jnp.asarray(qs), 9, **args
+            )
+        ]
+    finally:
+        lsh_ops.SCORE_KERNEL_INTERPRET = False
+        lsh_ops.topk_scan.clear_cache()
+    np.testing.assert_array_equal(got[0], want[0])  # ids
+    np.testing.assert_allclose(got[1], want[1])  # scores
+    np.testing.assert_array_equal(got[2], want[2])  # exact counts
+    # sanity on the contract itself: no tombstoned or sub-cutoff results
+    assert not np.isin(got[0][got[0] >= 0], np.nonzero(~alive)[0]).any()
+    assert (got[1][got[0] >= 0] >= 0.5).all()
+
+
+def test_topk_scan_pallas_guards():
+    import jax.numpy as jnp
+
+    from datasketch_tpu.ops import pallas_kernels as pk
+
+    db = jnp.zeros((256, 128), jnp.uint32)
+    qs = jnp.zeros((16, 128), jnp.uint32)
+    nv = jnp.int32(256)
+    cut = jnp.float32(0.0)
+    with pytest.raises(ValueError):  # Q not a TOPK_BQ multiple
+        pk.topk_scan_pallas(db, jnp.zeros((7, 128), jnp.uint32), nv, cut, 5,
+                            interpret=True)
+    with pytest.raises(ValueError):  # k beyond the unroll bound
+        pk.topk_scan_pallas(db, qs, nv, cut, pk._TOPK_MAX_K + 1,
+                            interpret=True)
