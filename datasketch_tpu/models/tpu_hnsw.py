@@ -37,6 +37,10 @@ class TpuHNSW:
         ef: default beam width for queries.
     """
 
+    # appends below this corpus size just rebuild (the full device build
+    # is already sub-second there and needs no append machinery)
+    _MIN_APPEND_N = 256
+
     def __init__(
         self,
         distance_metric: Union[str, Callable] = "l2",
@@ -44,6 +48,7 @@ class TpuHNSW:
         ef: int = 64,
         level_ratio: int = 8,
         tile: int = 256,
+        rebuild_fraction: float = 0.2,
     ) -> None:
         if m < 2:
             raise ValueError("m must be at least 2")
@@ -52,11 +57,15 @@ class TpuHNSW:
         self.ef = ef
         self.level_ratio = level_ratio
         self.tile = tile
+        self.rebuild_fraction = rebuild_fraction
 
         self._graph: Optional[hnsw_ops.DeviceGraph] = None
         self._key_to_pos: dict = {}
         self._deleted_host: Optional[np.ndarray] = None
-        self._pending: list = []  # (key, point) awaiting rebuild
+        self._pending: list = []  # (key, point) awaiting link/rebuild
+        self._n_real = 0  # live+tombstoned rows; the rest is capacity pad
+        self._appended = 0  # rows appended since the last full build
+        self._adj0_host: Optional[np.ndarray] = None  # lazy device mirror
 
     # ------------------------------------------------------------------ build
 
@@ -125,11 +134,18 @@ class TpuHNSW:
             )
 
     def add(self, key: Hashable, point) -> None:
-        """Buffer one (key, point); the graph rebuilds at the next query.
+        """Buffer one (key, point); linked into the graph at the next
+        query.
 
-        Bulk rebuilds are how graphs mutate on an accelerator — the
-        reference's per-insert graph surgery (``hnsw.py:451-516``) stays
-        available on the host class."""
+        Small buffered batches are LINKED INCREMENTALLY against the
+        frozen graph (beam-search the neighbors, diversity-prune, append
+        padded adjacency rows, re-prune overflowed reverse rows — the
+        device form of the reference's per-insert graph surgery,
+        ``/root/reference/datasketch/hnsw.py:451-516``); a full device
+        rebuild runs only when appends since the last build exceed
+        ``rebuild_fraction`` of the corpus (appended nodes skip the
+        upper routing levels, so recall would drift if appends
+        accumulated unboundedly)."""
         if key in self._key_to_pos or any(k == key for k, _ in self._pending):
             raise ValueError("The given key already exists")
         self._pending.append((key, np.asarray(point)))
@@ -140,10 +156,18 @@ class TpuHNSW:
         keys = [k for k, _ in self._pending]
         pts = np.stack([p for _, p in self._pending])
         self._pending = []
-        self.index(keys, pts)
+        if (
+            self._graph is None
+            or self._n_real < self._MIN_APPEND_N
+            or self._appended + len(keys)
+            > self.rebuild_fraction * self._n_real
+        ):
+            self.index(keys, pts)
+        else:
+            self._append_batch(keys, pts)
 
     def _rebuild(self, keys: list, pts: np.ndarray) -> None:
-        self._graph = knn_graph.build_nsw_graph(
+        g = knn_graph.build_nsw_graph(
             pts,
             keys=keys,
             m=self.m,
@@ -152,7 +176,183 @@ class TpuHNSW:
             level_ratio=self.level_ratio,
         )
         self._key_to_pos = {k: i for i, k in enumerate(keys)}
-        self._deleted_host = np.zeros(len(keys), dtype=bool)
+        self._install(g, len(keys))
+
+    def _install(self, g, n_real: int) -> None:
+        """Adopt a freshly built graph, padding device arrays to a pow-2
+        CAPACITY: appends then keep one compiled query program per
+        query-batch shape (each distinct row count would otherwise
+        recompile through the remote-TPU path). Padding rows are
+        tombstoned and edgeless — unreachable and masked from results.
+        """
+        cap = 128
+        while cap < n_real:
+            cap *= 2
+        extra = cap - g.points.shape[0]
+        deleted = np.zeros(cap, dtype=bool)
+        deleted[n_real:] = True
+        if extra:
+            g.points = jnp.pad(g.points, ((0, extra), (0, 0)))
+            g.adj0 = jnp.pad(
+                g.adj0, ((0, extra), (0, 0)), constant_values=-1
+            )
+        g.deleted = jnp.asarray(deleted)
+        self._graph = g
+        self._deleted_host = deleted
+        self._n_real = n_real
+        self._appended = 0
+        self._adj0_host = None
+
+    # ------------------------------------------------------- incremental link
+
+    def _ensure_capacity(self, need: int) -> None:
+        g = self._graph
+        cap = g.points.shape[0]
+        if need <= cap:
+            return
+        new_cap = cap
+        while new_cap < need:
+            new_cap *= 2
+        extra = new_cap - cap
+        g.points = jnp.pad(g.points, ((0, extra), (0, 0)))
+        g.adj0 = jnp.pad(g.adj0, ((0, extra), (0, 0)), constant_values=-1)
+        self._deleted_host = np.pad(
+            self._deleted_host, (0, extra), constant_values=True
+        )
+        g.deleted = jnp.asarray(self._deleted_host)
+        if self._adj0_host is not None:
+            self._adj0_host = np.pad(
+                self._adj0_host, ((0, extra), (0, 0)), constant_values=-1
+            )
+
+    def _ensure_adj0_host(self) -> np.ndarray:
+        """Host mirror of the device adjacency (one D2H per build cycle;
+        kept in sync by the append path's in-place updates)."""
+        if self._adj0_host is None:
+            self._adj0_host = np.asarray(self._graph.adj0).copy()
+        return self._adj0_host
+
+    @staticmethod
+    def _scatter_rows(arr, rows: np.ndarray, vals: np.ndarray):
+        """``arr.at[rows].set(vals)`` with the row count padded to a
+        pow-2 bucket (duplicated trailing rows are idempotent), bounding
+        the set of compiled scatter programs."""
+        b = rows.shape[0]
+        bpad = 8
+        while bpad < b:
+            bpad *= 2
+        if bpad != b:
+            rows = np.pad(rows, (0, bpad - b), mode="edge")
+            vals = np.pad(
+                vals, ((0, bpad - b),) + ((0, 0),) * (vals.ndim - 1),
+                mode="edge",
+            )
+        return arr.at[jnp.asarray(rows)].set(jnp.asarray(vals))
+
+    def _append_batch(self, keys: list, pts: np.ndarray) -> None:
+        """Link a buffered batch against the frozen graph: O(B) beam
+        searches + bounded scatters, instead of the O(N) full rebuild
+        (round-3 weakness #4). New nodes get ``m`` diversity-pruned
+        forward edges; reverse edges fill spare adjacency capacity, and
+        rows that overflow are re-pruned on device over old+new
+        candidates (hnswlib's shrink heuristic, vectorized)."""
+        g = self._graph
+        n0 = self._n_real
+        b = len(keys)
+        pts = np.ascontiguousarray(pts).astype(g.points.dtype, copy=False)
+        deg_cap = g.adj0.shape[1]
+        m = self.m
+        dist = hnsw_ops._distance_fn(self.metric)
+        self._ensure_capacity(n0 + b)
+        g = self._graph
+
+        # 1. neighbor candidates: beam-search the frozen graph (chunked,
+        # pow-2 padded — bounded compile shapes)
+        kc = min(3 * m, n0)
+        ef = max(self.ef, kc)
+        uppers = tuple(zip(g.upper_nodes, g.upper_adj))
+        cand_rows = []
+        chunk = 1024
+        for i in range(0, b, chunk):
+            qb = pts[i : i + chunk]
+            real = qb.shape[0]
+            qpad = 8
+            while qpad < real:
+                qpad *= 2
+            if qpad != real:
+                qb = np.pad(qb, ((0, qpad - real), (0, 0)))
+            ids, _ = hnsw_ops._query_jit(
+                g.points, g.adj0, g.deleted, uppers, g.entry,
+                jnp.asarray(qb), dist, kc, ef, ef,
+            )
+            cand_rows.append(np.asarray(ids)[:real])
+        cands = np.concatenate(cand_rows, axis=0)
+
+        # 2. forward edges: diversity-prune the candidates (device)
+        fwd = np.asarray(
+            knn_graph.prune_candidates(
+                jnp.asarray(pts), jnp.asarray(cands), g.points, m, dist
+            )
+        )
+
+        # 3. new points land on device before any re-prune gathers them
+        new_ids = np.arange(n0, n0 + b, dtype=np.int32)
+        g.points = self._scatter_rows(g.points, new_ids, pts)
+
+        # 4. adjacency update on the host mirror
+        adj = self._ensure_adj0_host()
+        adj[new_ids] = -1
+        adj[new_ids, :m] = fwd
+        src = np.repeat(new_ids, fwd.shape[1])
+        dst = fwd.ravel()
+        ok = dst >= 0
+        src, dst = src[ok], dst[ok]
+        order = np.argsort(dst, kind="stable")
+        src, dst = src[order], dst[order]
+        fill = (adj[:n0] >= 0).sum(axis=1).astype(np.int64)
+        first = np.searchsorted(dst, dst, side="left")
+        rank = np.arange(dst.shape[0]) - first
+        slot = fill[dst] + rank
+        fits = slot < deg_cap
+        adj[dst[fits], slot[fits]] = src[fits]
+
+        # 5. overflowed reverse rows: re-prune old neighbors + newcomers
+        if (~fits).any():
+            rows_over = dst[~fits]
+            srcs_over = src[~fits]
+            ov_v = np.unique(rows_over)
+            r2 = np.arange(rows_over.shape[0]) - np.searchsorted(
+                rows_over, rows_over, side="left"
+            )
+            max_new = int(r2.max()) + 1
+            cmat = np.full(
+                (ov_v.shape[0], deg_cap + max_new), -1, dtype=np.int32
+            )
+            cmat[:, :deg_cap] = adj[ov_v]
+            cmat[np.searchsorted(ov_v, rows_over), deg_cap + r2] = srcs_over
+            pruned = np.asarray(
+                knn_graph.prune_candidates(
+                    g.points[jnp.asarray(ov_v)], jnp.asarray(cmat),
+                    g.points, deg_cap, dist,
+                )
+            )
+            adj[ov_v] = pruned
+            touched = np.unique(np.concatenate([dst[fits], ov_v]))
+        else:
+            touched = np.unique(dst[fits])
+
+        # 6. ship the changed adjacency rows (new + touched) in one scatter
+        rows = np.concatenate([new_ids, touched.astype(np.int32)])
+        g.adj0 = self._scatter_rows(g.adj0, rows, adj[rows])
+
+        # 7. metadata: appended rows go live
+        self._deleted_host[n0 : n0 + b] = False
+        g.deleted = jnp.asarray(self._deleted_host)
+        g.keys.extend(keys)
+        for i, k in enumerate(keys):
+            self._key_to_pos[k] = n0 + i
+        self._n_real += b
+        self._appended += b
 
     @classmethod
     def from_hnsw(cls, host_index, distance_metric="l2", ef: int = 64
@@ -174,6 +374,8 @@ class TpuHNSW:
             for i, k in enumerate(obj._graph.keys)
             if not obj._deleted_host[i]
         }
+        obj._n_real = len(obj._graph.keys)
+        obj._appended = 0
         return obj
 
     # ------------------------------------------------------------ mutation
@@ -277,9 +479,13 @@ class TpuHNSW:
             return {"n": 0, "levels": 0, "tombstoned": 0}
         g = self._graph
         return {
-            "n": int(g.n),
+            "n": self._n_real,
             "live": int(len(self._key_to_pos)),
-            "tombstoned": int(self._deleted_host.sum()),
+            "tombstoned": int(
+                self._deleted_host[: self._n_real].sum()
+            ),
+            "appended_since_build": self._appended,
+            "capacity": int(g.n),
             "levels": 1 + len(g.upper_nodes),
             "degree0": int(g.adj0.shape[1]),
             "bytes_points": int(np.prod(g.points.shape)) * 4,
@@ -355,4 +561,6 @@ class TpuHNSW:
         obj._key_to_pos = {
             k: i for i, k in enumerate(keys) if not deleted[i]
         }
+        obj._n_real = len(keys)
+        obj._appended = 0
         return obj

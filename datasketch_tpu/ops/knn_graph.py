@@ -201,3 +201,71 @@ def build_nsw_graph(points, keys=None, m: int = 16, metric="l2",
         keys=list(keys) if keys is not None else list(range(n)),
         deleted=jnp.zeros((n,), dtype=bool),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("m", "tile", "dist"))
+def prune_candidates(node_pts, cand_ids, all_pts, m: int, dist,
+                     tile: int = 128):
+    """Diversity-prune candidates whose points live in a SEPARATE gather
+    array — the incremental-insert twin of :func:`_prune_diverse`.
+
+    Serves both halves of ``TpuHNSW`` appends (VERDICT round 3 #4):
+    forward edges for new nodes (``node_pts`` = the new points,
+    ``cand_ids`` = frozen-graph beam results) and re-pruning overflowed
+    rows (``node_pts`` = the touched nodes, ``cand_ids`` = old neighbors
+    + newcomers). Unlike ``_prune_diverse``, candidates need not arrive
+    distance-sorted (they are sorted here) and ``-1`` ids are ignored.
+
+    Args:
+        node_pts: [R, D] the rows being (re)linked.
+        cand_ids: int32[R, C] candidate ids into ``all_pts``, -1 invalid.
+        all_pts: [N, D] gather source.
+        m: max edges kept per row.
+    Returns:
+        int32[R, m] kept ids (diverse, distance-ascending), -1 padded.
+    """
+    r, c = cand_ids.shape
+    pad = (-r) % tile
+    node_p = jnp.pad(node_pts, ((0, pad), (0, 0)))
+    ids_p = jnp.pad(cand_ids, ((0, pad), (0, 0)), constant_values=-1)
+    nt = node_p.shape[0] // tile
+    big = jnp.float32(3.4e38)
+
+    def body(_, inp):
+        npts, cids = inp  # [tile, D], [tile, C]
+        safe = jnp.where(cids >= 0, cids, 0)
+        cpts = all_pts[safe]  # [tile, C, D]
+        d_node = jnp.where(cids >= 0, dist(npts, cpts), big)
+        order = jnp.argsort(d_node, axis=1)
+        cids = jnp.take_along_axis(cids, order, axis=1)
+        d_node = jnp.take_along_axis(d_node, order, axis=1)
+        cpts = jnp.take_along_axis(cpts, order[..., None], axis=1)
+        cc = dist(cpts, cpts[:, None, :, :])  # [tile, C, C]
+
+        def step(state, j):
+            kept_mask, kept_count = state
+            dj = jnp.where(kept_mask, cc[:, j, :], big).min(axis=-1)
+            ok = (
+                (d_node[:, j] < big)
+                & (d_node[:, j] <= dj)
+                & (kept_count < m)
+            )
+            kept_mask = kept_mask.at[:, j].set(ok)
+            return (kept_mask, kept_count + ok.astype(jnp.int32)), None
+
+        (kept, _), _ = jax.lax.scan(
+            step,
+            (jnp.zeros((npts.shape[0], c), bool),
+             jnp.zeros((npts.shape[0],), jnp.int32)),
+            jnp.arange(c),
+        )
+        order2 = jnp.argsort(~kept, axis=1, stable=True)  # kept first
+        sel = jnp.take_along_axis(cids, order2, axis=1)[:, :m]
+        selk = jnp.take_along_axis(kept, order2, axis=1)[:, :m]
+        return None, jnp.where(selk, sel, -1)
+
+    _, out = jax.lax.scan(
+        body, None,
+        (node_p.reshape(nt, tile, -1), ids_p.reshape(nt, tile, c)),
+    )
+    return out.reshape(-1, m)[:r]
