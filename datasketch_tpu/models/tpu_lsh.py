@@ -97,6 +97,18 @@ class TpuMinHashLSH:
             (highest-scoring) keys per query and only that many slots ride
             the device->host fetch; overflow is counted in
             ``last_truncated``. None (default) = exact, all candidates.
+        cascade_perm: signature-cascade width. When set (> num_perm),
+            indexed and query signatures must be this wide; BANDING
+            still uses the first ``num_perm`` slots (the (b, r)
+            optimizer stays at the base width, and MinHash permutation
+            families are prefix-stable at equal seed, so cascade
+            sketches band identically to base-width ones), while every
+            rerank/scan SCORE uses the full width — estimation noise
+            drops by sqrt(cascade_perm / num_perm). This is the
+            device-native form of the "re-rank candidates yourself"
+            advice of ``/root/reference/datasketch/lsh.py:374-378``,
+            bought with memory (cascade_perm/num_perm x) instead of
+            recall.
     """
 
     def __init__(
@@ -108,13 +120,20 @@ class TpuMinHashLSH:
         bucket_cap: int = 128,
         rerank: bool = True,
         max_results: Optional[int] = None,
+        cascade_perm: Optional[int] = None,
     ):
         if threshold > 1.0 or threshold < 0.0:
             raise ValueError("threshold must be in [0.0, 1.0]")
         if num_perm < 2:
             raise ValueError("Too few permutation functions")
+        if cascade_perm is not None and cascade_perm < num_perm:
+            raise ValueError("cascade_perm must be >= num_perm")
         self.threshold = threshold
         self.h = num_perm
+        self.cascade_perm = cascade_perm
+        # width of stored/query signature rows (scores use all of it;
+        # banding only the first b*r <= num_perm columns)
+        self.in_width = cascade_perm or num_perm
         if params is not None:
             self.b, self.r = params
             if self.b * self.r > num_perm:
@@ -159,9 +178,10 @@ class TpuMinHashLSH:
         sigs = _as_signature_matrix(minhashes)
         if sigs.shape[0] != len(keys):
             raise ValueError("keys and minhashes must have equal length")
-        if sigs.shape[0] and sigs.shape[1] != self.h:
+        if sigs.shape[0] and sigs.shape[1] != self.in_width:
             raise ValueError(
-                "Expecting minhash with length %d, got %d" % (self.h, sigs.shape[1])
+                "Expecting minhash with length %d, got %d"
+                % (self.in_width, sigs.shape[1])
             )
         seen = set()
         for k in keys:
@@ -203,7 +223,7 @@ class TpuMinHashLSH:
         from datasketch_tpu.models.minhash import MinHash
 
         sigs = MinHash.bulk_signatures(
-            token_docs, scheme=scheme, num_perm=self.h, seed=seed,
+            token_docs, scheme=scheme, num_perm=self.in_width, seed=seed,
             hashfunc="device", out="device",
         )
         self.index(keys, sigs)
@@ -226,7 +246,8 @@ class TpuMinHashLSH:
         from datasketch_tpu.models.minhash import MinHash
 
         sigs = MinHash.bulk_from_text(
-            texts, k=k, num_perm=self.h, seed=seed, hashfunc="device",
+            texts, k=k, num_perm=self.in_width, seed=seed,
+            hashfunc="device",
             out="device",
         )
         self.index(keys, sigs)
@@ -235,7 +256,8 @@ class TpuMinHashLSH:
         from datasketch_tpu.models.minhash import MinHash
 
         return MinHash.bulk_signatures(
-            token_docs, num_perm=self.h, seed=seed, hashfunc="device",
+            token_docs, num_perm=self.in_width, seed=seed,
+            hashfunc="device",
             out="device",
         )
 
@@ -243,7 +265,7 @@ class TpuMinHashLSH:
         from datasketch_tpu.models.minhash import MinHash
 
         return MinHash.bulk_from_text(
-            texts, k=shingle_k, num_perm=self.h, seed=seed,
+            texts, k=shingle_k, num_perm=self.in_width, seed=seed,
             hashfunc="device", out="device",
         )
 
@@ -284,9 +306,10 @@ class TpuMinHashLSH:
         if check_duplication and key in self._key_to_pos:
             raise ValueError("The given key already exists")
         hv = _as_signature_matrix([minhash])[0]  # handles WeightedMinHash too
-        if hv.shape[0] != self.h:
+        if hv.shape[0] != self.in_width:
             raise ValueError(
-                "Expecting minhash with length %d, got %d" % (self.h, hv.shape[0])
+                "Expecting minhash with length %d, got %d"
+                % (self.in_width, hv.shape[0])
             )
         self._key_to_pos[key] = len(self._keys)
         self._keys.append(key)
@@ -319,7 +342,7 @@ class TpuMinHashLSH:
         if n_pad != n_real:
             rng = np.random.RandomState(n_pad & 0x7FFFFFFF)
             filler = rng.randint(
-                0, 1 << 32, size=(n_pad - n_real, self.h), dtype=np.uint64
+                0, 1 << 32, size=(n_pad - n_real, self.in_width), dtype=np.uint64
             ).astype(np.uint32)
             if isinstance(all_sigs, np.ndarray):
                 # host corpus: pad in numpy, ONE upload — a device concat
@@ -375,7 +398,8 @@ class TpuMinHashLSH:
                 f"Cannot merge type TpuMinHashLSH and type "
                 f"{type(other).__name__}."
             )
-        if (self.h, self.b, self.r) != (other.h, other.b, other.r):
+        if (self.h, self.in_width, self.b, self.r) != (
+            other.h, other.in_width, other.b, other.r):
             raise ValueError(
                 "Cannot merge TpuMinHashLSH with different initialization "
                 "parameters."
@@ -520,9 +544,10 @@ class TpuMinHashLSH:
         if self._sigs_dev is None or not len(self._keys):
             return [[] for _ in minhashes]
         q_sigs = _as_signature_matrix(minhashes)
-        if q_sigs.shape[1] != self.h:
+        if q_sigs.shape[1] != self.in_width:
             raise ValueError(
-                "Expecting minhash with length %d, got %d" % (self.h, q_sigs.shape[1])
+                "Expecting minhash with length %d, got %d"
+                % (self.in_width, q_sigs.shape[1])
             )
         cutoff = self.threshold if threshold is None else threshold
         item = self._query_dispatch(
@@ -573,10 +598,10 @@ class TpuMinHashLSH:
             if self._sigs_dev is None or not len(self._keys):
                 return (None, len(batch))
             q_sigs = _as_signature_matrix(batch)
-            if q_sigs.shape[1] != self.h:
+            if q_sigs.shape[1] != self.in_width:
                 raise ValueError(
                     "Expecting minhash with length %d, got %d"
-                    % (self.h, q_sigs.shape[1])
+                    % (self.in_width, q_sigs.shape[1])
                 )
             return (
                 self._query_dispatch(
@@ -701,9 +726,10 @@ class TpuMinHashLSH:
         if self._sigs_dev is None or not len(self._keys):
             return [[] for _ in minhashes]
         q_sigs = _as_signature_matrix(minhashes)
-        if q_sigs.shape[1] != self.h:
+        if q_sigs.shape[1] != self.in_width:
             raise ValueError(
-                "Expecting minhash with length %d, got %d" % (self.h, q_sigs.shape[1])
+                "Expecting minhash with length %d, got %d"
+                % (self.in_width, q_sigs.shape[1])
             )
         top_ids, top_sc, truncated = self._top_k_dispatch(q_sigs, k, method)
         # single D2H round trip (each separate fetch pays a tunnel RTT)
@@ -798,10 +824,10 @@ class TpuMinHashLSH:
             if self._sigs_dev is None or not len(self._keys):
                 return (None, len(batch))  # empty-index marker
             q_sigs = _as_signature_matrix(batch)
-            if q_sigs.shape[1] != self.h:
+            if q_sigs.shape[1] != self.in_width:
                 raise ValueError(
                     "Expecting minhash with length %d, got %d"
-                    % (self.h, q_sigs.shape[1])
+                    % (self.in_width, q_sigs.shape[1])
                 )
             return (self._top_k_dispatch(q_sigs, k, method), len(batch))
 
@@ -837,7 +863,7 @@ class TpuMinHashLSH:
         rng = np.random.RandomState(0)
         for q in batch_sizes:
             sigs = rng.randint(
-                0, 1 << 32, size=(int(q), self.h), dtype=np.uint64
+                0, 1 << 32, size=(int(q), self.in_width), dtype=np.uint64
             ).astype(np.uint32)
             self.top_k(sigs, k, method=method)
             self.query_batch(sigs)
@@ -856,7 +882,7 @@ class TpuMinHashLSH:
         sigs = (
             np.asarray(self._sigs_dev)[: self._n_real]
             if self._sigs_dev is not None
-            else np.zeros((0, self.h), np.uint32)
+            else np.zeros((0, self.in_width), np.uint32)
         )
         alive = None
         if self._alive is not None and not bool(self._alive.all()):
@@ -880,13 +906,14 @@ class TpuMinHashLSH:
             path,
             sigs=np.asarray(self._sigs_dev)[: self._n_real]
             if self._sigs_dev is not None
-            else np.zeros((0, self.h), np.uint32),
+            else np.zeros((0, self.in_width), np.uint32),
             alive=self._alive
             if self._alive is not None
             else np.ones(0, dtype=bool),
             keys=pack_keys(self._keys),
             meta=np.array(
-                [self.h, self.b, self.r, self.bucket_cap, int(self.rerank)],
+                [self.h, self.b, self.r, self.bucket_cap,
+                 int(self.rerank), self.in_width],
                 dtype=np.int64,
             ),
             threshold=np.float64(self.threshold),
@@ -903,13 +930,17 @@ class TpuMinHashLSH:
         from datasketch_tpu.persist import npz_path, unpack_keys
 
         data = np.load(npz_path(path), allow_pickle=False)
-        h, b, r, cap, rerank = (int(x) for x in data["meta"])
+        meta = [int(x) for x in data["meta"]]
+        h, b, r, cap, rerank = meta[:5]
+        # 6th field (cascade width) absent in pre-round-4 checkpoints
+        in_width = meta[5] if len(meta) > 5 else h
         index = cls(
             threshold=float(data["threshold"]),
             num_perm=h,
             params=(b, r),
             bucket_cap=cap,
             rerank=bool(rerank),
+            cascade_perm=in_width if in_width != h else None,
         )
         keys = unpack_keys(data["keys"])
         sigs = data["sigs"]
@@ -955,9 +986,10 @@ class TpuMinHashLSH:
         if self._sigs_dev is None or not len(self._key_to_pos):
             return [set() for _ in minhashes]
         q_sigs = _as_signature_matrix(minhashes)
-        if q_sigs.shape[1] != self.h:
+        if q_sigs.shape[1] != self.in_width:
             raise ValueError(
-                "Expecting minhash with length %d, got %d" % (self.h, q_sigs.shape[1])
+                "Expecting minhash with length %d, got %d"
+                % (self.in_width, q_sigs.shape[1])
             )
         nq = q_sigs.shape[0]
         q_pad = 8

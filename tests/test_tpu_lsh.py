@@ -394,3 +394,92 @@ def test_warmup_noop_and_compiles():
     ix.warmup(batch_sizes=(4,), k=3)
     # warmed shapes answer without error and with correct self-recall
     assert ix.top_k(ms[:4], k=3)[0][0][0] == "w0"
+
+
+class TestSignatureCascade:
+    """cascade_perm: band at num_perm, score at a wider width (round-4
+    recall lift, VERDICT round 3 #7)."""
+
+    def _clustered(self, n=240, seed=11):
+        rng = np.random.RandomState(seed)
+        docs = []
+        for c in range(n // 3):
+            base = [b"c%d-%d" % (c, t) for t in range(40)]
+            docs.append(list(base))
+            for _ in range(2):
+                d = list(base)
+                for j in rng.choice(40, size=rng.randint(4, 14),
+                                    replace=False):
+                    d[j] = b"x%d-%d" % (c, rng.randint(1 << 20))
+                docs.append(d)
+        return docs
+
+    def test_prefix_stability_and_recall_gain(self):
+        from datasketch_tpu import MinHash, TpuMinHashLSH
+
+        docs = self._clustered()
+        wide = MinHash.bulk_signatures(docs, num_perm=512)
+        base = MinHash.bulk_signatures(docs, num_perm=128)
+        # permutation families are prefix-stable: the cascade's banding
+        # slots ARE the base signatures
+        np.testing.assert_array_equal(wide[:, :128], base)
+
+        # exact-Jaccard ground truth
+        sets = [set(d) for d in docs]
+        nq = 24
+        gt = []
+        for qi in range(nq):
+            js = np.array([
+                len(sets[qi] & s) / len(sets[qi] | s) if j != qi else -1
+                for j, s in enumerate(sets)
+            ])
+            gt.append(set(np.argsort(-js)[:5].tolist()))
+
+        def recall(index, sigs):
+            rows = index.top_k(sigs[:nq], k=5)
+            hits = sum(
+                len(gt[qi] & {k for k, _ in row if k != qi})
+                for qi, row in enumerate(rows)
+            )
+            return hits / (nq * 5)
+
+        plain = TpuMinHashLSH(threshold=0.3, num_perm=128, bucket_cap=64)
+        plain.index(list(range(len(docs))), base)
+        casc = TpuMinHashLSH(threshold=0.3, num_perm=128, bucket_cap=64,
+                             cascade_perm=512)
+        casc.index(list(range(len(docs))), wide)
+        r_plain, r_casc = recall(plain, base), recall(casc, wide)
+        assert r_casc >= r_plain, (r_casc, r_plain)
+        # threshold queries score at the wide width too
+        scored = dict(
+            casc.query_batch(wide[:1], return_scores=True,
+                             threshold=0.2)[0]
+        )
+        true0 = max(
+            len(sets[0] & sets[j]) / len(sets[0] | sets[j])
+            for j in (1, 2)
+        )
+        hit = [s for k, s in scored.items() if k in (1, 2)]
+        assert hit and abs(max(hit) - true0) < 0.15
+
+    def test_cascade_validation_and_persistence(self, tmp_path):
+        import pytest
+
+        from datasketch_tpu import MinHash, TpuMinHashLSH
+
+        with pytest.raises(ValueError):
+            TpuMinHashLSH(num_perm=128, cascade_perm=64)
+        docs = self._clustered(n=48)
+        wide = MinHash.bulk_signatures(docs, num_perm=256)
+        idx = TpuMinHashLSH(threshold=0.3, num_perm=128, cascade_perm=256,
+                            bucket_cap=32)
+        with pytest.raises(ValueError):  # base-width rows rejected
+            idx.index(list(range(len(docs))), wide[:, :128])
+        idx.index(list(range(len(docs))), wide)
+        with pytest.raises(ValueError):  # base-width queries rejected
+            idx.query_batch(wide[:2, :128])
+        path = str(tmp_path / "casc.npz")
+        idx.save(path)
+        loaded = TpuMinHashLSH.load(path)
+        assert loaded.cascade_perm == 256 and loaded.h == 128
+        assert loaded.top_k(wide[:2], k=3) == idx.top_k(wide[:2], k=3)
