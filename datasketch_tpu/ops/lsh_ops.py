@@ -647,6 +647,109 @@ def _topk_scan_fused(db_sigs, q_sigs, k: int, n_valid, alive, count_ge):
     return ids, sc, cnt
 
 
+@functools.partial(jax.jit, static_argnames=("k", "tile"))
+def containment_scan(db_sigs, db_sizes, q_sigs, q_sizes, cutoff, k: int,
+                     tile: int = 8192):
+    """Exact containment-threshold scan: score EVERY stored signature.
+
+    The containment-index analogue of :func:`topk_scan`'s threshold
+    mode. Containment of query A in stored set B is estimated from the
+    MinHash Jaccard estimate plus the EXACT set sizes the ensemble is
+    given anyway (reference entries are ``(key, minhash, size)``,
+    ``/root/reference/datasketch/lshensemble.py:189``):
+
+        ``|A ∩ B| = J/(1+J)·(|A|+|B|)``  ⇒  ``c = J·(x+q) / ((1+J)·q)``
+
+    On TPU this replaces partitioned band probing wholesale: one
+    streamed pass over the stacked table (sequential HBM reads, Mosaic
+    compare+mean scorer) instead of ``parts × b × cap`` random gathers —
+    and precision comes from thresholding the containment estimate
+    itself rather than from banding collision statistics.
+
+    Args:
+        db_sigs: uint32[N_pad, P] stacked signatures.
+        db_sizes: int32[N_pad] exact set sizes; <= 0 marks padding rows.
+        q_sigs: uint32[Q, P] queries; q_sizes: int32[Q] query set sizes.
+        cutoff: containment threshold (traced scalar, no recompiles).
+        k: max results per query (top-k by estimated containment).
+        tile: db rows scored per scan step (bounds peak memory).
+
+    Returns:
+        (ids int32[Q, k], containment float32[Q, k], n_match int32[Q]);
+        slots below the cutoff are -1 / -1.0. ``n_match`` counts ALL
+        rows >= cutoff, so truncation (n_match > k) is caller-visible.
+    """
+    n_pad, p = db_sigs.shape
+    q = q_sigs.shape[0]
+    from datasketch_tpu.ops import pallas_kernels as pk
+
+    tile = min(tile, n_pad)
+    n_tiles = -(-n_pad // tile)
+    pad_rows = n_tiles * tile - n_pad
+    if pad_rows:
+        db_sigs = jnp.pad(db_sigs, ((0, pad_rows), (0, 0)))
+        db_sizes = jnp.pad(db_sizes, (0, pad_rows))
+    use_pallas = _score_kernel_ok(p) and tile % pk.SCORE_BT == 0
+    q_pad = ((-q) % pk.SCORE_BQ) if use_pallas else 0
+    if q_pad:
+        q_sigs = jnp.pad(q_sigs, ((0, q_pad), (0, 0)))
+        q_sizes = jnp.pad(q_sizes, (0, q_pad), constant_values=1)
+    q_run = q + q_pad
+    qf = jnp.maximum(q_sizes.astype(jnp.float32), 1.0)[:, None]  # [Q, 1]
+    cut = jnp.asarray(cutoff, jnp.float32)
+    base = jnp.arange(tile, dtype=jnp.int32)
+    k_eff = min(k, tile)
+
+    def body(carry, inp):
+        c_sc, c_ids, c_cnt = carry
+        db_tile, size_tile, t_idx = inp
+        ids = base + t_idx * tile
+        if use_pallas:
+            eq = pk.score_matrix_pallas(
+                q_sigs, db_tile, interpret=SCORE_KERNEL_INTERPRET
+            )  # [Q, tile] estimated Jaccard
+        else:
+            eq = (db_tile[None, :, :] == q_sigs[:, None, :]).mean(
+                axis=-1, dtype=jnp.float32
+            )
+        x = size_tile.astype(jnp.float32)[None, :]  # [1, tile]
+        cont = eq * (x + qf) / ((1.0 + eq) * qf)
+        cont = jnp.where(size_tile[None, :] > 0, cont, -1.0)
+        c_cnt = c_cnt + (cont >= cut).sum(axis=1, dtype=jnp.int32)
+        sc = jnp.concatenate([c_sc, cont], axis=1)
+        idc = jnp.concatenate(
+            [c_ids, jnp.broadcast_to(ids[None, :], (q_run, tile))], axis=1
+        )
+        top_sc, pos = jax.lax.top_k(sc, k_eff)
+        top_ids = jnp.take_along_axis(idc, pos, axis=1)
+        return (top_sc, top_ids, c_cnt), None
+
+    # carry init derived from the inputs (varying-type under shard_map;
+    # folds to constants under plain jit — see topk_scan)
+    zero = (
+        (db_sigs[:1, :1] & jnp.uint32(0)) | (q_sigs[:1, :1] & jnp.uint32(0))
+    ).astype(jnp.float32)
+    init = (
+        jnp.broadcast_to(zero, (q_run, k_eff)) - 1.0,
+        jnp.broadcast_to(zero.astype(jnp.int32), (q_run, k_eff)) - 1,
+        jnp.broadcast_to(zero.astype(jnp.int32)[:, 0], (q_run,)),
+    )
+    xs = (
+        db_sigs.reshape(n_tiles, tile, p),
+        db_sizes.reshape(n_tiles, tile),
+        jnp.arange(n_tiles, dtype=jnp.int32),
+    )
+    (sc, ids, cnt), _ = jax.lax.scan(body, init, xs)
+    ids = jnp.where(sc >= cut, ids, -1)
+    sc = jnp.where(sc >= cut, sc, -1.0)
+    if q_pad:
+        ids, sc, cnt = ids[:q], sc[:q], cnt[:q]
+    if k_eff < k:
+        ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
+        sc = jnp.pad(sc, ((0, 0), (0, k - k_eff)), constant_values=-1.0)
+    return ids, sc, cnt
+
+
 @functools.partial(
     jax.jit, static_argnames=("b", "r", "cap", "max_out")
 )

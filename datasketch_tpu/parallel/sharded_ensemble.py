@@ -243,5 +243,9 @@ class ShardedMinHashLSHEnsemble(TpuMinHashLSHEnsemble):
         obj._key_set = set().union(*map(set, obj._keys_per_part)) if len(
             obj._keys_per_part
         ) else set()
+        if "sizes" in data:
+            # sizes ride along so a later single-chip re-load of this
+            # index's re-save keeps the containment-scan path
+            obj._set_sizes(data["sizes"])
         obj._build_tables(sigs)
         return obj

@@ -145,7 +145,9 @@ def test_tpu_ensemble_matches_host_candidates():
     for i in (0, 7, 23):
         key, mh, size = entries[i]
         host_res = set(host.query(mh, size))
-        tpu_res = set(tpu.query(mh, size))
+        # band parity is a property of the BAND path (the scan path
+        # thresholds the containment estimate instead — tested below)
+        tpu_res = set(tpu.query(mh, size, method="bands"))
         assert key in tpu_res  # self containment = 1
         # fingerprint collisions can only ADD candidates vs byte-key tables
         assert host_res <= tpu_res
@@ -184,9 +186,10 @@ def test_tpu_ensemble_mixed_r_queries():
     ens.index(entries)
 
     # every entry must find itself (containment 1.0) regardless of which
-    # r its partition/ratio picks
+    # r its partition/ratio picks — pinned to the BAND path (this test
+    # exercises the stacked per-r dispatch; auto may pick the scan)
     pairs = [(m, s) for _, m, s in entries]
-    rows = ens.query_batch(pairs)
+    rows = ens.query_batch(pairs, method="bands")
     for i, row in enumerate(rows):
         assert f"k{i}" in row, (i, row)
 
@@ -194,7 +197,7 @@ def test_tpu_ensemble_mixed_r_queries():
     sub_items = sets[-1][:1200]
     m = MinHash(num_perm=128)
     m.update_batch([int(v).to_bytes(8, "little") for v in sub_items])
-    res = list(ens.query(m, len(sub_items)))
+    res = list(ens.query(m, len(sub_items), method="bands"))
     assert "k11" in res
 
 
@@ -229,3 +232,120 @@ def test_tpu_ensemble_save_load_roundtrip(tmp_path):
     a = [set(r) for r in ens.query_batch(pairs)]
     b = [set(r) for r in back.query_batch(pairs)]
     assert a == b
+
+
+class TestEnsembleContainmentScan:
+    """method='scan': one streamed containment-estimate pass
+    (ops/lsh_ops.containment_scan) replacing the stacked band probes."""
+
+    def _build(self, n=120, threshold=0.7, seed=3):
+        import numpy as np
+
+        from datasketch_tpu import MinHash
+        from datasketch_tpu.models.tpu_ensemble import TpuMinHashLSHEnsemble
+
+        rng = np.random.RandomState(seed)
+        sets = []
+        for _ in range(n):
+            size = rng.randint(20, 200)
+            sets.append(np.unique(rng.randint(0, 4000, size)))
+        docs = [[int(t).to_bytes(8, "little") for t in s] for s in sets]
+        sigs = MinHash.bulk_signatures(docs, num_perm=128)
+        ens = TpuMinHashLSHEnsemble(
+            threshold=threshold, num_perm=128, num_part=4
+        )
+        ens.index((i, sigs[i], len(sets[i])) for i in range(n))
+        return ens, sets, sigs
+
+    def test_scan_matches_exact_containment(self):
+        import numpy as np
+
+        from datasketch_tpu import MinHash
+
+        threshold = 0.7
+        ens, sets, _sigs = self._build(threshold=threshold)
+        rng = np.random.RandomState(11)
+        queries, truth = [], []
+        for qi in range(16):
+            s = sets[qi]
+            q = s[rng.rand(len(s)) < 0.75]
+            if not len(q):
+                q = s[:1]
+            doc = [int(t).to_bytes(8, "little") for t in q]
+            m = MinHash(num_perm=128)
+            m.update_batch(doc)
+            queries.append((m, len(q)))
+            truth.append({
+                j for j, ss in enumerate(sets)
+                if np.intersect1d(q, ss, assume_unique=True).size / len(q)
+                >= threshold
+            })
+        found = [set(r) for r in ens.query_batch(queries, method="scan")]
+        # the scan thresholds the containment ESTIMATE: every query must
+        # recover its superset (containment 1.0 is far from the cutoff)
+        # and overall precision/recall must beat raw banding by a wide
+        # margin (banding admits collision noise)
+        hits = sum(qi in f for qi, f in enumerate(found))
+        assert hits >= 15, hits
+        ps = [len(f & t) / len(f) for f, t in zip(found, truth) if f]
+        rs = [len(f & t) / len(t) for f, t in zip(found, truth) if t]
+        import numpy as _np
+
+        assert float(_np.mean(ps)) >= 0.9
+        assert float(_np.mean(rs)) >= 0.9
+
+    def test_auto_picks_scan_when_table_is_small(self):
+        ens, sets, sigs = self._build()
+        pairs = [(sigs[i], len(sets[i])) for i in range(8)]
+        a = [set(r) for r in ens.query_batch(pairs, method="auto")]
+        b = [set(r) for r in ens.query_batch(pairs, method="scan")]
+        assert a == b  # the auto rule picks the scan at this size
+
+    def test_scan_requires_sizes(self):
+        import pytest
+
+        ens, sets, sigs = self._build()
+        ens._sizes_dev = None  # simulate a pre-sizes checkpoint
+        with pytest.raises(ValueError, match="sizes"):
+            ens.query_batch([(sigs[0], len(sets[0]))], method="scan")
+        # auto degrades to bands instead of raising
+        rows = ens.query_batch([(sigs[0], len(sets[0]))], method="auto")
+        assert 0 in rows[0]
+
+    def test_scan_truncation_accounting(self):
+        import numpy as np
+
+        from datasketch_tpu import MinHash
+        from datasketch_tpu.models.tpu_ensemble import TpuMinHashLSHEnsemble
+
+        # 40 identical sets: every query matches all of them; max_results
+        # caps the fetch and the overflow must be counted, never silent
+        s = np.arange(50, dtype=np.int64)
+        doc = [int(t).to_bytes(8, "little") for t in s]
+        sigs = MinHash.bulk_signatures([doc] * 40, num_perm=128)
+        ens = TpuMinHashLSHEnsemble(
+            threshold=0.5, num_perm=128, num_part=2, max_results=8
+        )
+        ens.index((i, sigs[i], 50) for i in range(40))
+        rows = ens.query_batch([(sigs[0], 50)], method="scan")
+        assert len(rows[0]) == 8
+        assert ens.last_truncated == 40 - 8
+
+    def test_save_load_preserves_scan(self, tmp_path):
+        from datasketch_tpu.models.tpu_ensemble import TpuMinHashLSHEnsemble
+
+        ens, sets, sigs = self._build(n=60)
+        pairs = [(sigs[i], len(sets[i])) for i in range(6)]
+        path = str(tmp_path / "ens_scan.npz")
+        ens.save(path)
+        back = TpuMinHashLSHEnsemble.load(path)
+        a = [set(r) for r in ens.query_batch(pairs, method="scan")]
+        b = [set(r) for r in back.query_batch(pairs, method="scan")]
+        assert a == b
+
+    def test_bad_method_rejected(self):
+        import pytest
+
+        ens, sets, sigs = self._build(n=40)
+        with pytest.raises(ValueError, match="method"):
+            ens.query_batch([(sigs[0], len(sets[0]))], method="nope")
