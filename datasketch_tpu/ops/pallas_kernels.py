@@ -45,9 +45,37 @@ __all__ = [
 MAX_HASH = u64.MAX_HASH
 
 BLOCK_B = 8  # batch rows per grid step (uint32 sublane multiple)
-TILE_T = 128  # tokens per grid step (lane multiple); the [BLOCK_B*TILE_T, P]
-# permuted intermediate is 512 KB at P=128 — a handful of live temporaries
-# in the u64 limb chain stays well under VMEM.
+TILE_T = 128  # tokens per grid step (lane multiple) — the DIVISIBILITY
+# contract callers pad to. The kernel itself runs at the largest token
+# tile the shape and VMEM allow (_sign_tiles): fewer grid steps mean
+# fewer out-block revisits and less per-step overhead — measured 28-48%
+# -> 70% of the v5e VPU roofline going from (8, 128) to (8, 512) tiles
+# at [1024, 512] x 128 perms (round-4 sweep; BASELINE.md).
+
+# Per-temporary VMEM budget for the permuted [BLOCK_B, tile, P] uint32
+# intermediates: 8 * 512 * 128 slots (2 MiB) is the largest measured-good
+# configuration; the handful of live temporaries in the u64 limb chain
+# stays inside VMEM at that size.
+_SIGN_SLOT_BUDGET = 8 * 512 * 128
+
+
+def _sign_tiles(b: int, t: int, p: int):
+    """(block_b, tile_t) actually used for a [b, t] x p signature call."""
+    tile_t = TILE_T
+    while (
+        tile_t * 2 <= t
+        and t % (tile_t * 2) == 0
+        and BLOCK_B * tile_t * 2 * p <= _SIGN_SLOT_BUDGET
+    ):
+        tile_t *= 2
+    block_b = BLOCK_B
+    if tile_t == TILE_T and b % (2 * BLOCK_B) == 0 and (
+        2 * BLOCK_B * tile_t * p <= _SIGN_SLOT_BUDGET
+    ):
+        # short token axis: widen the batch block instead (measured 67%
+        # vs 28-48% VPU at [1024, 512] when the token tile is pinned)
+        block_b = 2 * BLOCK_B
+    return block_b, tile_t
 
 
 def signature_kernel_available() -> bool:
@@ -58,11 +86,11 @@ def signature_kernel_available() -> bool:
 
 
 def _sign_kernel(h_ref, len_ref, a_hi_ref, a_lo_ref, b_hi_ref, b_lo_ref,
-                 out_ref, *, mix: bool = False):
+                 out_ref, *, block_b: int, tile_t: int, mix: bool = False):
     """One (batch block, token tile) step: permute + mask + running min.
 
-    h_ref: uint32[BLOCK_B, TILE_T]; len_ref: int32[BLOCK_B, 1];
-    params: uint32[1, P]; out_ref: uint32[BLOCK_B, P] (revisited across the
+    h_ref: uint32[block_b, tile_t]; len_ref: int32[block_b, 1];
+    params: uint32[1, P]; out_ref: uint32[block_b, P] (revisited across the
     token-tile grid axis). With ``mix``, inputs are raw token ids and the
     fmix32 finalizer (:func:`datasketch_tpu.ops.hashing.mix32`) runs here,
     fused — the device-hash path for pre-tokenized corpora.
@@ -89,12 +117,12 @@ def _sign_kernel(h_ref, len_ref, a_hi_ref, a_lo_ref, b_hi_ref, b_lo_ref,
         h3, a_hi_ref[0], a_lo_ref[0], b_hi_ref[0], b_lo_ref[0]
     )  # [BB, T, P] uint32
 
-    # Mask padding tokens to MAX_HASH: global token col = j*TILE_T + local.
+    # Mask padding tokens to MAX_HASH: global token col = j*tile_t + local.
     # The comparison is built directly in 3-D — expanding a 2-D bool with
     # [:, :, None] lowers to an unsupported i1 shape cast in Mosaic.
     p = phv.shape[-1]
-    col3 = j * TILE_T + jax.lax.broadcasted_iota(
-        jnp.int32, (BLOCK_B, TILE_T, p), 1
+    col3 = j * tile_t + jax.lax.broadcasted_iota(
+        jnp.int32, (block_b, tile_t, p), 1
     )
     len3 = len_ref[:][:, :, None]  # int expand: supported
     phv = jnp.where(col3 < len3, phv, jnp.uint32(MAX_HASH))
@@ -130,25 +158,26 @@ def sign_batch_pallas(hashes, lengths, a_hi, a_lo, b_hi, b_lo,
             "hashes shape (%d, %d) must tile by (%d, %d)"
             % (b, t, BLOCK_B, TILE_T)
         )
-    grid = (b // BLOCK_B, t // TILE_T)
+    bb, tt = _sign_tiles(b, t, p)
+    grid = (b // bb, t // tt)
     params2d = [x.reshape(1, p) for x in (a_hi, a_lo, b_hi, b_lo)]
     return pl.pallas_call(
-        functools.partial(_sign_kernel, mix=mix),
+        functools.partial(_sign_kernel, block_b=bb, tile_t=tt, mix=mix),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (BLOCK_B, TILE_T),
+                (bb, tt),
                 lambda i, j: (i, j),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((BLOCK_B, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((bb, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, p), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, p), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, p), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, p), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((BLOCK_B, p), lambda i, j: (i, 0),
+        out_specs=pl.BlockSpec((bb, p), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, p), jnp.uint32),
         interpret=interpret,
