@@ -52,6 +52,8 @@ class ShardedMinHashLSHEnsemble(TpuMinHashLSHEnsemble):
         self.n_shards = mesh.shape[shard_axis]
         self._parts_pad = -(-num_part // self.n_shards) * self.n_shards
         self._probe_fns: dict = {}  # r -> compiled sharded probe
+        self._sizes_sharded = None  # int32[parts_pad, N_pad], P(axis, None)
+        self._scan_fn = None  # compiled sharded containment scan
 
     # ------------------------------------------------------------------ build
 
@@ -93,6 +95,18 @@ class ShardedMinHashLSHEnsemble(TpuMinHashLSHEnsemble):
             )
         )(self._sigs_dev)
         self._probe_fns = {}
+        self._scan_fn = None
+        if self._sizes_host is not None:
+            sizes = self._sizes_host
+            if pad:
+                # filler partitions carry size 0 = padding, which the
+                # containment scan already masks
+                sizes = np.concatenate(
+                    [sizes, np.zeros((pad, sizes.shape[1]), np.int32)]
+                )
+            self._sizes_sharded = jax.device_put(
+                sizes, NamedSharding(mesh, P(axis, None))
+            )
 
     def _to_host(self, arr) -> np.ndarray:
         """Full host copy, multi-process safe; COLLECTIVE on a
@@ -144,10 +158,51 @@ class ShardedMinHashLSHEnsemble(TpuMinHashLSHEnsemble):
             )
         )
 
-    def query_batch(self, queries) -> list:
-        """Batched containment query across all shards; one sharded
-        dispatch + all_gather per unique r (same result contract as the
-        single-chip class)."""
+    def _make_scan_fn(self):
+        """Sharded containment scan: each shard streams its local
+        partitions once (:func:`datasketch_tpu.ops.lsh_ops.
+        containment_scan`), keeps its top ``max_results`` passing rows,
+        and the per-shard selections ride ONE all_gather — candidate
+        id spaces are shard-disjoint, so no cross-shard dedupe is
+        needed."""
+        mesh, axis = self.mesh, self.shard_axis
+        n_pad = self._n_pad
+        parts_local = self._parts_pad // self.n_shards
+        max_out = min(self.max_results, parts_local * n_pad)
+        cutoff = float(self.threshold)
+
+        def body(sigs_local, sizes_local, q_sigs, q_sizes):
+            flat_sigs = sigs_local.reshape(-1, sigs_local.shape[-1])
+            flat_sizes = sizes_local.reshape(-1)
+            ids, _sc, cnt = lsh_ops.containment_scan(
+                flat_sigs, flat_sizes, q_sigs, q_sizes,
+                jnp.float32(cutoff), max_out,
+            )
+            base = jax.lax.axis_index(axis) * parts_local * n_pad
+            ids = jnp.where(ids >= 0, ids + base, -1)
+            over = jnp.sum(jnp.maximum(cnt - max_out, 0))
+            g = jax.lax.all_gather(ids, axis, axis=1, tiled=True)
+            return g, jax.lax.psum(over, axis)
+
+        return jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(axis, None, None), P(axis, None),
+                          P(None, None), P(None)),
+                out_specs=(P(None, None), P()),
+                check_vma=False,
+            )
+        )
+
+    def query_batch(self, queries, method: str = "auto") -> list:
+        """Batched containment query across all shards: per unique r,
+        one sharded band dispatch + all_gather (method='bands'), or one
+        sharded streamed containment scan (method='scan'; same
+        estimate-thresholding semantics as the single-chip class —
+        'auto' applies the same table-vs-gather-volume rule)."""
+        if method not in ("auto", "bands", "scan"):
+            raise ValueError("method must be 'auto', 'bands' or 'scan'")
         queries = list(queries)
         if not queries or not self._tables:
             return [[] for _ in queries]
@@ -165,6 +220,24 @@ class ShardedMinHashLSHEnsemble(TpuMinHashLSHEnsemble):
             q_pad *= 2
         if q_pad != nq:
             q_sigs = np.pad(q_sigs, ((0, q_pad - nq), (0, 0)))
+        if method == "auto":
+            n_total = self.num_part * self._n_pad
+            gather_slots = q_pad * self.num_part * sum(
+                (self.h // r) * self.bucket_cap for r in self.rs
+            )
+            method = (
+                "scan"
+                if self._sizes_sharded is not None and n_total <= gather_slots
+                else "bands"
+            )
+        if method == "scan":
+            if self._sizes_sharded is None:
+                raise ValueError(
+                    "method='scan' needs stored set sizes — this index "
+                    "was loaded from a pre-sizes checkpoint; re-save it "
+                    "or query with method='bands'"
+                )
+            return self._query_scan_sharded(queries, q_sigs, nq)
 
         b_keep = {r: np.zeros((q_pad, self._parts_pad), dtype=np.int32)
                   for r in self.rs}
@@ -208,6 +281,33 @@ class ShardedMinHashLSHEnsemble(TpuMinHashLSHEnsemble):
                     results[qi].add(self._keys_per_part[part][local])
         self.last_truncated = total_trunc
         return [list(r) for r in results]
+
+    def _query_scan_sharded(self, queries, q_sigs: np.ndarray,
+                            nq: int) -> list:
+        """Containment-scan finish: one sharded dispatch, one fetch."""
+        q_sizes = np.ones(q_sigs.shape[0], dtype=np.int32)
+        q_sizes[:nq] = [int(size) for _, size in queries]
+        if self._scan_fn is None:
+            self._scan_fn = self._make_scan_fn()
+        rep = NamedSharding(self.mesh, P(None, None))
+        rep1 = NamedSharding(self.mesh, P(None))
+        ids, over = self._scan_fn(
+            self._sigs_dev,
+            self._sizes_sharded,
+            jax.device_put(jnp.asarray(q_sigs), rep),
+            jax.device_put(jnp.asarray(q_sizes), rep1),
+        )
+        ids_host, over_host = jax.device_get((ids, over))
+        results = []
+        for qi in range(nq):
+            row = ids_host[qi]
+            keys = []
+            for g in row[row >= 0]:
+                part, local = divmod(int(g), self._n_pad)
+                keys.append(self._keys_per_part[part][local])
+            results.append(keys)
+        self.last_truncated = int(over_host)
+        return results
 
     # ------------------------------------------------------------ persistence
 

@@ -234,3 +234,92 @@ def test_warmup_parity_across_serving_indexes():
     ens.warmup()  # empty: no-op
     ens.index(entries)
     ens.warmup(batch_sizes=(4,), sizes=(50, 200))
+
+
+def test_sharded_ensemble_scan_matches_single_chip():
+    """method='scan' on the sharded ensemble: per-shard containment
+    scans + one all_gather must equal the single-chip scan exactly
+    (shard-disjoint id spaces, same estimate, same cutoff)."""
+    sets, sigs, entries = _ensemble_entries(64)
+    single = TpuMinHashLSHEnsemble(
+        threshold=0.8, num_perm=128, num_part=8, bucket_cap=64
+    )
+    single.index(entries)
+    sharded = ShardedMinHashLSHEnsemble(
+        _mesh(4), threshold=0.8, num_perm=128, num_part=8, bucket_cap=64
+    )
+    sharded.index(entries)
+    queries = [
+        (MinHash(hashvalues=sigs[i], hashfunc="device"), len(sets[i]))
+        for i in range(12)
+    ]
+    want = single.query_batch(queries, method="scan")
+    got = sharded.query_batch(queries, method="scan")
+    for i, (w, g) in enumerate(zip(want, got)):
+        assert set(w) == set(g), (i, sorted(w), sorted(g))
+        assert i in g  # self-containment = 1.0
+    # auto picks the scan at this size and agrees
+    auto = sharded.query_batch(queries, method="auto")
+    for g, a in zip(got, auto):
+        assert set(g) == set(a)
+
+
+def test_sharded_ensemble_scan_padding_and_truncation():
+    # filler partitions (num_part % shards != 0) carry size 0 and must
+    # stay invisible to the scan; per-shard overflow is counted
+    sets, sigs, entries = _ensemble_entries(40)
+    sharded = ShardedMinHashLSHEnsemble(
+        _mesh(4), threshold=0.8, num_perm=128, num_part=6, bucket_cap=64
+    )
+    sharded.index(entries)
+    queries = [
+        (MinHash(hashvalues=sigs[i], hashfunc="device"), len(sets[i]))
+        for i in range(6)
+    ]
+    for i, row in enumerate(sharded.query_batch(queries, method="scan")):
+        assert i in row
+    assert sharded.last_truncated == 0
+
+    # 30 identical sets in one index; max_results=4 per shard forces
+    # counted truncation through the collective
+    s = np.arange(64, dtype=np.uint32)
+    dup_sigs = MinHash.bulk_signatures([s] * 30, num_perm=128,
+                                       hashfunc="device")
+    dup = ShardedMinHashLSHEnsemble(
+        _mesh(2), threshold=0.5, num_perm=128, num_part=2, max_results=4
+    )
+    dup.index(
+        (i, MinHash(hashvalues=row, hashfunc="device"), 64)
+        for i, row in enumerate(dup_sigs)
+    )
+    q = [(MinHash(hashvalues=dup_sigs[0], hashfunc="device"), 64)]
+    rows = dup.query_batch(q, method="scan")
+    assert len(rows[0]) <= 2 * 4  # <= shards * max_out slots
+    assert dup.last_truncated == 30 - len(rows[0])
+
+
+def test_sharded_ensemble_scan_checkpoint_sizes(tmp_path):
+    # sizes survive single-chip -> sharded -> single-chip checkpoints
+    sets, sigs, entries = _ensemble_entries(48)
+    single = TpuMinHashLSHEnsemble(
+        threshold=0.8, num_perm=128, num_part=8, bucket_cap=64
+    )
+    single.index(entries)
+    path = str(tmp_path / "ens.npz")
+    single.save(path)
+    sharded = ShardedMinHashLSHEnsemble.load(path, _mesh(4))
+    assert sharded._sizes_sharded is not None
+    queries = [
+        (MinHash(hashvalues=sigs[i], hashfunc="device"), len(sets[i]))
+        for i in range(8)
+    ]
+    want = single.query_batch(queries, method="scan")
+    got = sharded.query_batch(queries, method="scan")
+    for w, g in zip(want, got):
+        assert set(w) == set(g)
+    path2 = str(tmp_path / "ens2.npz")
+    sharded.save(path2)
+    back = TpuMinHashLSHEnsemble.load(path2)
+    got2 = back.query_batch(queries, method="scan")
+    for w, g in zip(want, got2):
+        assert set(w) == set(g)
