@@ -82,6 +82,31 @@ def main():
             f"q={1000 * t_query:.2f}ms index={t_index:.2f}s"
         )
 
+    # Device ensemble: stacked band probes vs the containment scan
+    from datasketch_tpu import TpuMinHashLSHEnsemble
+
+    dev = TpuMinHashLSHEnsemble(
+        threshold=threshold, num_perm=num_perm, num_part=8
+    )
+    dev.index((i, mhs[i], len(sets[i])) for i in range(len(sets)))
+    dev_queries = [(q_mhs[i], len(query_sets[i])) for i in range(len(q_mhs))]
+    dev.query_batch(dev_queries)  # warm the serving compiles
+    for dev_method in ("bands", "scan"):
+        t0 = time.perf_counter()
+        found = [
+            set(f) for f in dev.query_batch(dev_queries, method=dev_method)
+        ]
+        t_query = (time.perf_counter() - t0) / len(dev_queries)
+        ps = [len(f & t) / len(f) for f, t in zip(found, truth) if f]
+        rs = [len(f & t) / len(t) for f, t in zip(found, truth) if t]
+        p = float(np.mean(ps or [1.0]))
+        r = float(np.mean(rs or [1.0]))
+        f1 = 2 * p * r / (p + r) if p + r else 0.0
+        print(
+            f"device {dev_method:>5s}     P={p:.3f} R={r:.3f} F1={f1:.3f} "
+            f"q={1000 * t_query:.2f}ms trunc={dev.last_truncated}"
+        )
+
     # Weighted MinHash accuracy (CWS, dim=10k)
     dim, n_pairs = 10000, 20
     gen = WeightedMinHashGenerator(dim, sample_size=128, seed=1)
