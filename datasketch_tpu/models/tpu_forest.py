@@ -26,10 +26,10 @@ _JAC_FX = 1 << 20  # fixed-point scale for packing jaccard into int32
 
 
 @functools.partial(
-    jax.jit, static_argnames=("l", "k_prefix", "cap", "k_out")
+    jax.jit, static_argnames=("l", "k_prefix", "cap", "k_out", "rank")
 )
 def _fused_packed(sorted_fps, sorted_ids, db_sigs, q_sigs, l, k_prefix,
-                  cap, k_out, n_valid):
+                  cap, k_out, n_valid, rank):
     """Fused query with ALL outputs packed into one int32 buffer.
 
     One device buffer means one host fetch; through the remote-TPU tunnel
@@ -38,7 +38,7 @@ def _fused_packed(sorted_fps, sorted_ids, db_sigs, q_sigs, l, k_prefix,
     """
     ids, jac, lev, trunc = forest_ops.forest_query_fused(
         sorted_fps, sorted_ids, db_sigs, q_sigs, l, k_prefix, cap, k_out,
-        n_valid=n_valid,
+        n_valid=n_valid, rank=rank,
     )
     jac_fx = jnp.round(jac * _JAC_FX).astype(jnp.int32)
     tr = jnp.broadcast_to(trunc.astype(jnp.int32), ids.shape)
@@ -54,13 +54,24 @@ class TpuMinHashLSHForest:
             signature slots (reference parameterization).
         cap: Max rows gathered per (query, tree, prefix level); truncation
             is reported via :attr:`last_truncated`, never silent.
+        rank: Result ordering. ``'forest'`` (default) = reference
+            semantics: longest matching prefix first, estimated Jaccard
+            as tiebreak. ``'jaccard'`` = pure estimated-Jaccard ordering
+            of the same candidate pool — the rerank the reference docs
+            recommend users add by hand, fused; measurably better
+            recall-vs-exact-top-k at equal q/s (the candidate walk is
+            identical). Per-query override via ``query_batch(rank=...)``.
     """
 
-    def __init__(self, num_perm: int = 128, l: int = 8, cap: int = 64):
+    def __init__(self, num_perm: int = 128, l: int = 8, cap: int = 64,
+                 rank: str = "forest"):
         if l <= 0 or num_perm <= 0:
             raise ValueError("num_perm and l must be positive")
         if l > num_perm:
             raise ValueError("l cannot be greater than num_perm")
+        if rank not in ("forest", "jaccard"):
+            raise ValueError("rank must be 'forest' or 'jaccard'")
+        self.rank = rank
         self.l = l
         self.k = int(num_perm / l)
         self.num_perm = num_perm
@@ -197,23 +208,25 @@ class TpuMinHashLSHForest:
 
     # -------------------------------------------------------------- queries
 
-    def query(self, minhash, k: int) -> list:
-        """Top-k keys by (longest matching prefix, estimated Jaccard)."""
-        return self.query_batch([minhash], k)[0]
+    def query(self, minhash, k: int, rank: Optional[str] = None) -> list:
+        """Top-k keys, ordered per the index's ``rank`` mode."""
+        return self.query_batch([minhash], k, rank=rank)[0]
 
-    def query_batch(self, minhashes, k: int, return_scores: bool = False):
+    def query_batch(self, minhashes, k: int, return_scores: bool = False,
+                    rank: Optional[str] = None):
         """Top-k for a query batch in one device dispatch.
 
         Returns a list per query of keys — or of (key, jaccard) pairs when
-        ``return_scores`` — nearest first.
+        ``return_scores`` — nearest first. ``rank`` overrides the index's
+        ordering mode for this call ('forest' | 'jaccard').
         """
-        out = self._query_dispatch(minhashes, k)
+        out = self._query_dispatch(minhashes, k, rank=rank)
         if isinstance(out, list):
             return out
         return self._query_finish(out, k, return_scores)
 
     def query_stream(self, batches, k: int, return_scores: bool = False,
-                     depth: int = 4):
+                     depth: int = 4, rank: Optional[str] = None):
         """Pipelined :meth:`query_batch` over an iterable of batches:
         keeps ``depth`` batches in flight with eager async D2H copies,
         hiding the per-batch host<->device round trip (see
@@ -230,14 +243,19 @@ class TpuMinHashLSHForest:
             return self._query_finish(out, k, return_scores)
 
         return stream_batches(
-            batches, lambda b: self._query_dispatch(b, k), _finish, depth=depth
+            batches, lambda b: self._query_dispatch(b, k, rank=rank),
+            _finish, depth=depth
         )
 
-    def _query_dispatch(self, minhashes, k: int):
+    def _query_dispatch(self, minhashes, k: int, rank: Optional[str] = None):
         """Dispatch one batch; returns (device packed, nq) or a ready
         host result (empty-index / empty-batch short-circuits)."""
         if k <= 0:
             raise ValueError("k must be positive")
+        if rank is None:
+            rank = self.rank
+        if rank not in ("forest", "jaccard"):
+            raise ValueError("rank must be 'forest' or 'jaccard'")
         if self._sorted_fps is None:
             return [[] for _ in minhashes]
         q = _as_signature_matrix(minhashes)
@@ -264,6 +282,7 @@ class TpuMinHashLSHForest:
             self.cap,
             k_pad,
             self._n_real_dev,
+            rank,
         )
         return packed, nq
 
@@ -365,7 +384,11 @@ class TpuMinHashLSHForest:
             if self._sigs_dev is not None
             else np.zeros((0, self.width), dtype=np.uint32),
             keys=pack_keys(self._keys),
-            params=np.array([self.num_perm, self.l, self.cap], dtype=np.int64),
+            params=np.array(
+                [self.num_perm, self.l, self.cap,
+                 int(self.rank == "jaccard")],
+                dtype=np.int64,
+            ),
         )
 
     @classmethod
@@ -375,8 +398,11 @@ class TpuMinHashLSHForest:
         from datasketch_tpu.persist import npz_path, unpack_keys
 
         data = np.load(npz_path(path), allow_pickle=False)
-        num_perm, l, cap = (int(x) for x in data["params"])
-        forest = cls(num_perm=num_perm, l=l, cap=cap)
+        params = [int(x) for x in data["params"]]
+        num_perm, l, cap = params[:3]
+        # 4th field (rank mode) absent in pre-round-4 checkpoints
+        rank = "jaccard" if len(params) > 3 and params[3] else "forest"
+        forest = cls(num_perm=num_perm, l=l, cap=cap, rank=rank)
         keys = unpack_keys(data["keys"])
         sigs = data["sigs"]
         if len(keys):

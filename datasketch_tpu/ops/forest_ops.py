@@ -187,15 +187,22 @@ def query_forest(sorted_fps, sorted_ids, q_fps, cap: int):
     return ids, jnp.sum(trunc)
 
 
-@functools.partial(jax.jit, static_argnames=("k_out", "pool"))
+@functools.partial(jax.jit, static_argnames=("k_out", "pool", "rank"))
 def forest_topk(db_sigs, q_sigs, level_ids, k_out: int, n_valid=None,
-                pool: int = 0):
+                pool: int = 0, rank: str = "forest"):
     """Level-weighted dedupe + top-k over per-level candidates.
 
-    Ranking key is (longest matching prefix, estimated Jaccard): a match
-    at prefix length r scores ``2*r + jaccard``, so deeper matches always
-    win — the device analogue of the reference's descend-until-k loop,
-    with the post-processing rerank its docs recommend built in.
+    With ``rank='forest'`` the key is (longest matching prefix, estimated
+    Jaccard): a match at prefix length r scores ``2*r + jaccard``, so
+    deeper matches always win — the device analogue of the reference's
+    descend-until-k loop. ``rank='jaccard'`` orders the SAME candidate
+    pool purely by estimated Jaccard — the post-query rerank the
+    reference docs tell users to add by hand
+    (``/root/reference/datasketch/lshforest.py`` returns unranked keys;
+    rerank guidance at ``/root/reference/datasketch/lsh.py:374-378``).
+    Prefix depth is a noisy Jaccard proxy, so for recall-vs-exact-top-k
+    'jaccard' is strictly better at equal candidates; 'forest' is kept
+    for reference-semantics parity.
 
     Runs in two phases so the expensive signature gather touches only a
     small pool: (1) integer-only dedupe keeping each id's deepest match,
@@ -204,11 +211,17 @@ def forest_topk(db_sigs, q_sigs, level_ids, k_out: int, n_valid=None,
     the rerank by ~two orders of magnitude.
 
     Args:
-        pool: rerank pool size (static); 0 means ``max(32, 4*k_out)``.
+        pool: rerank pool size (static); 0 means ``max(32, 4*k_out)``
+            for rank='forest' and ``max(256, 8*k_out)`` for
+            rank='jaccard' (pure-Jaccard ordering profits from a wider
+            net — depth picked the pool, so widening it costs only
+            rerank gathers).
     Returns:
         (ids int32[Q, k_out], jaccard float32[Q, k_out],
          level int32[Q, k_out] — matched prefix length, 0 if slot empty).
     """
+    if rank not in ("forest", "jaccard"):
+        raise ValueError("rank must be 'forest' or 'jaccard'")
     nq, klev, c = level_ids.shape
     flat = level_ids.reshape(nq, klev * c)
     if n_valid is not None:
@@ -225,7 +238,9 @@ def forest_topk(db_sigs, q_sigs, level_ids, k_out: int, n_valid=None,
     best = (ids_s != prev) & (ids_s >= 0)
     depth = jnp.where(best, -neglen_s, -1)
     if not pool:
-        pool = max(32, 4 * k_out)
+        # 'jaccard' profits from a wide net: recall saturates by ~256 on
+        # the clustered-set protocol (pool sweep in BASELINE.md round 4)
+        pool = max(32, 4 * k_out) if rank == "forest" else max(256, 8 * k_out)
     pool = min(pool, depth.shape[1])
     pool_depth, pos = jax.lax.top_k(depth, pool)
     pool_ids = jnp.where(
@@ -234,9 +249,12 @@ def forest_topk(db_sigs, q_sigs, level_ids, k_out: int, n_valid=None,
 
     # Phase 2: rerank the pooled survivors only.
     jac = rerank_jaccard(db_sigs, q_sigs, pool_ids)
-    score = jnp.where(
-        pool_ids >= 0, 2.0 * pool_depth.astype(jnp.float32) + jac, -1.0
-    )
+    if rank == "forest":
+        score = jnp.where(
+            pool_ids >= 0, 2.0 * pool_depth.astype(jnp.float32) + jac, -1.0
+        )
+    else:
+        score = jnp.where(pool_ids >= 0, jac, -1.0)
     k_eff = min(k_out, score.shape[1])
     top_sc, pos2 = jax.lax.top_k(score, k_eff)
     hit = top_sc >= 0
@@ -254,16 +272,17 @@ def forest_topk(db_sigs, q_sigs, level_ids, k_out: int, n_valid=None,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("l", "k_prefix", "cap", "k_out", "pool")
+    jax.jit, static_argnames=("l", "k_prefix", "cap", "k_out", "pool", "rank")
 )
 def forest_query_fused(sorted_fps, sorted_ids, db_sigs, q_sigs, l: int,
                        k_prefix: int, cap: int, k_out: int, n_valid=None,
-                       pool: int = 0):
+                       pool: int = 0, rank: str = "forest"):
     """Whole forest query in ONE dispatch: query fingerprints -> per-level
-    run narrowing -> gather -> level-weighted Jaccard top-k."""
+    run narrowing -> gather -> level-weighted Jaccard top-k (``rank`` as
+    in :func:`forest_topk`)."""
     q_fps = prefix_fingerprints(q_sigs, l, k_prefix)
     level_ids, trunc = query_forest(sorted_fps, sorted_ids, q_fps, cap)
     top_ids, top_jac, top_len = forest_topk(
-        db_sigs, q_sigs, level_ids, k_out, n_valid, pool=pool
+        db_sigs, q_sigs, level_ids, k_out, n_valid, pool=pool, rank=rank
     )
     return top_ids, top_jac, top_len, trunc

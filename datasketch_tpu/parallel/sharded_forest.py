@@ -15,7 +15,7 @@ per shard, uploaded sharded in one ``device_put``.
 
 from __future__ import annotations
 
-from typing import Hashable, Sequence
+from typing import Hashable, Optional, Sequence
 
 import numpy as np
 import jax
@@ -39,11 +39,15 @@ class ShardedMinHashLSHForest:
     """
 
     def __init__(self, mesh: Mesh, num_perm: int = 128, l: int = 8,
-                 cap: int = 64, shard_axis: str = "data"):
+                 cap: int = 64, shard_axis: str = "data",
+                 rank: str = "forest"):
         if l <= 0 or num_perm <= 0:
             raise ValueError("num_perm and l must be positive")
         if l > num_perm:
             raise ValueError("l cannot be greater than num_perm")
+        if rank not in ("forest", "jaccard"):
+            raise ValueError("rank must be 'forest' or 'jaccard'")
+        self.rank = rank
         self.mesh = mesh
         self.l = l
         self.k = int(num_perm / l)
@@ -59,7 +63,7 @@ class ShardedMinHashLSHForest:
         self._sorted_ids = None  # int32[l, N_pad] LOCAL ids per shard slice
         self._n_real = 0
         self._n_real_dev = None
-        self._query_fns: dict = {}  # k_out -> compiled sharded query
+        self._query_fns: dict = {}  # (k_out, rank) -> compiled query
         self.last_truncated = 0
 
     # ------------------------------------------------------------- building
@@ -167,7 +171,7 @@ class ShardedMinHashLSHForest:
 
     # -------------------------------------------------------------- queries
 
-    def _make_query_fn(self, k_out: int):
+    def _make_query_fn(self, k_out: int, rank: str):
         mesh, axis = self.mesh, self.shard_axis
         l, k_prefix, cap = self.l, self.k, self.cap
 
@@ -177,17 +181,22 @@ class ShardedMinHashLSHForest:
             nv = jnp.clip(n_real - base, 0, local_n)
             ids, jac, lev, trunc = forest_ops.forest_query_fused(
                 sorted_fps, sorted_ids, db_sigs, q_sigs,
-                l, k_prefix, cap, k_out, n_valid=nv,
+                l, k_prefix, cap, k_out, n_valid=nv, rank=rank,
             )
             gids = jnp.where(ids >= 0, ids + base, -1)
             g_ids = jax.lax.all_gather(gids, axis, axis=1, tiled=True)
             g_jac = jax.lax.all_gather(jac, axis, axis=1, tiled=True)
             g_lev = jax.lax.all_gather(lev, axis, axis=1, tiled=True)
-            # same ranking key as forest_topk: depth strictly outranks
-            # Jaccard; shard-disjoint global ids need no dedupe
-            score = jnp.where(
-                g_ids >= 0, 2.0 * g_lev.astype(jnp.float32) + g_jac, -1.0
-            )
+            # cross-shard merge uses the SAME ranking key as forest_topk
+            # (shard-disjoint global ids need no dedupe)
+            if rank == "forest":
+                score = jnp.where(
+                    g_ids >= 0,
+                    2.0 * g_lev.astype(jnp.float32) + g_jac,
+                    -1.0,
+                )
+            else:
+                score = jnp.where(g_ids >= 0, g_jac, -1.0)
             top_sc, pos = jax.lax.top_k(score, k_out)
             top_ids = jnp.take_along_axis(g_ids, pos, axis=1)
             top_ids = jnp.where(top_sc >= 0, top_ids, -1)
@@ -206,20 +215,21 @@ class ShardedMinHashLSHForest:
             )
         )
 
-    def query(self, minhash, k: int) -> list:
-        """Top-k keys by (longest matching prefix, estimated Jaccard)."""
-        return self.query_batch([minhash], k)[0]
+    def query(self, minhash, k: int, rank: Optional[str] = None) -> list:
+        """Top-k keys, ordered per the index's ``rank`` mode."""
+        return self.query_batch([minhash], k, rank=rank)[0]
 
-    def query_batch(self, minhashes, k: int,
-                    return_scores: bool = False) -> list:
-        """Top-k for a query batch: one sharded dispatch, one all_gather."""
-        out = self._query_dispatch(minhashes, k)
+    def query_batch(self, minhashes, k: int, return_scores: bool = False,
+                    rank: Optional[str] = None) -> list:
+        """Top-k for a query batch: one sharded dispatch, one all_gather.
+        ``rank`` overrides the ordering mode ('forest' | 'jaccard')."""
+        out = self._query_dispatch(minhashes, k, rank=rank)
         if isinstance(out, list):
             return out
         return self._query_finish(out, k, return_scores)
 
     def query_stream(self, batches, k: int, return_scores: bool = False,
-                     depth: int = 4):
+                     depth: int = 4, rank: Optional[str] = None):
         """Pipelined :meth:`query_batch` over an iterable of batches:
         ``depth`` batches in flight, eager async D2H copies (see
         :mod:`datasketch_tpu.utils.pipeline`). Keep batch sizes uniform."""
@@ -234,13 +244,18 @@ class ShardedMinHashLSHForest:
             return self._query_finish(out, k, return_scores)
 
         return stream_batches(
-            batches, lambda b: self._query_dispatch(b, k), _finish,
-            depth=depth,
+            batches, lambda b: self._query_dispatch(b, k, rank=rank),
+            _finish, depth=depth,
         )
 
-    def _query_dispatch(self, minhashes, k: int):
+    def _query_dispatch(self, minhashes, k: int,
+                        rank: Optional[str] = None):
         if k <= 0:
             raise ValueError("k must be positive")
+        if rank is None:
+            rank = self.rank
+        if rank not in ("forest", "jaccard"):
+            raise ValueError("rank must be 'forest' or 'jaccard'")
         if self._sigs is None or not self._n_real:
             return [[] for _ in minhashes]
         q = _as_signature_matrix(minhashes)
@@ -256,10 +271,10 @@ class ShardedMinHashLSHForest:
         if q_pad != nq:
             q = np.pad(q, ((0, q_pad - nq), (0, 0)))
         k_out = max(8, 1 << (k - 1).bit_length())
-        if k_out not in self._query_fns:
-            self._query_fns[k_out] = self._make_query_fn(k_out)
+        if (k_out, rank) not in self._query_fns:
+            self._query_fns[k_out, rank] = self._make_query_fn(k_out, rank)
         rep = NamedSharding(self.mesh, P(None, None))
-        ids, jac, lev, trunc = self._query_fns[k_out](
+        ids, jac, lev, trunc = self._query_fns[k_out, rank](
             self._sorted_fps,
             self._sorted_ids,
             self._sigs,
@@ -342,7 +357,11 @@ class ShardedMinHashLSHForest:
             path,
             sigs=sigs,
             keys=pack_keys(self._keys),
-            params=np.array([self.num_perm, self.l, self.cap], dtype=np.int64),
+            params=np.array(
+                [self.num_perm, self.l, self.cap,
+                 int(self.rank == "jaccard")],
+                dtype=np.int64,
+            ),
         )
 
     @classmethod
@@ -353,9 +372,11 @@ class ShardedMinHashLSHForest:
         from datasketch_tpu.persist import npz_path, unpack_keys
 
         data = np.load(npz_path(path), allow_pickle=False)
-        num_perm, l, cap = (int(x) for x in data["params"])
+        params = [int(x) for x in data["params"]]
+        num_perm, l, cap = params[:3]
+        rank = "jaccard" if len(params) > 3 and params[3] else "forest"
         forest = cls(mesh, num_perm=num_perm, l=l, cap=cap,
-                     shard_axis=shard_axis)
+                     shard_axis=shard_axis, rank=rank)
         keys = unpack_keys(data["keys"])
         if keys:
             forest._keys = keys

@@ -323,3 +323,26 @@ def test_sharded_ensemble_scan_checkpoint_sizes(tmp_path):
     got2 = back.query_batch(queries, method="scan")
     for w, g in zip(want, got2):
         assert set(w) == set(g)
+
+
+def test_sharded_forest_jaccard_rank():
+    """rank='jaccard' on the sharded forest: scores descend, self first,
+    and the per-call override matches the single-chip ordering."""
+    _, sigs = _corpus(n=80, seed=23)
+    single = TpuMinHashLSHForest(num_perm=128, l=8, cap=32, rank="jaccard")
+    single.index(list(range(len(sigs))), sigs)
+    sharded = ShardedMinHashLSHForest(
+        _mesh(4), num_perm=128, l=8, cap=32, rank="jaccard"
+    )
+    sharded.index(list(range(len(sigs))), sigs)
+    queries = sigs[:8]
+    got = sharded.query_batch(queries, k=5, return_scores=True)
+    want = single.query_batch(queries, k=5, return_scores=True)
+    for qi, (g, w) in enumerate(zip(got, want)):
+        scores = [s for _, s in g]
+        assert scores == sorted(scores, reverse=True)
+        assert g[0][0] == qi
+        # same pool, same ordering: sharded results mirror single-chip
+        # (cap-margin rows may differ when runs straddle shards)
+        overlap = len({k for k, _ in g} & {k for k, _ in w})
+        assert overlap >= max(1, min(len(g), len(w)) - 1)

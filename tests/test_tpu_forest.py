@@ -276,3 +276,80 @@ def test_query_stream_matches_batch():
     assert out == [sync, sync]
     empty = TpuMinHashLSHForest(num_perm=128)
     assert list(empty.query_stream([qs], k=5)) == [[[] for _ in qs]]
+
+
+class TestJaccardRank:
+    """rank='jaccard': pure estimated-Jaccard ordering of the pool."""
+
+    def test_jaccard_rank_orders_by_score(self):
+        _, ms = _corpus_minhashes(n=96, seed=11)
+        forest = TpuMinHashLSHForest(num_perm=128, rank="jaccard")
+        forest.index(list(range(96)), ms)
+        rows = forest.query_batch(ms[:6], 8, return_scores=True)
+        for qi, row in enumerate(rows):
+            scores = [s for _, s in row]
+            assert scores == sorted(scores, reverse=True)
+            # self-match is exact: it must come first with jaccard 1.0
+            assert row[0][0] == qi and row[0][1] == pytest.approx(1.0)
+
+    def test_rank_override_per_call(self):
+        _, ms = _corpus_minhashes(n=64, seed=12)
+        forest = TpuMinHashLSHForest(num_perm=128)  # default 'forest'
+        forest.index(list(range(64)), ms)
+        base = forest.query_batch(ms[:4], 8)
+        jac = forest.query_batch(ms[:4], 8, rank="jaccard")
+        # same candidate walk: the self key is always present in both
+        for qi in range(4):
+            assert qi in base[qi] and qi in jac[qi]
+        # override must not change the index default
+        assert forest.rank == "forest"
+        again = forest.query_batch(ms[:4], 8)
+        assert again == base
+
+    def test_jaccard_rank_recall_not_worse(self):
+        """On a clustered corpus, pure-Jaccard ordering of the same pool
+        must match or beat the depth-weighted ordering's recall@k vs the
+        exact ground truth."""
+        sets, ms = _corpus_minhashes(n=128, seed=13)
+        forest = TpuMinHashLSHForest(num_perm=128)
+        forest.index(list(range(128)), ms)
+        k = 10
+
+        def exact_topk(qi):
+            js = [
+                (len(sets[qi] & sets[j]) / len(sets[qi] | sets[j]), j)
+                for j in range(128)
+            ]
+            js.sort(reverse=True)
+            return {j for _, j in js[:k]}
+
+        rec = {"forest": 0.0, "jaccard": 0.0}
+        queries = list(range(16))
+        for mode in rec:
+            rows = forest.query_batch([ms[q] for q in queries], k, rank=mode)
+            hits = sum(
+                len(set(row) & exact_topk(q))
+                for q, row in zip(queries, rows)
+            )
+            rec[mode] = hits / (k * len(queries))
+        assert rec["jaccard"] >= rec["forest"]
+
+    def test_rank_survives_save_load(self):
+        _, ms = _corpus_minhashes(n=32, seed=14)
+        forest = TpuMinHashLSHForest(num_perm=128, rank="jaccard")
+        forest.index(list(range(32)), ms)
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "f.npz")
+            forest.save(p)
+            loaded = TpuMinHashLSHForest.load(p)
+        assert loaded.rank == "jaccard"
+        assert loaded.query_batch(ms[:3], 5) == forest.query_batch(ms[:3], 5)
+
+    def test_bad_rank_rejected(self):
+        with pytest.raises(ValueError):
+            TpuMinHashLSHForest(num_perm=128, rank="nope")
+        _, ms = _corpus_minhashes(n=32, seed=15)
+        forest = TpuMinHashLSHForest(num_perm=128)
+        forest.index(list(range(32)), ms)
+        with pytest.raises(ValueError):
+            forest.query_batch(ms[:2], 5, rank="nope")
