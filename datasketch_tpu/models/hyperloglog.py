@@ -651,11 +651,25 @@ class HyperLogLogPlusPlus(HyperLogLog):
         # chunks. (Duplicate-heavy batches whose unique keys still fit
         # stay sparse: the count check is on distinct keys.)
         if self._sparse and hv.size + len(self._sparse_items) > self._sparse_max:
-            idx25_probe = (
-                hv & np.uint64((1 << self._P_SPARSE) - 1)
-            ).astype(np.int64)
-            if (np.unique(idx25_probe).size + len(self._sparse_items)
-                    > self._sparse_max):
+            idx25_probe = np.unique(
+                (hv & np.uint64((1 << self._P_SPARSE) - 1)).astype(np.int64)
+            )
+            if self._sparse_items:
+                # Count the UNION with the stored keys: batch keys that
+                # already exist in the sparse dict must not be double
+                # counted, or re-ingesting the same documents densifies
+                # a sketch the per-item path would have kept sparse
+                # (changing count() from 2^25 linear counting to the
+                # dense estimator).
+                existing = np.fromiter(
+                    self._sparse_items.keys(),
+                    dtype=np.int64,
+                    count=len(self._sparse_items),
+                )
+                merged_distinct = np.union1d(idx25_probe, existing).size
+            else:
+                merged_distinct = idx25_probe.size
+            if merged_distinct > self._sparse_max:
                 self._to_dense()
         if not self._sparse and (
             self.device_mode == "always"

@@ -179,8 +179,45 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
         self._build_tables(stack)
 
     def _set_sizes(self, sizes: np.ndarray) -> None:
+        # Device copy is lazy (_scan_sizes): subclasses lay the table
+        # out their own way (the sharded ensemble shards the partition
+        # axis) and must not pay a second, never-read single-device
+        # upload here.
         self._sizes_host = sizes.astype(np.int32)
-        self._sizes_dev = jnp.asarray(self._sizes_host.reshape(-1))
+        self._sizes_dev = None
+
+    def _scan_sizes(self):
+        if self._sizes_dev is None:
+            self._sizes_dev = jnp.asarray(self._sizes_host.reshape(-1))
+        return self._sizes_dev
+
+    def _has_scan_sizes(self) -> bool:
+        """Whether the containment scan has a sizes table to read
+        (overridden by the sharded subclass, which keeps its own
+        layout)."""
+        return self._sizes_host is not None
+
+    def _resolve_scan_method(self, method: str, q_pad: int) -> str:
+        """Shared auto/scan-guard logic for ``query_batch``:
+        method='auto' picks 'scan' whenever the whole table is smaller
+        than the band path's worst-case gather volume (the same
+        bytes-moved rule as ``TpuMinHashLSH``)."""
+        has_sizes = self._has_scan_sizes()
+        if method == "auto":
+            n_total = self.num_part * self._n_pad
+            gather_slots = q_pad * self.num_part * sum(
+                (self.h // r) * self.bucket_cap for r in self.rs
+            )
+            method = (
+                "scan" if has_sizes and n_total <= gather_slots else "bands"
+            )
+        if method == "scan" and not has_sizes:
+            raise ValueError(
+                "method='scan' needs stored set sizes — this index "
+                "was loaded from a pre-sizes checkpoint; re-save it "
+                "or query with method='bands'"
+            )
+        return method
 
     def _build_tables(self, stack: np.ndarray) -> None:
         """Upload the stacked signatures and derive every r's band tables
@@ -237,23 +274,8 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
             q_pad *= 2
         if q_pad != nq:
             q_sigs = np.pad(q_sigs, ((0, q_pad - nq), (0, 0)))
-        if method == "auto":
-            n_total = self.num_part * self._n_pad
-            gather_slots = q_pad * self.num_part * sum(
-                (self.h // r) * self.bucket_cap for r in self.rs
-            )
-            method = (
-                "scan"
-                if self._sizes_dev is not None and n_total <= gather_slots
-                else "bands"
-            )
+        method = self._resolve_scan_method(method, q_pad)
         if method == "scan":
-            if self._sizes_dev is None:
-                raise ValueError(
-                    "method='scan' needs stored set sizes — this index "
-                    "was loaded from a pre-sizes checkpoint; re-save it "
-                    "or query with method='bands'"
-                )
             return self._query_scan(queries, q_sigs, nq)
 
         # per (query, partition): which (b, r) does the x/q ratio pick
@@ -318,7 +340,7 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
         max_out = min(self.max_results, flat_sigs.shape[0])
         ids, _sc, n_match = lsh_ops.containment_scan(
             flat_sigs,
-            self._sizes_dev,
+            self._scan_sizes(),
             jnp.asarray(q_sigs),
             jnp.asarray(q_sizes),
             jnp.float32(self.threshold),

@@ -324,7 +324,15 @@ class TpuHNSW:
             r2 = np.arange(rows_over.shape[0]) - np.searchsorted(
                 rows_over, rows_over, side="left"
             )
-            max_new = int(r2.max()) + 1
+            # Bucket the overflow multiplicity to a power of two: the
+            # candidate-matrix width (deg_cap + max_new) is a static
+            # shape for prune_candidates, so a raw max_new would compile
+            # a fresh program per distinct pile-up depth (minutes-scale
+            # through the remote tunnel). Extra -1 columns are ignored
+            # by the pruner.
+            max_new = 1
+            while max_new < int(r2.max()) + 1:
+                max_new *= 2
             cmat = np.full(
                 (ov_v.shape[0], deg_cap + max_new), -1, dtype=np.int32
             )

@@ -477,8 +477,12 @@ TOPK_BT = 256  # db rows per grid step
 def topk_blocks(p: int):
     """(query block, db tile) for the fused top-k scan at width ``p``:
     the [BQ, BT, P] f32 partial must stay ~8MB, so BQ shrinks as the
-    signature widens (P=128 -> 64, P=256 -> 32, P=512 -> 16)."""
-    return max(8, (TOPK_BQ * 128) // p), TOPK_BT
+    signature widens (P=128 -> 64, P=256 -> 32, P=512 -> 16). Floored
+    to a multiple of 8 so the query block stays sublane-aligned for
+    non-power-of-two widths (e.g. cascade_perm=384 -> 21 would hand
+    Mosaic an unaligned block)."""
+    bq = (TOPK_BQ * 128) // p
+    return max(8, (bq // 8) * 8), TOPK_BT
 _TOPK_MAX_K = 128  # extraction loop is unrolled K times; beyond this the
 # XLA scan path (lsh_ops.topk_scan) is the better tool.
 

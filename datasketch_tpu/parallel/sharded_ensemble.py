@@ -120,6 +120,11 @@ class ShardedMinHashLSHEnsemble(TpuMinHashLSHEnsemble):
         # drop the filler partitions: checkpoints stay layout-independent
         return self._to_host(self._sigs_dev)[: self.num_part]
 
+    def _has_scan_sizes(self) -> bool:
+        # the sharded scan reads its own partition-sharded layout, not
+        # the base class's flat single-device copy
+        return self._sizes_sharded is not None
+
     # ------------------------------------------------------------------ query
 
     def _make_probe_fn(self, r: int):
@@ -220,23 +225,8 @@ class ShardedMinHashLSHEnsemble(TpuMinHashLSHEnsemble):
             q_pad *= 2
         if q_pad != nq:
             q_sigs = np.pad(q_sigs, ((0, q_pad - nq), (0, 0)))
-        if method == "auto":
-            n_total = self.num_part * self._n_pad
-            gather_slots = q_pad * self.num_part * sum(
-                (self.h // r) * self.bucket_cap for r in self.rs
-            )
-            method = (
-                "scan"
-                if self._sizes_sharded is not None and n_total <= gather_slots
-                else "bands"
-            )
+        method = self._resolve_scan_method(method, q_pad)
         if method == "scan":
-            if self._sizes_sharded is None:
-                raise ValueError(
-                    "method='scan' needs stored set sizes — this index "
-                    "was loaded from a pre-sizes checkpoint; re-save it "
-                    "or query with method='bands'"
-                )
             return self._query_scan_sharded(queries, q_sigs, nq)
 
         b_keep = {r: np.zeros((q_pad, self._parts_pad), dtype=np.int32)

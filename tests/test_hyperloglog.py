@@ -197,6 +197,23 @@ class TestHyperLogLogPlusPlusSparse:
         h.update_batch(items)
         assert abs(h.count() - 200) < 3
 
+    def test_reingest_does_not_densify(self):
+        """Re-ingesting stored keys must not densify: the early-densify
+        probe counts the UNION of batch and stored sparse keys, not
+        their sum (a double count flipped count() from 2^25 linear
+        counting to the dense estimator for duplicate batches)."""
+        from datasketch_tpu import HyperLogLogPlusPlus
+
+        h = HyperLogLogPlusPlus(p=14, sparse=True)
+        h._sparse_max = 2048  # shrink the budget so the probe triggers
+        items = [b"doc-%d" % i for i in range(1800)]
+        h.update_batch(items)
+        assert h.is_sparse
+        # batch + stored = 3600 > budget, but the union is still 1800
+        h.update_batch(items)
+        assert h.is_sparse
+        assert abs(h.count() - 1800) < 10
+
     def test_densify_matches_dense_sketch(self):
         import numpy as np
 

@@ -305,7 +305,10 @@ class TestEnsembleContainmentScan:
         import pytest
 
         ens, sets, sigs = self._build()
-        ens._sizes_dev = None  # simulate a pre-sizes checkpoint
+        # simulate a pre-sizes checkpoint (the device copy is lazy and
+        # derived from the host table, so the host table is the truth)
+        ens._sizes_host = None
+        ens._sizes_dev = None
         with pytest.raises(ValueError, match="sizes"):
             ens.query_batch([(sigs[0], len(sets[0]))], method="scan")
         # auto degrades to bands instead of raising

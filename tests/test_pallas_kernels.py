@@ -301,3 +301,15 @@ def test_topk_scan_pallas_guards():
     with pytest.raises(ValueError):  # k beyond the unroll bound
         pk.topk_scan_pallas(db, qs, nv, cut, pk._TOPK_MAX_K + 1,
                             interpret=True)
+
+
+def test_topk_blocks_sublane_aligned():
+    """Query block heights must be multiples of the 8-row uint32 sublane
+    for EVERY signature width the constructors accept (a cascade_perm of
+    384 used to yield 21 and hand Mosaic an unaligned block)."""
+    from datasketch_tpu.ops import pallas_kernels as pk
+
+    for p in (128, 192, 256, 384, 512, 640, 1024, 2048):
+        bq, bt = pk.topk_blocks(p)
+        assert bq % 8 == 0 and bq >= 8, (p, bq)
+        assert bt == pk.TOPK_BT

@@ -48,13 +48,28 @@ def main() -> None:
             open(MARKER, "w").write(str(time.time()))
             rc = None
             try:
-                rc = subprocess.run(
+                # Own session + killpg on timeout: recapture runs its
+                # benchmarks in nested subprocesses, and killing only
+                # the direct child would orphan a TPU-touching
+                # grandchild on the tunnel while the watcher starts
+                # another (one-TPU-process rule; same pattern as
+                # utils.device_healthcheck).
+                proc = subprocess.Popen(
                     [sys.executable, os.path.join(ROOT, "tools", "tpu_recapture.py"),
                      "--skip-probe"],
-                    cwd=ROOT, timeout=3 * 3600, check=False,
-                ).returncode
-            except subprocess.TimeoutExpired:
-                log("recapture TIMED OUT after 3h")
+                    cwd=ROOT, start_new_session=True,
+                )
+                try:
+                    rc = proc.wait(timeout=3 * 3600)
+                except subprocess.TimeoutExpired:
+                    log("recapture TIMED OUT after 3h — killing process group")
+                    import signal
+
+                    try:
+                        os.killpg(proc.pid, signal.SIGKILL)
+                    except ProcessLookupError:
+                        pass
+                    proc.wait(timeout=60)
             except Exception as exc:
                 log(f"recapture crashed: {exc!r}")
             finally:
