@@ -639,14 +639,24 @@ def bench_forest(device_kind: str, n_docs: int = 16384,
         n_sets=n_docs, n_queries=n_queries
     )
     gt, _times = butils.exact_topk(sets, query_sets[:n_eval], k)
+    # 2*NUM_PERM-wide signatures: prefix trees read the first NUM_PERM
+    # slots (prefix-stable, bit-identical to plain 128-wide rows — the
+    # reference forest below gets exactly those), the Jaccard rerank
+    # scores all 256.
     sigs = MinHash.bulk_signatures(
-        butils.sets_to_docs(sets), num_perm=NUM_PERM
+        butils.sets_to_docs(sets), num_perm=2 * NUM_PERM
     )
     # rank='jaccard': same candidate walk as the reference's prefix
     # descent, final ordering by estimated Jaccard (the rerank the
     # reference docs tell users to add by hand) — measured +0.12-0.18
-    # recall@10 at equal q/s vs depth-first ordering (round-4 sweep)
-    forest = TpuMinHashLSHForest(num_perm=NUM_PERM, l=l, rank="jaccard")
+    # recall@10 at equal q/s vs depth-first ordering (round-4 sweep).
+    # cascade 256 + pool 512: recall@10 0.855 -> 0.902 at ~equal q/s
+    # (round-4 sweep; pool saturates ~0.905 — the prefix walk is the
+    # remaining ceiling).
+    forest = TpuMinHashLSHForest(
+        num_perm=NUM_PERM, l=l, rank="jaccard",
+        cascade_perm=2 * NUM_PERM, pool=512,
+    )
     forest.index(list(range(n_docs)), sigs)
     q_sigs = sigs[query_keys]
     forest.query_batch(q_sigs, k)  # warm the serving-shape compile
@@ -675,7 +685,7 @@ def bench_forest(device_kind: str, n_docs: int = 16384,
         rforest = datasketch.MinHashLSHForest(num_perm=NUM_PERM, l=l)
         rmh = [
             datasketch.MinHash(num_perm=NUM_PERM, hashvalues=row)
-            for row in sigs
+            for row in sigs[:, :NUM_PERM]
         ]
         for i, m in enumerate(rmh):
             rforest.add(i, m)
@@ -696,7 +706,8 @@ def bench_forest(device_kind: str, n_docs: int = 16384,
         else None,
         "vs_reference": round(max(samples) / ref_qps, 2) if ref_qps else None,
         "config": "%d clustered sets, %d-query batches (recall on %d), "
-        "k=%d, l=%d" % (n_docs, n_queries, n_eval, k, l),
+        "k=%d, l=%d, cascade %d, pool 512"
+        % (n_docs, n_queries, n_eval, k, l, 2 * NUM_PERM),
     }
 
 

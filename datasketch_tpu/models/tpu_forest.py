@@ -26,10 +26,11 @@ _JAC_FX = 1 << 20  # fixed-point scale for packing jaccard into int32
 
 
 @functools.partial(
-    jax.jit, static_argnames=("l", "k_prefix", "cap", "k_out", "rank")
+    jax.jit, static_argnames=("l", "k_prefix", "cap", "k_out", "rank",
+                              "pool")
 )
 def _fused_packed(sorted_fps, sorted_ids, db_sigs, q_sigs, l, k_prefix,
-                  cap, k_out, n_valid, rank):
+                  cap, k_out, n_valid, rank, pool):
     """Fused query with ALL outputs packed into one int32 buffer.
 
     One device buffer means one host fetch; through the remote-TPU tunnel
@@ -38,7 +39,7 @@ def _fused_packed(sorted_fps, sorted_ids, db_sigs, q_sigs, l, k_prefix,
     """
     ids, jac, lev, trunc = forest_ops.forest_query_fused(
         sorted_fps, sorted_ids, db_sigs, q_sigs, l, k_prefix, cap, k_out,
-        n_valid=n_valid, rank=rank,
+        n_valid=n_valid, rank=rank, pool=pool,
     )
     jac_fx = jnp.round(jac * _JAC_FX).astype(jnp.int32)
     tr = jnp.broadcast_to(trunc.astype(jnp.int32), ids.shape)
@@ -61,10 +62,29 @@ class TpuMinHashLSHForest:
             recommend users add by hand, fused; measurably better
             recall-vs-exact-top-k at equal q/s (the candidate walk is
             identical). Per-query override via ``query_batch(rank=...)``.
+        cascade_perm: Optional signature cascade (same trick as
+            ``TpuMinHashLSH``): prefix trees keep using the first
+            ``num_perm`` slots, but indexed/query sketches must carry
+            ``cascade_perm`` slots and the Jaccard rerank scores over
+            ALL of them — a lower-variance estimate that lifts top-k
+            recall for pure HBM (no extra probes). Signatures are
+            prefix-stable (``init_permutations`` draws interleaved), so
+            a ``cascade_perm``-wide sketch's first ``num_perm`` slots
+            are bit-identical to a plain one's.
+        pool: Rerank pool size (0 = per-rank default, see
+            :func:`datasketch_tpu.ops.forest_ops.forest_topk`). The pool
+            is picked by prefix DEPTH, and depth ties are arbitrary —
+            once more candidates tie at the deepest levels than fit
+            (big corpora, wide ``cap``), true neighbours get displaced;
+            widening the pool fixes it for only extra rerank gathers.
+            Measured on the 16k-set protocol: pool 512 + cascade 256 =
+            recall@10 0.855 -> 0.902 at ~equal q/s (saturates ~0.905 —
+            beyond that the prefix walk itself is the ceiling).
     """
 
     def __init__(self, num_perm: int = 128, l: int = 8, cap: int = 64,
-                 rank: str = "forest"):
+                 rank: str = "forest", cascade_perm: Optional[int] = None,
+                 pool: int = 0):
         if l <= 0 or num_perm <= 0:
             raise ValueError("num_perm and l must be positive")
         if l > num_perm:
@@ -81,6 +101,15 @@ class TpuMinHashLSHForest:
         # than num_perm, so storing num_perm-wide rows would crash on
         # reference-valid input. All rows/queries are sliced to width.
         self.width = self.k * self.l
+        if cascade_perm is not None and cascade_perm < self.width:
+            raise ValueError("cascade_perm must be >= the prefix width k*l")
+        self.cascade_perm = cascade_perm
+        # rows are stored (and Jaccard-scored) at score_width; prefix
+        # trees read only the first k*l slots
+        self.score_width = cascade_perm if cascade_perm else self.width
+        if pool < 0:
+            raise ValueError("pool must be >= 0")
+        self.pool = pool  # 0 = per-rank default (forest_ops.forest_topk)
         self.cap = cap
         self._keys: list = []  # position -> user key (indexed rows)
         self._key_set: set = set()
@@ -97,12 +126,12 @@ class TpuMinHashLSHForest:
     def add(self, key: Hashable, minhash) -> None:
         """Stage (key, minhash); searchable after the next :meth:`index`."""
         row = _as_signature_matrix([minhash])[0]
-        if row.shape[0] < self.width:
+        if row.shape[0] < self.score_width:
             raise ValueError("The num_perm of MinHash out of range")
         if key in self._key_set:
             raise ValueError("The given key has already been added")
         self._key_set.add(key)
-        self._pending.append((key, row[: self.width]))
+        self._pending.append((key, row[: self.score_width]))
 
     def index(self, keys: Optional[Sequence[Hashable]] = None,
               minhashes=None) -> None:
@@ -119,7 +148,7 @@ class TpuMinHashLSHForest:
             sigs = _as_signature_matrix(minhashes)
             if sigs.shape[0] != len(keys):
                 raise ValueError("keys and minhashes must have equal length")
-            if sigs.shape[0] and sigs.shape[1] < self.width:
+            if sigs.shape[0] and sigs.shape[1] < self.score_width:
                 raise ValueError("The num_perm of MinHash out of range")
             # validate the WHOLE batch before mutating _key_set: a
             # mid-batch duplicate must not poison the earlier keys
@@ -129,7 +158,7 @@ class TpuMinHashLSHForest:
                     raise ValueError("The given key has already been added")
                 seen.add(k)
             self._key_set.update(seen)
-            self._pending.extend(zip(keys, sigs[:, : self.width]))
+            self._pending.extend(zip(keys, sigs[:, : self.score_width]))
         if not self._pending:
             return
         new_keys, new_rows = zip(*self._pending)
@@ -148,7 +177,7 @@ class TpuMinHashLSHForest:
         from datasketch_tpu.models.minhash import MinHash
 
         sigs = MinHash.bulk_signatures(
-            token_docs, scheme=scheme, num_perm=self.num_perm, seed=seed,
+            token_docs, scheme=scheme, num_perm=self.score_width, seed=seed,
             hashfunc="device",
         )
         self.index(list(keys), sigs)
@@ -165,7 +194,7 @@ class TpuMinHashLSHForest:
         from datasketch_tpu.models.minhash import MinHash
 
         sigs = MinHash.bulk_from_text(
-            texts, k=k, num_perm=self.num_perm, seed=seed,
+            texts, k=k, num_perm=self.score_width, seed=seed,
             hashfunc="device",
         )
         self.index(list(keys), sigs)
@@ -192,7 +221,8 @@ class TpuMinHashLSHForest:
         if n_pad != n_real:
             rng = np.random.RandomState(n_pad & 0x7FFFFFFF)
             filler = rng.randint(
-                0, 1 << 32, size=(n_pad - n_real, self.width), dtype=np.uint64
+                0, 1 << 32, size=(n_pad - n_real, self.score_width),
+                dtype=np.uint64,
             ).astype(np.uint32)
             sigs_np = np.concatenate([sigs_np, filler], axis=0)
         self._n_real = n_real
@@ -261,9 +291,9 @@ class TpuMinHashLSHForest:
         q = _as_signature_matrix(minhashes)
         if q.shape[0] == 0:
             return []
-        if q.shape[1] < self.width:
+        if q.shape[1] < self.score_width:
             raise ValueError("The num_perm of MinHash out of range")
-        q = q[:, : self.width]
+        q = q[:, : self.score_width]
         nq = q.shape[0]
         # bucket the query batch (shape-stability, same rationale as rows)
         q_pad = 8
@@ -283,6 +313,7 @@ class TpuMinHashLSHForest:
             k_pad,
             self._n_real_dev,
             rank,
+            self.pool,
         )
         return packed, nq
 
@@ -311,7 +342,7 @@ class TpuMinHashLSHForest:
         rng = np.random.RandomState(0)
         for q in batch_sizes:
             sigs = rng.randint(
-                0, 1 << 32, size=(int(q), self.width), dtype=np.uint64
+                0, 1 << 32, size=(int(q), self.score_width), dtype=np.uint64
             ).astype(np.uint32)
             self.query_batch(sigs, k)
 
@@ -382,11 +413,12 @@ class TpuMinHashLSHForest:
             path,
             sigs=np.asarray(self._sigs_dev)[: self._n_real]
             if self._sigs_dev is not None
-            else np.zeros((0, self.width), dtype=np.uint32),
+            else np.zeros((0, self.score_width), dtype=np.uint32),
             keys=pack_keys(self._keys),
             params=np.array(
                 [self.num_perm, self.l, self.cap,
-                 int(self.rank == "jaccard")],
+                 int(self.rank == "jaccard"),
+                 self.cascade_perm or 0, self.pool],
                 dtype=np.int64,
             ),
         )
@@ -400,9 +432,12 @@ class TpuMinHashLSHForest:
         data = np.load(npz_path(path), allow_pickle=False)
         params = [int(x) for x in data["params"]]
         num_perm, l, cap = params[:3]
-        # 4th field (rank mode) absent in pre-round-4 checkpoints
+        # 4th/5th fields (rank mode, cascade) absent in older checkpoints
         rank = "jaccard" if len(params) > 3 and params[3] else "forest"
-        forest = cls(num_perm=num_perm, l=l, cap=cap, rank=rank)
+        cascade = params[4] if len(params) > 4 and params[4] else None
+        pool = params[5] if len(params) > 5 else 0
+        forest = cls(num_perm=num_perm, l=l, cap=cap, rank=rank,
+                     cascade_perm=cascade, pool=pool)
         keys = unpack_keys(data["keys"])
         sigs = data["sigs"]
         if len(keys):

@@ -40,7 +40,7 @@ class ShardedMinHashLSHForest:
 
     def __init__(self, mesh: Mesh, num_perm: int = 128, l: int = 8,
                  cap: int = 64, shard_axis: str = "data",
-                 rank: str = "forest"):
+                 rank: str = "forest", cascade_perm=None, pool: int = 0):
         if l <= 0 or num_perm <= 0:
             raise ValueError("num_perm and l must be positive")
         if l > num_perm:
@@ -53,6 +53,15 @@ class ShardedMinHashLSHForest:
         self.k = int(num_perm / l)
         self.num_perm = num_perm
         self.width = self.k * self.l
+        if cascade_perm is not None and cascade_perm < self.width:
+            raise ValueError("cascade_perm must be >= the prefix width k*l")
+        self.cascade_perm = cascade_perm
+        # rows stored (and Jaccard-scored) at score_width; prefix trees
+        # read only the first k*l slots (see TpuMinHashLSHForest)
+        self.score_width = cascade_perm if cascade_perm else self.width
+        if pool < 0:
+            raise ValueError("pool must be >= 0")
+        self.pool = pool  # 0 = per-rank default (forest_ops.forest_topk)
         self.cap = cap
         self.shard_axis = shard_axis
         self.n_shards = mesh.shape[shard_axis]
@@ -80,7 +89,7 @@ class ShardedMinHashLSHForest:
         from datasketch_tpu.models.minhash import MinHash
 
         self.index(keys, MinHash.bulk_signatures(
-            token_docs, num_perm=self.num_perm, seed=seed,
+            token_docs, num_perm=self.score_width, seed=seed,
             hashfunc="device",
         ))
 
@@ -95,7 +104,7 @@ class ShardedMinHashLSHForest:
         from datasketch_tpu.models.minhash import MinHash
 
         self.index(keys, MinHash.bulk_from_text(
-            texts, k=k, num_perm=self.num_perm, seed=seed,
+            texts, k=k, num_perm=self.score_width, seed=seed,
             hashfunc="device",
         ))
 
@@ -109,7 +118,7 @@ class ShardedMinHashLSHForest:
         sigs = _as_signature_matrix(minhashes)
         if sigs.shape[0] != len(keys):
             raise ValueError("keys and minhashes must have equal length")
-        if sigs.shape[0] and sigs.shape[1] < self.width:
+        if sigs.shape[0] and sigs.shape[1] < self.score_width:
             raise ValueError("The num_perm of MinHash out of range")
         # validate the WHOLE batch before mutating _key_set: a mid-batch
         # duplicate must not poison the earlier (rejected) keys
@@ -119,7 +128,7 @@ class ShardedMinHashLSHForest:
                 raise ValueError("The given key has already been added")
             seen.add(kk)
         self._key_set.update(seen)
-        sigs = np.asarray(sigs)[:, : self.width]
+        sigs = np.asarray(sigs)[:, : self.score_width]
         if self._n_real:
             old = self._to_host(self._sigs)[: self._n_real]
             sigs = np.concatenate([old, sigs], axis=0)
@@ -146,7 +155,8 @@ class ShardedMinHashLSHForest:
         if n_pad != n:
             rng = np.random.RandomState(n_pad & 0x7FFFFFFF)
             filler = rng.randint(
-                0, 1 << 32, size=(n_pad - n, self.width), dtype=np.uint64
+                0, 1 << 32, size=(n_pad - n, self.score_width),
+                dtype=np.uint64,
             ).astype(np.uint32)
             sigs = np.concatenate([sigs, filler], axis=0)
         local_n = n_pad // self.n_shards
@@ -174,6 +184,7 @@ class ShardedMinHashLSHForest:
     def _make_query_fn(self, k_out: int, rank: str):
         mesh, axis = self.mesh, self.shard_axis
         l, k_prefix, cap = self.l, self.k, self.cap
+        pool = self.pool
 
         def body(sorted_fps, sorted_ids, db_sigs, q_sigs, n_real):
             local_n = db_sigs.shape[0]
@@ -181,7 +192,7 @@ class ShardedMinHashLSHForest:
             nv = jnp.clip(n_real - base, 0, local_n)
             ids, jac, lev, trunc = forest_ops.forest_query_fused(
                 sorted_fps, sorted_ids, db_sigs, q_sigs,
-                l, k_prefix, cap, k_out, n_valid=nv, rank=rank,
+                l, k_prefix, cap, k_out, n_valid=nv, rank=rank, pool=pool,
             )
             gids = jnp.where(ids >= 0, ids + base, -1)
             g_ids = jax.lax.all_gather(gids, axis, axis=1, tiled=True)
@@ -261,9 +272,9 @@ class ShardedMinHashLSHForest:
         q = _as_signature_matrix(minhashes)
         if q.shape[0] == 0:
             return []
-        if q.shape[1] < self.width:
+        if q.shape[1] < self.score_width:
             raise ValueError("The num_perm of MinHash out of range")
-        q = np.asarray(q)[:, : self.width]
+        q = np.asarray(q)[:, : self.score_width]
         nq = q.shape[0]
         q_pad = 8
         while q_pad < nq:
@@ -305,7 +316,7 @@ class ShardedMinHashLSHForest:
         rng = np.random.RandomState(0)
         for q in batch_sizes:
             sigs = rng.randint(
-                0, 1 << 32, size=(int(q), self.width), dtype=np.uint64
+                0, 1 << 32, size=(int(q), self.score_width), dtype=np.uint64
             ).astype(np.uint32)
             self.query_batch(sigs, k)
 
@@ -351,7 +362,7 @@ class ShardedMinHashLSHForest:
         sigs = (
             self._to_host(self._sigs)[: self._n_real]
             if self._sigs is not None
-            else np.zeros((0, self.width), dtype=np.uint32)
+            else np.zeros((0, self.score_width), dtype=np.uint32)
         )
         atomic_savez(
             path,
@@ -359,7 +370,8 @@ class ShardedMinHashLSHForest:
             keys=pack_keys(self._keys),
             params=np.array(
                 [self.num_perm, self.l, self.cap,
-                 int(self.rank == "jaccard")],
+                 int(self.rank == "jaccard"),
+                 self.cascade_perm or 0, self.pool],
                 dtype=np.int64,
             ),
         )
@@ -375,8 +387,11 @@ class ShardedMinHashLSHForest:
         params = [int(x) for x in data["params"]]
         num_perm, l, cap = params[:3]
         rank = "jaccard" if len(params) > 3 and params[3] else "forest"
+        cascade = params[4] if len(params) > 4 and params[4] else None
+        pool = params[5] if len(params) > 5 else 0
         forest = cls(mesh, num_perm=num_perm, l=l, cap=cap,
-                     shard_axis=shard_axis, rank=rank)
+                     shard_axis=shard_axis, rank=rank,
+                     cascade_perm=cascade, pool=pool)
         keys = unpack_keys(data["keys"])
         if keys:
             forest._keys = keys

@@ -346,3 +346,43 @@ def test_sharded_forest_jaccard_rank():
         # (cap-margin rows may differ when runs straddle shards)
         overlap = len({k for k, _ in g} & {k for k, _ in w})
         assert overlap >= max(1, min(len(g), len(w)) - 1)
+
+
+def test_sharded_forest_cascade():
+    """cascade_perm on the sharded forest: same prefix walk as the plain
+    sharded forest, Jaccard scored over the wide rows, self-match first,
+    and the checkpoint round-trips the cascade onto another mesh."""
+    rng = np.random.RandomState(31)
+    sets = [
+        rng.choice(30000, rng.randint(40, 200), replace=False).astype(
+            np.uint32
+        )
+        for _ in range(80)
+    ]
+    wide = MinHash.bulk_signatures(
+        sets, num_perm=512, hashfunc="device"
+    )
+    single = TpuMinHashLSHForest(
+        num_perm=128, l=8, cap=32, rank="jaccard", cascade_perm=512
+    )
+    single.index(list(range(len(wide))), wide)
+    sharded = ShardedMinHashLSHForest(
+        _mesh(4), num_perm=128, l=8, cap=32, rank="jaccard",
+        cascade_perm=512,
+    )
+    sharded.index(list(range(len(wide))), wide)
+    got = sharded.query_batch(wide[:8], k=5, return_scores=True)
+    want = single.query_batch(wide[:8], k=5, return_scores=True)
+    for qi, (g, w) in enumerate(zip(got, want)):
+        assert g[0][0] == qi and g[0][1] == pytest.approx(1.0)
+        overlap = len({k for k, _ in g} & {k for k, _ in w})
+        assert overlap >= max(1, min(len(g), len(w)) - 1)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "f.npz")
+        sharded.save(p)
+        re2 = ShardedMinHashLSHForest.load(p, _mesh(2))
+    assert re2.cascade_perm == 512 and re2.score_width == 512
+    assert re2.query_batch(wide[:4], k=5) == sharded.query_batch(
+        wide[:4], k=5
+    )

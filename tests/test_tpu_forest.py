@@ -353,3 +353,81 @@ class TestJaccardRank:
         forest.index(list(range(32)), ms)
         with pytest.raises(ValueError):
             forest.query_batch(ms[:2], 5, rank="nope")
+
+
+class TestForestCascade:
+    """cascade_perm: prefix trees at num_perm, Jaccard rerank at a wider
+    signature (the recall trick TpuMinHashLSH ships as cascade_perm)."""
+
+    def test_prefix_walk_identical_to_plain(self):
+        """A cascade forest must gather the SAME candidate pool as a
+        plain one (prefixes read only the first k*l slots, which are
+        prefix-stable in the wide signatures)."""
+        sets, ms_wide = _corpus_minhashes(n=96, num_perm=512, seed=21)
+        plain = TpuMinHashLSHForest(num_perm=128, rank="jaccard")
+        casc = TpuMinHashLSHForest(
+            num_perm=128, rank="jaccard", cascade_perm=512
+        )
+        wide = np.stack([m.hashvalues for m in ms_wide]).astype(np.uint32)
+        plain.index(list(range(96)), wide[:, :128])
+        casc.index(list(range(96)), wide)
+        # both must surface the exact self-match first
+        pr = plain.query_batch(wide[:6, :128], 8, return_scores=True)
+        cr = casc.query_batch(wide[:6], 8, return_scores=True)
+        for qi in range(6):
+            assert pr[qi][0][0] == qi and cr[qi][0][0] == qi
+            assert cr[qi][0][1] == pytest.approx(1.0)
+
+    def test_cascade_recall_not_worse(self):
+        """Scoring over 4x the slots must match or beat plain recall@k
+        against the exact ground truth (same candidate walk)."""
+        sets, ms_wide = _corpus_minhashes(n=128, num_perm=512, seed=22)
+        wide = np.stack([m.hashvalues for m in ms_wide]).astype(np.uint32)
+        k, queries = 10, list(range(24))
+
+        def exact_topk(qi):
+            js = [
+                (len(sets[qi] & sets[j]) / len(sets[qi] | sets[j]), j)
+                for j in range(128)
+            ]
+            js.sort(reverse=True)
+            return {j for _, j in js[:k]}
+
+        rec = {}
+        for label, cascade, q in (
+            ("plain", None, wide[:, :128]),
+            ("cascade", 512, wide),
+        ):
+            f = TpuMinHashLSHForest(
+                num_perm=128, rank="jaccard", cascade_perm=cascade
+            )
+            f.index(list(range(128)), q)
+            rows = f.query_batch(q[queries], k)
+            rec[label] = sum(
+                len(set(row) & exact_topk(qi))
+                for qi, row in zip(queries, rows)
+            ) / (k * len(queries))
+        assert rec["cascade"] >= rec["plain"]
+
+    def test_narrow_input_rejected(self):
+        _, ms = _corpus_minhashes(n=8, num_perm=128, seed=23)
+        f = TpuMinHashLSHForest(num_perm=128, cascade_perm=256)
+        with pytest.raises(ValueError, match="num_perm"):
+            f.index(list(range(8)), ms)  # 128-wide rows, needs 256
+        with pytest.raises(ValueError, match="cascade_perm"):
+            TpuMinHashLSHForest(num_perm=128, cascade_perm=64)
+
+    def test_cascade_survives_save_load(self):
+        _, ms = _corpus_minhashes(n=32, num_perm=256, seed=24)
+        wide = np.stack([m.hashvalues for m in ms]).astype(np.uint32)
+        f = TpuMinHashLSHForest(
+            num_perm=128, rank="jaccard", cascade_perm=256
+        )
+        f.index(list(range(32)), wide)
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "f.npz")
+            f.save(p)
+            loaded = TpuMinHashLSHForest.load(p)
+        assert loaded.cascade_perm == 256
+        assert loaded.score_width == 256
+        assert loaded.query_batch(wide[:3], 5) == f.query_batch(wide[:3], 5)
