@@ -338,15 +338,31 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
         q_sizes[:nq] = [int(size) for _, size in queries]
         flat_sigs = self._sigs_dev.reshape(-1, self.h)
         max_out = min(self.max_results, flat_sigs.shape[0])
+        # Serve at a fused-kernel-sized k first (the Mosaic scan branch
+        # is ~5x the lax.scan form but unrolls its extraction k times);
+        # escalate to the full max_results only when some query actually
+        # overflows — rare at real thresholds, and exactness is kept.
+        scan_k = min(max_out, 128)
+        q_dev, qs_dev = jnp.asarray(q_sigs), jnp.asarray(q_sizes)
         ids, _sc, n_match = lsh_ops.containment_scan(
             flat_sigs,
             self._scan_sizes(),
-            jnp.asarray(q_sigs),
-            jnp.asarray(q_sizes),
+            q_dev,
+            qs_dev,
             jnp.float32(self.threshold),
-            max_out,
+            scan_k,
         )
         ids_host, n_host = jax.device_get((ids, n_match))
+        if scan_k < max_out and int(n_host[:nq].max(initial=0)) > scan_k:
+            ids, _sc, n_match = lsh_ops.containment_scan(
+                flat_sigs,
+                self._scan_sizes(),
+                q_dev,
+                qs_dev,
+                jnp.float32(self.threshold),
+                max_out,
+            )
+            ids_host, n_host = jax.device_get((ids, n_match))
         results = []
         for qi in range(nq):
             row = ids_host[qi]

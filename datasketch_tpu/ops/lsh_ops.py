@@ -613,7 +613,7 @@ def _topk_scan_fused(db_sigs, q_sigs, k: int, n_valid, alive, count_ge):
 
     n_pad, _ = db_sigs.shape
     q = q_sigs.shape[0]
-    bq, bt = pk.topk_blocks(db_sigs.shape[1])
+    bq, bt = pk.topk_blocks(db_sigs.shape[1], k)
     n_bt = -(-n_pad // bt) * bt
     if n_bt != n_pad:
         db_sigs = jnp.pad(db_sigs, ((0, n_bt - n_pad), (0, 0)))
@@ -636,7 +636,7 @@ def _topk_scan_fused(db_sigs, q_sigs, k: int, n_valid, alive, count_ge):
     if use_mask:
         if alive.shape[0] != n_bt:
             alive = jnp.pad(alive, (0, n_bt - alive.shape[0]))
-        alive_i32 = alive.astype(jnp.int32).reshape(n_bt // bt, bt)
+        alive_i32 = alive.astype(jnp.int32).reshape(n_bt // bt, 1, bt)
     ids, sc, cnt = pk.topk_scan_pallas(
         db_sigs, q_sigs, nv, cut, k, alive_i32=alive_i32,
         use_mask=use_mask, interpret=SCORE_KERNEL_INTERPRET,
@@ -645,6 +645,38 @@ def _topk_scan_fused(db_sigs, q_sigs, k: int, n_valid, alive, count_ge):
     if count_ge is None:
         return ids, sc
     return ids, sc, cnt
+
+
+def _containment_scan_fused(db_sigs, db_sizes, q_sigs, q_sizes, cutoff,
+                            k: int):
+    """Trace-time body for :func:`containment_scan`'s Mosaic branch:
+    pad to the kernel tiles, broadcast the query sizes across the lane
+    axis, slice the query padding back off. Same return contract."""
+    from datasketch_tpu.ops import pallas_kernels as pk
+
+    n_pad, _p = db_sigs.shape
+    q = q_sigs.shape[0]
+    bq, bt = pk.topk_blocks(db_sigs.shape[1], k, sizes=True)
+    n_bt = -(-n_pad // bt) * bt
+    if n_bt != n_pad:
+        db_sigs = jnp.pad(db_sigs, ((0, n_bt - n_pad), (0, 0)))
+        db_sizes = jnp.pad(db_sizes, (0, n_bt - n_pad))
+    q_pad = (-q) % bq
+    if q_pad:
+        q_sigs = jnp.pad(q_sigs, ((0, q_pad), (0, 0)))
+        q_sizes = jnp.pad(q_sizes, (0, q_pad), constant_values=1)
+    sizes_i32 = db_sizes.astype(jnp.int32).reshape(n_bt // bt, 1, bt)
+    qs_b = jnp.broadcast_to(
+        jnp.maximum(q_sizes.astype(jnp.int32), 1)[:, None],
+        (q_sigs.shape[0], 128),
+    )
+    ids, sc, cnt = pk.topk_scan_pallas(
+        db_sigs, q_sigs, jnp.int32(n_bt),  # padding rows carry size 0
+        jnp.asarray(cutoff, jnp.float32), k,
+        db_sizes_i32=sizes_i32, q_sizes_b=qs_b, use_sizes=True,
+        interpret=SCORE_KERNEL_INTERPRET,
+    )
+    return ids[:q], sc[:q], cnt[:q]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile"))
@@ -683,6 +715,20 @@ def containment_scan(db_sigs, db_sizes, q_sigs, q_sizes, cutoff, k: int,
     q = q_sigs.shape[0]
     from datasketch_tpu.ops import pallas_kernels as pk
 
+    if (
+        p % 128 == 0
+        and k <= pk._TOPK_MAX_K
+        and (pk.signature_kernel_available() or SCORE_KERNEL_INTERPRET)
+    ):
+        # Fused Mosaic scan (same kernel as topk_scan's branch, sizes
+        # mode): the running top-k lives in VMEM across db tiles — no
+        # [Q, tile] containment matrix and no [Q, k + tile] lax.top_k
+        # per tile. Measured 64ms -> ~13ms per 256-query batch over 32k
+        # rows on v5e (the per-tile top_k at k=2048 dominated the scan
+        # form; serving callers keep k <= 128 and escalate on overflow).
+        return _containment_scan_fused(
+            db_sigs, db_sizes, q_sigs, q_sizes, cutoff, k
+        )
     tile = min(tile, n_pad)
     n_tiles = -(-n_pad // tile)
     pad_rows = n_tiles * tile - n_pad

@@ -474,20 +474,32 @@ TOPK_BQ = 64  # query rows per grid step: db HBM traffic is
 TOPK_BT = 256  # db rows per grid step
 
 
-def topk_blocks(p: int):
-    """(query block, db tile) for the fused top-k scan at width ``p``:
-    the [BQ, BT, P] f32 partial must stay ~8MB, so BQ shrinks as the
-    signature widens (P=128 -> 64, P=256 -> 32, P=512 -> 16). Floored
-    to a multiple of 8 so the query block stays sublane-aligned for
-    non-power-of-two widths (e.g. cascade_perm=384 -> 21 would hand
-    Mosaic an unaligned block)."""
+def topk_blocks(p: int, k: int = 16, sizes: bool = False):
+    """(query block, db tile) for the fused top-k scan at width ``p``.
+
+    The kernel's VMEM stack is dominated by the [BQ, BT, P] f32 partial
+    plus the k-round merge's [BQ, BT] temporaries (~k * BQ * BT * 4B —
+    Mosaic does not reuse the unrolled rounds' buffers), so BQ shrinks
+    both as the signature widens (P=128 -> 64, P=256 -> 32) and as k
+    grows (measured: k=64 at BQ=64/P=128 allocates 22.8M against the
+    16M scoped-vmem limit). Floored to a multiple of 8 so the query
+    block stays sublane-aligned for non-power-of-two widths (e.g.
+    cascade_perm=384 -> 21 would hand Mosaic an unaligned block)."""
+    budget = 12 << 20  # leave headroom under the 16MB scoped-vmem limit
     bq = (TOPK_BQ * 128) // p
+    if sizes:
+        # containment mode keeps roughly one extra [BQ, BT, P]-sized
+        # temporary live (measured: 22.9M scoped-vmem at BQ=64/P=128 in
+        # sizes mode vs <16M plain, k-independent)
+        bq //= 2
+    while bq > 8 and bq * TOPK_BT * 4 * (p + 2 * k) > budget:
+        bq //= 2
     return max(8, (bq // 8) * 8), TOPK_BT
 _TOPK_MAX_K = 128  # extraction loop is unrolled K times; beyond this the
 # XLA scan path (lsh_ops.topk_scan) is the better tool.
 
 
-def _topk_scan_kernel(k: int, use_mask: bool, *refs):
+def _topk_scan_kernel(k: int, use_mask: bool, use_sizes: bool, *refs):
     """One (query block, db tile) step of the fused exact-scan top-k.
 
     Replaces the lax.scan form's per-tile ``[Q, tile]`` score matrix +
@@ -504,12 +516,14 @@ def _topk_scan_kernel(k: int, use_mask: bool, *refs):
     with no score >= cutoff skip the whole merge (one scalar reduce),
     which makes high-cutoff dedup sweeps cost ~the compare alone.
     """
-    if use_mask:
-        (q_ref, db_ref, mask_ref, nv_ref, cut_ref,
-         sc_ref, id_ref, cnt_ref) = refs
+    refs = list(refs)
+    q_ref, db_ref = refs.pop(0), refs.pop(0)
+    mask_ref = refs.pop(0) if use_mask else None
+    if use_sizes:
+        size_ref, qsize_ref = refs.pop(0), refs.pop(0)
     else:
-        q_ref, db_ref, nv_ref, cut_ref, sc_ref, id_ref, cnt_ref = refs
-        mask_ref = None
+        size_ref = qsize_ref = None
+    nv_ref, cut_ref, sc_ref, id_ref, cnt_ref = refs
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -525,11 +539,22 @@ def _topk_scan_kernel(k: int, use_mask: bool, *refs):
     # compare: i1 results must be born in their final rank on Mosaic)
     eq = q_ref[:][:, None, :] == db_ref[:][None, :, :]
     sc = jnp.sum(eq.astype(jnp.float32), axis=-1) / p
+    if use_sizes:
+        # containment mode: sc is the Jaccard estimate; rescale to the
+        # containment estimate c = J*(x+q)/((1+J)*q) from the EXACT set
+        # sizes (see lsh_ops.containment_scan) — monotone in J at fixed
+        # sizes, so the carry/merge machinery is unchanged. size <= 0
+        # marks padding rows.
+        xf = size_ref[0].astype(jnp.float32)  # [1, BT]
+        qf = qsize_ref[:, :1].astype(jnp.float32)  # [BQ, 1]
+        sc = sc * (xf + qf) / ((1.0 + sc) * qf)
 
     ids = j * bt + jax.lax.broadcasted_iota(jnp.int32, (bq, bt), 1)
     ok = ids < nv_ref[0, 0]
     if mask_ref is not None:
-        ok = ok & (mask_ref[:] > 0)  # [1, BT] broadcasts over queries
+        ok = ok & (mask_ref[0] > 0)  # [1, BT] broadcasts over queries
+    if size_ref is not None:
+        ok = ok & (size_ref[0] > 0)
     hit = ok & (sc >= cut_ref[0, 0])
     cnt_ref[:] += jnp.sum(hit.astype(jnp.int32), axis=1)[:, None]
     sc = jnp.where(hit, sc, -1.0)
@@ -574,10 +599,12 @@ def _topk_scan_kernel(k: int, use_mask: bool, *refs):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "use_mask", "interpret")
+    jax.jit, static_argnames=("k", "use_mask", "use_sizes", "interpret")
 )
 def topk_scan_pallas(db_sigs, q_sigs, n_valid, cutoff, k: int,
                      alive_i32=None, use_mask: bool = False,
+                     db_sizes_i32=None, q_sizes_b=None,
+                     use_sizes: bool = False,
                      interpret: bool = False):
     """Fused exact-scan top-k: [N, P] x [Q, P] -> (ids, scores, counts).
 
@@ -595,12 +622,21 @@ def topk_scan_pallas(db_sigs, q_sigs, n_valid, cutoff, k: int,
     Args:
         n_valid: int32[1, 1] — rows >= n_valid are padding.
         cutoff: float32[1, 1] score cutoff (dynamic; no recompile).
-        alive_i32: int32[N // TOPK_BT, TOPK_BT] tombstone mask rows
-            (1 = alive), required iff ``use_mask``.
+        alive_i32: int32[N // TOPK_BT, 1, TOPK_BT] tombstone mask
+            rows (1 = alive), required iff ``use_mask``. Rank 3 with a
+            unit sublane dim: Mosaic requires the block's last-two dims
+            to divide (8, 128) or EQUAL the array dims, so a [tiles, BT]
+            layout with (1, BT) blocks fails to lower.
+        db_sizes_i32: int32[N // TOPK_BT, 1, TOPK_BT] exact set sizes
+            (<= 0 = padding row), required iff ``use_sizes`` — switches
+            the score to the containment estimate (see
+            ``lsh_ops.containment_scan``).
+        q_sizes_b: int32[Q, 128] per-query set sizes broadcast across
+            the lane axis (>= 1), required iff ``use_sizes``.
     """
     q, p = q_sigs.shape
     n = db_sigs.shape[0]
-    bq, bt = topk_blocks(p)
+    bq, bt = topk_blocks(p, k, use_sizes)
     if q % bq or n % bt or p % 128:
         raise ValueError(
             "topk_scan_pallas shapes (%d, %d, %d) must tile by (%d, %d, 128)"
@@ -619,10 +655,21 @@ def topk_scan_pallas(db_sigs, q_sigs, n_valid, cutoff, k: int,
     args = [q_sigs, db_sigs]
     if use_mask:
         in_specs.append(
-            pl.BlockSpec((1, bt), lambda i, j: (j, 0),
+            pl.BlockSpec((1, 1, bt), lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM)
         )
         args.append(alive_i32)
+    if use_sizes:
+        in_specs.append(
+            pl.BlockSpec((1, 1, bt), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(db_sizes_i32)
+        in_specs.append(
+            pl.BlockSpec((bq, 128), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(q_sizes_b)
     in_specs += [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -632,7 +679,7 @@ def topk_scan_pallas(db_sigs, q_sigs, n_valid, cutoff, k: int,
         cutoff.reshape(1, 1).astype(jnp.float32),
     ]
     sc, ids, cnt = pl.pallas_call(
-        functools.partial(_topk_scan_kernel, k, use_mask),
+        functools.partial(_topk_scan_kernel, k, use_mask, use_sizes),
         grid=grid,
         in_specs=in_specs,
         out_specs=[

@@ -53,7 +53,7 @@ class ShardedMinHashLSHEnsemble(TpuMinHashLSHEnsemble):
         self._parts_pad = -(-num_part // self.n_shards) * self.n_shards
         self._probe_fns: dict = {}  # r -> compiled sharded probe
         self._sizes_sharded = None  # int32[parts_pad, N_pad], P(axis, None)
-        self._scan_fn = None  # compiled sharded containment scan
+        self._scan_fns = {}  # compiled sharded containment scan
 
     # ------------------------------------------------------------------ build
 
@@ -95,7 +95,7 @@ class ShardedMinHashLSHEnsemble(TpuMinHashLSHEnsemble):
             )
         )(self._sigs_dev)
         self._probe_fns = {}
-        self._scan_fn = None
+        self._scan_fns = {}
         if self._sizes_host is not None:
             sizes = self._sizes_host
             if pad:
@@ -163,17 +163,16 @@ class ShardedMinHashLSHEnsemble(TpuMinHashLSHEnsemble):
             )
         )
 
-    def _make_scan_fn(self):
+    def _make_scan_fn(self, max_out: int):
         """Sharded containment scan: each shard streams its local
         partitions once (:func:`datasketch_tpu.ops.lsh_ops.
-        containment_scan`), keeps its top ``max_results`` passing rows,
+        containment_scan`), keeps its top ``max_out`` passing rows,
         and the per-shard selections ride ONE all_gather — candidate
         id spaces are shard-disjoint, so no cross-shard dedupe is
         needed."""
         mesh, axis = self.mesh, self.shard_axis
         n_pad = self._n_pad
         parts_local = self._parts_pad // self.n_shards
-        max_out = min(self.max_results, parts_local * n_pad)
         cutoff = float(self.threshold)
 
         def body(sigs_local, sizes_local, q_sigs, q_sizes):
@@ -277,17 +276,28 @@ class ShardedMinHashLSHEnsemble(TpuMinHashLSHEnsemble):
         """Containment-scan finish: one sharded dispatch, one fetch."""
         q_sizes = np.ones(q_sigs.shape[0], dtype=np.int32)
         q_sizes[:nq] = [int(size) for _, size in queries]
-        if self._scan_fn is None:
-            self._scan_fn = self._make_scan_fn()
+        parts_local = self._parts_pad // self.n_shards
+        full_out = min(self.max_results, parts_local * self._n_pad)
+        # fused-kernel-sized per-shard k first; escalate only when a
+        # shard actually overflowed (see TpuMinHashLSHEnsemble._query_scan)
+        scan_k = min(full_out, 128)
         rep = NamedSharding(self.mesh, P(None, None))
         rep1 = NamedSharding(self.mesh, P(None))
-        ids, over = self._scan_fn(
-            self._sigs_dev,
-            self._sizes_sharded,
-            jax.device_put(jnp.asarray(q_sigs), rep),
-            jax.device_put(jnp.asarray(q_sizes), rep1),
+        q_dev = jax.device_put(jnp.asarray(q_sigs), rep)
+        qs_dev = jax.device_put(jnp.asarray(q_sizes), rep1)
+        if scan_k not in self._scan_fns:
+            self._scan_fns[scan_k] = self._make_scan_fn(scan_k)
+        ids, over = self._scan_fns[scan_k](
+            self._sigs_dev, self._sizes_sharded, q_dev, qs_dev
         )
         ids_host, over_host = jax.device_get((ids, over))
+        if scan_k < full_out and int(over_host) > 0:
+            if full_out not in self._scan_fns:
+                self._scan_fns[full_out] = self._make_scan_fn(full_out)
+            ids, over = self._scan_fns[full_out](
+                self._sigs_dev, self._sizes_sharded, q_dev, qs_dev
+            )
+            ids_host, over_host = jax.device_get((ids, over))
         results = []
         for qi in range(nq):
             row = ids_host[qi]

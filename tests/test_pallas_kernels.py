@@ -310,6 +310,51 @@ def test_topk_blocks_sublane_aligned():
     from datasketch_tpu.ops import pallas_kernels as pk
 
     for p in (128, 192, 256, 384, 512, 640, 1024, 2048):
-        bq, bt = pk.topk_blocks(p)
-        assert bq % 8 == 0 and bq >= 8, (p, bq)
-        assert bt == pk.TOPK_BT
+        for k in (8, 16, 64, 128):
+            bq, bt = pk.topk_blocks(p, k)
+            assert bq % 8 == 0 and bq >= 8, (p, k, bq)
+            assert bt == pk.TOPK_BT
+            # VMEM stack model stays under the scoped limit (or is
+            # already at the floor)
+            assert bq == 8 or bq * bt * 4 * (p + 2 * k) <= (12 << 20)
+
+
+def test_containment_scan_fused_interpret():
+    """The fused Mosaic containment scan matches the lax.scan form on
+    the full contract: containment scoring from exact sizes, cutoff
+    masking, padding-row (size<=0) exclusion, exact match counts."""
+    import jax.numpy as jnp
+
+    from datasketch_tpu.ops import lsh_ops
+
+    rng = np.random.RandomState(44)
+    db = rng.randint(0, 3, size=(700, 128)).astype(np.uint32)
+    sizes = rng.randint(20, 400, size=700).astype(np.int32)
+    sizes[::17] = 0  # padding rows must never surface
+    qs = db[rng.randint(0, 700, size=21)].copy()
+    qs[:, :40] = rng.randint(0, 3, size=(21, 40))
+    q_sizes = rng.randint(20, 400, size=21).astype(np.int32)
+    args = (
+        jnp.asarray(db), jnp.asarray(sizes), jnp.asarray(qs),
+        jnp.asarray(q_sizes), jnp.float32(0.6),
+    )
+    want = [
+        np.asarray(x)
+        for x in lsh_ops.containment_scan(*args, 9, tile=128)
+    ]
+    lsh_ops.containment_scan.clear_cache()
+    lsh_ops.SCORE_KERNEL_INTERPRET = True
+    try:
+        got = [
+            np.asarray(x) for x in lsh_ops.containment_scan(*args, 9)
+        ]
+    finally:
+        lsh_ops.SCORE_KERNEL_INTERPRET = False
+        lsh_ops.containment_scan.clear_cache()
+    np.testing.assert_array_equal(got[0], want[0])  # ids
+    np.testing.assert_allclose(got[1], want[1], rtol=1e-6)  # containment
+    np.testing.assert_array_equal(got[2], want[2])  # exact counts
+    # contract sanity: no padding rows, no sub-cutoff survivors
+    hits = got[0][got[0] >= 0]
+    assert not np.isin(hits, np.nonzero(sizes == 0)[0]).any()
+    assert (got[1][got[0] >= 0] >= 0.6).all()
