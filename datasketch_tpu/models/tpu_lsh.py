@@ -559,7 +559,7 @@ class TpuMinHashLSH:
         """Shared finish for query_batch / query_stream: ONE device_get
         round trip (each separate fetch costs a full tunnel RTT ~30ms),
         truncation accounting, host decode."""
-        sel_ids, sel_sc, n_match, truncated, max_out = item
+        sel_ids, sel_sc, n_match, truncated, max_out, escalate = item
         fetch = [sel_ids, n_match]
         if sel_sc is not None:
             fetch.append(sel_sc)
@@ -567,6 +567,10 @@ class TpuMinHashLSH:
             fetch.append(truncated)
         got = jax.device_get(tuple(fetch))
         ids_host, n_host = got[0], got[1]
+        if escalate is not None and (n_host > max_out).any():
+            # some query matched more rows than the fast-path k: rerun
+            # at the full budget (rare; see _query_dispatch scan branch)
+            return self._query_finish(escalate(), nq, return_scores)
         idx = 2
         sc_host = None
         if sel_sc is not None:
@@ -642,16 +646,33 @@ class TpuMinHashLSH:
                 )
             n_pad = self._sigs_dev.shape[0]
             max_out = min(self.max_results or 1024, n_pad)
+            # Fused-kernel-sized k first (topk_scan's Mosaic branch caps
+            # at 128 and a big-k scan pays both the per-tile [Q, k+tile]
+            # lax.top_k and a mostly -1 result fetch through the
+            # tunnel); _query_finish escalates to the full max_out only
+            # when a query's exact match count overflows — exactness is
+            # kept, the fast path stays one dispatch + one small fetch.
+            scan_k = min(max_out, 128)
             alive_dev, all_alive = self._alive_state()
-            sel_ids, sel_sc, n_match = lsh_ops.topk_scan(
-                self._sigs_dev,
-                q_dev,
-                max_out,
-                n_valid=self._n_real_dev,
-                alive=None if all_alive else alive_dev,
-                count_ge=jnp.float32(cutoff),
-            )
-            return sel_ids, sel_sc, n_match, None, max_out
+            alive_arg = None if all_alive else alive_dev
+
+            def _scan(k_):
+                return lsh_ops.topk_scan(
+                    self._sigs_dev,
+                    q_dev,
+                    k_,
+                    n_valid=self._n_real_dev,
+                    alive=alive_arg,
+                    count_ge=jnp.float32(cutoff),
+                )
+
+            sel_ids, sel_sc, n_match = _scan(scan_k)
+            escalate = None
+            if scan_k < max_out:
+                escalate = lambda: (  # noqa: E731 - one-shot closure
+                    _scan(max_out) + (None, max_out, None)
+                )
+            return sel_ids, sel_sc, n_match, None, scan_k, escalate
         c = self.b * self.bucket_cap
         max_out = c if self.max_results is None else min(self.max_results, c)
         all_alive = self._alive_state()[1]
@@ -677,7 +698,7 @@ class TpuMinHashLSH:
                     ids.reshape(q_sigs.shape[0], -1)
                 )
                 sel_ids, n_match = lsh_ops.unique_compact(flat_ids, max_out)
-            return sel_ids, None, n_match, trunc, max_out
+            return sel_ids, None, n_match, trunc, max_out, None
         cut = float(cutoff) if self.rerank else -1.0
         if all_alive:
             # hot path: whole pipeline in one dispatch
@@ -693,7 +714,7 @@ class TpuMinHashLSH:
                 max_out,
                 n_valid=self._n_real_dev,
             )
-            return sel_ids, sel_sc, n_match, trunc, max_out
+            return sel_ids, sel_sc, n_match, trunc, max_out, None
         # tombstoned rows: separate probes so the alive mask applies
         q_fps = lsh_ops.band_fingerprints(q_dev, self.b, self.r)
         ids, truncated = lsh_ops.query_tables(
@@ -704,7 +725,7 @@ class TpuMinHashLSH:
         sel_ids, sel_sc, n_match = lsh_ops.threshold_select(
             scores, flat_ids, jnp.float32(cut), max_out
         )
-        return sel_ids, sel_sc, n_match, truncated, max_out
+        return sel_ids, sel_sc, n_match, truncated, max_out, None
 
     def top_k(self, minhashes, k: int, method: str = "auto") -> list:
         """Top-k most similar indexed keys per query, fully on device.

@@ -483,3 +483,35 @@ class TestSignatureCascade:
         loaded = TpuMinHashLSH.load(path)
         assert loaded.cascade_perm == 256 and loaded.h == 128
         assert loaded.top_k(wide[:2], k=3) == idx.top_k(wide[:2], k=3)
+
+
+def test_scan_escalation_returns_all_matches():
+    """The threshold scan serves at a fused-kernel-sized k (128) and
+    must escalate to the full max_results when a query's exact match
+    count overflows — no result may be silently dropped."""
+    import numpy as np
+
+    from datasketch_tpu import MinHash
+    from datasketch_tpu.models.tpu_lsh import TpuMinHashLSH
+
+    rng = np.random.RandomState(5)
+    doc = [int(t).to_bytes(8, "little") for t in range(50)]
+    docs = [doc] * 300 + [
+        [int(t).to_bytes(8, "little") for t in rng.randint(1000, 5000, 40)]
+        for _ in range(200)
+    ]
+    sigs = MinHash.bulk_signatures(docs, num_perm=128)
+    idx = TpuMinHashLSH(threshold=0.5, num_perm=128, max_results=512)
+    idx.index(list(range(500)), sigs)
+    rows = idx.query_batch(sigs[:4], method="scan")
+    assert all(len(r) == 300 for r in rows)
+    assert idx.last_truncated == 0
+    # the fast path (no overflow) still answers exactly
+    sparse = idx.query_batch(sigs[320:324], method="scan")
+    assert all(r == [320 + i] for i, r in enumerate(sparse))
+    # max_results still caps (and reports) when the true count exceeds it
+    idx2 = TpuMinHashLSH(threshold=0.5, num_perm=128, max_results=64)
+    idx2.index(list(range(500)), sigs)
+    rows2 = idx2.query_batch(sigs[:2], method="scan")
+    assert all(len(r) == 64 for r in rows2)
+    assert idx2.last_truncated == 2 * (300 - 64)
