@@ -386,3 +386,30 @@ def test_sharded_forest_cascade():
     assert re2.query_batch(wide[:4], k=5) == sharded.query_batch(
         wide[:4], k=5
     )
+
+
+def test_sharded_ensemble_scan_escalation():
+    """A query whose true match count exceeds the fused-kernel fast-path
+    k (128 per shard) must trigger the full-budget rerun: every match
+    returned, none silently dropped."""
+    doc = np.arange(60, dtype=np.uint32)
+    docs = [doc] * 300 + [
+        np.arange(1000 + 50 * i, 1000 + 50 * i + 40, dtype=np.uint32)
+        for i in range(100)
+    ]
+    sigs = MinHash.bulk_signatures(docs, num_perm=128, hashfunc="device")
+    entries = [(i, sigs[i], len(docs[i])) for i in range(len(docs))]
+    sharded = ShardedMinHashLSHEnsemble(
+        _mesh(2), threshold=0.8, num_perm=128, num_part=4, bucket_cap=64
+    )
+    sharded.index(entries)
+    q = [(MinHash(hashvalues=sigs[0], hashfunc="device"), len(doc))]
+    got = sharded.query_batch(q, method="scan")[0]
+    assert set(range(300)).issubset(set(got)), len(got)
+    # single-chip twin agrees
+    single = TpuMinHashLSHEnsemble(
+        threshold=0.8, num_perm=128, num_part=4, bucket_cap=64
+    )
+    single.index(entries)
+    want = single.query_batch(q, method="scan")[0]
+    assert set(want) == set(got)
