@@ -577,6 +577,13 @@ def bench_ensemble(device_kind: str, n_sets: int = 16384,
         t0 = time.perf_counter()
         found = ens.query_batch(queries)
         samples.append(round(n_queries / (time.perf_counter() - t0), 1))
+    # pipelined serving: sync scan batches pay ~2 tunnel RTTs each while
+    # the kernel runs single-digit ms; query_stream hides the RTTs
+    stream_batches = [queries] * 4
+    t0 = time.perf_counter()
+    for _ in ens.query_stream(stream_batches, depth=4):
+        pass
+    pipelined_qps = round(4 * n_queries / (time.perf_counter() - t0), 1)
     found = [set(f) for f in found[:n_eval]]
     ps = [len(f & t) / len(f) for f, t in zip(found, truth) if f]
     rs = [len(f & t) / len(t) for f, t in zip(found, truth) if t]
@@ -604,6 +611,7 @@ def bench_ensemble(device_kind: str, n_sets: int = 16384,
     return {
         "queries_per_sec": max(samples),
         "samples": samples,
+        "pipelined_queries_per_sec": pipelined_qps,
         "precision": round(prec, 3),
         "recall": round(rec, 3),
         "f1": round(2 * prec * rec / (prec + rec), 3) if prec + rec else 0.0,

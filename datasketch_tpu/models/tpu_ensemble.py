@@ -332,8 +332,9 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
         self.last_truncated = total_trunc
         return [list(r) for r in results]
 
-    def _query_scan(self, queries, q_sigs: np.ndarray, nq: int) -> list:
-        """Containment-scan finish: one dispatch, one fetch."""
+    def _scan_dispatch(self, queries, q_sigs: np.ndarray, nq: int):
+        """Dispatch one containment-scan batch without forcing any
+        transfer (the stream path keeps several of these in flight)."""
         q_sizes = np.ones(q_sigs.shape[0], dtype=np.int32)
         q_sizes[:nq] = [int(size) for _, size in queries]
         flat_sigs = self._sigs_dev.reshape(-1, self.h)
@@ -344,24 +345,28 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
         # overflows — rare at real thresholds, and exactness is kept.
         scan_k = min(max_out, 128)
         q_dev, qs_dev = jnp.asarray(q_sigs), jnp.asarray(q_sizes)
-        ids, _sc, n_match = lsh_ops.containment_scan(
-            flat_sigs,
-            self._scan_sizes(),
-            q_dev,
-            qs_dev,
-            jnp.float32(self.threshold),
-            scan_k,
-        )
-        ids_host, n_host = jax.device_get((ids, n_match))
-        if scan_k < max_out and int(n_host[:nq].max(initial=0)) > scan_k:
-            ids, _sc, n_match = lsh_ops.containment_scan(
+
+        def _scan(k_):
+            return lsh_ops.containment_scan(
                 flat_sigs,
                 self._scan_sizes(),
                 q_dev,
                 qs_dev,
                 jnp.float32(self.threshold),
-                max_out,
+                k_,
             )
+
+        ids, _sc, n_match = _scan(scan_k)
+        return ids, n_match, _scan, scan_k, max_out, nq
+
+    def _scan_finish(self, item) -> list:
+        """Fetch + decode one dispatched scan batch; reruns at the full
+        ``max_results`` when a query's exact match count overflowed the
+        fast-path k."""
+        ids, n_match, scan, scan_k, max_out, nq = item
+        ids_host, n_host = jax.device_get((ids, n_match))
+        if scan_k < max_out and int(n_host[:nq].max(initial=0)) > scan_k:
+            ids, _sc, n_match = scan(max_out)
             ids_host, n_host = jax.device_get((ids, n_match))
         results = []
         for qi in range(nq):
@@ -375,6 +380,50 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
             np.maximum(n_host[:nq] - max_out, 0).sum()
         )
         return results
+
+    def _query_scan(self, queries, q_sigs: np.ndarray, nq: int) -> list:
+        """Containment-scan finish: one dispatch, one fetch."""
+        return self._scan_finish(self._scan_dispatch(queries, q_sigs, nq))
+
+    def query_stream(self, batches, depth: int = 4):
+        """Pipelined containment serving over an iterable of
+        ``(minhash, size)``-pair batches — the scan path of
+        :meth:`query_batch` with up to ``depth`` batches in flight and
+        eager async D2H copies. Synchronous scan batches pay ~2 tunnel
+        round trips (~60ms) each on a remote-attached chip while the
+        kernel itself finishes in single-digit ms; pipelining hides the
+        round trips behind the next batches' compute (see
+        :mod:`datasketch_tpu.utils.pipeline`). Keep batch sizes uniform —
+        each distinct padded shape compiles once. Requires stored set
+        sizes (any index built by :meth:`index`; pre-sizes checkpoints
+        must be re-saved)."""
+        from datasketch_tpu.utils.pipeline import stream_batches
+
+        def _dispatch(batch):
+            queries = list(batch)
+            if not queries or not self._tables:
+                return len(queries)
+            q_sigs = _as_signature_matrix([mh for mh, _ in queries])
+            if q_sigs.shape[1] != self.h:
+                raise ValueError(
+                    "Expecting minhash with length %d, got %d"
+                    % (self.h, q_sigs.shape[1])
+                )
+            nq = q_sigs.shape[0]
+            q_pad = 8
+            while q_pad < nq:
+                q_pad *= 2
+            if q_pad != nq:
+                q_sigs = np.pad(q_sigs, ((0, q_pad - nq), (0, 0)))
+            self._resolve_scan_method("scan", q_pad)  # sizes guard
+            return self._scan_dispatch(queries, q_sigs, nq)
+
+        def _finish(item):
+            if isinstance(item, int):
+                return [[] for _ in range(item)]
+            return self._scan_finish(item)
+
+        return stream_batches(batches, _dispatch, _finish, depth=depth)
 
     # ------------------------------------------------------------ persistence
 

@@ -271,9 +271,10 @@ class ShardedMinHashLSHEnsemble(TpuMinHashLSHEnsemble):
         self.last_truncated = total_trunc
         return [list(r) for r in results]
 
-    def _query_scan_sharded(self, queries, q_sigs: np.ndarray,
-                            nq: int) -> list:
-        """Containment-scan finish: one sharded dispatch, one fetch."""
+    def _scan_dispatch(self, queries, q_sigs: np.ndarray, nq: int):
+        """Sharded twin of the base ``_scan_dispatch`` (the inherited
+        :meth:`TpuMinHashLSHEnsemble.query_stream` pipelines through
+        these overrides): no transfer is forced here."""
         q_sizes = np.ones(q_sigs.shape[0], dtype=np.int32)
         q_sizes[:nq] = [int(size) for _, size in queries]
         parts_local = self._parts_pad // self.n_shards
@@ -285,18 +286,22 @@ class ShardedMinHashLSHEnsemble(TpuMinHashLSHEnsemble):
         rep1 = NamedSharding(self.mesh, P(None))
         q_dev = jax.device_put(jnp.asarray(q_sigs), rep)
         qs_dev = jax.device_put(jnp.asarray(q_sizes), rep1)
-        if scan_k not in self._scan_fns:
-            self._scan_fns[scan_k] = self._make_scan_fn(scan_k)
-        ids, over = self._scan_fns[scan_k](
-            self._sigs_dev, self._sizes_sharded, q_dev, qs_dev
-        )
-        ids_host, over_host = jax.device_get((ids, over))
-        if scan_k < full_out and int(over_host) > 0:
-            if full_out not in self._scan_fns:
-                self._scan_fns[full_out] = self._make_scan_fn(full_out)
-            ids, over = self._scan_fns[full_out](
+
+        def _scan(k_):
+            if k_ not in self._scan_fns:
+                self._scan_fns[k_] = self._make_scan_fn(k_)
+            return self._scan_fns[k_](
                 self._sigs_dev, self._sizes_sharded, q_dev, qs_dev
             )
+
+        ids, over = _scan(scan_k)
+        return ids, over, _scan, scan_k, full_out, nq
+
+    def _scan_finish(self, item) -> list:
+        ids, over, scan, scan_k, full_out, nq = item
+        ids_host, over_host = jax.device_get((ids, over))
+        if scan_k < full_out and int(over_host) > 0:
+            ids, over = scan(full_out)
             ids_host, over_host = jax.device_get((ids, over))
         results = []
         for qi in range(nq):
@@ -308,6 +313,11 @@ class ShardedMinHashLSHEnsemble(TpuMinHashLSHEnsemble):
             results.append(keys)
         self.last_truncated = int(over_host)
         return results
+
+    def _query_scan_sharded(self, queries, q_sigs: np.ndarray,
+                            nq: int) -> list:
+        """Containment-scan finish: one sharded dispatch, one fetch."""
+        return self._scan_finish(self._scan_dispatch(queries, q_sigs, nq))
 
     # ------------------------------------------------------------ persistence
 

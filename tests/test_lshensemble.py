@@ -352,3 +352,45 @@ class TestEnsembleContainmentScan:
         ens, sets, sigs = self._build(n=40)
         with pytest.raises(ValueError, match="method"):
             ens.query_batch([(sigs[0], len(sets[0]))], method="nope")
+
+
+class TestEnsembleQueryStream:
+    def test_stream_matches_batch(self):
+        import numpy as np
+
+        from datasketch_tpu import MinHash
+        from datasketch_tpu.models.tpu_ensemble import TpuMinHashLSHEnsemble
+
+        rng = np.random.RandomState(9)
+        docs = [
+            [int(t).to_bytes(8, "little")
+             for t in rng.randint(0, 4000, rng.randint(30, 120))]
+            for _ in range(256)
+        ]
+        sigs = MinHash.bulk_signatures(docs, num_perm=128)
+        ens = TpuMinHashLSHEnsemble(threshold=0.6, num_perm=128, num_part=4)
+        ens.index((i, sigs[i], len(docs[i])) for i in range(256))
+        queries = [(sigs[i], len(docs[i])) for i in range(64)]
+        batches = [queries[i : i + 16] for i in range(0, 64, 16)]
+        want = [ens.query_batch(b, method="scan") for b in batches]
+        got = list(ens.query_stream(batches, depth=3))
+        assert len(got) == len(want)
+        for w_rows, g_rows in zip(want, got):
+            for w, g in zip(w_rows, g_rows):
+                assert set(w) == set(g)
+
+    def test_stream_requires_sizes(self):
+        import pytest
+
+        from datasketch_tpu.models.tpu_ensemble import TpuMinHashLSHEnsemble
+        import numpy as np
+        from datasketch_tpu import MinHash
+
+        docs = [[b"a", b"b", b"c"], [b"a", b"b", b"d"]]
+        sigs = MinHash.bulk_signatures(docs, num_perm=128)
+        ens = TpuMinHashLSHEnsemble(threshold=0.6, num_perm=128, num_part=2)
+        ens.index((i, sigs[i], 3) for i in range(2))
+        ens._sizes_host = None  # simulate a pre-sizes checkpoint
+        ens._sizes_dev = None
+        with pytest.raises(ValueError, match="sizes"):
+            list(ens.query_stream([[(sigs[0], 3)]]))

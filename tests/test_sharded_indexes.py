@@ -413,3 +413,22 @@ def test_sharded_ensemble_scan_escalation():
     single.index(entries)
     want = single.query_batch(q, method="scan")[0]
     assert set(want) == set(got)
+
+
+def test_sharded_ensemble_query_stream():
+    sets, sigs, entries = _ensemble_entries()
+    sharded = ShardedMinHashLSHEnsemble(
+        _mesh(4), threshold=0.8, num_perm=128, num_part=8, bucket_cap=64
+    )
+    sharded.index(entries)
+    queries = [
+        (MinHash(hashvalues=sigs[i], hashfunc="device"), len(sets[i]))
+        for i in range(16)
+    ]
+    batches = [queries[:8], queries[8:]]
+    want = [sharded.query_batch(b, method="scan") for b in batches]
+    got = list(sharded.query_stream(batches, depth=2))
+    for w_rows, g_rows, base in zip(want, got, (0, 8)):
+        for i, (w, g) in enumerate(zip(w_rows, g_rows)):
+            assert set(w) == set(g)
+            assert base + i in g  # self-containment
