@@ -673,6 +673,10 @@ def bench_forest(device_kind: str, n_docs: int = 16384,
         t0 = time.perf_counter()
         rows = forest.query_batch(q_sigs, k)
         samples.append(round(n_queries / (time.perf_counter() - t0), 1))
+    t0 = time.perf_counter()
+    for _ in forest.query_stream([q_sigs] * 4, k, depth=4):
+        pass
+    pipelined_qps = round(4 * n_queries / (time.perf_counter() - t0), 1)
     rows = rows[:n_eval]
     rows_ref_rank = forest.query_batch(q_sigs, k, rank="forest")[:n_eval]
 
@@ -707,6 +711,7 @@ def bench_forest(device_kind: str, n_docs: int = 16384,
     return {
         "queries_per_sec": max(samples),
         "samples": samples,
+        "pipelined_queries_per_sec": pipelined_qps,
         "recall_at_10": round(recall, 3),
         "recall_at_10_forest_rank": round(_recall(rows_ref_rank), 3),
         "ref_queries_per_sec": round(ref_qps, 1),
