@@ -69,7 +69,14 @@ def main() -> None:
                         os.killpg(proc.pid, signal.SIGKILL)
                     except ProcessLookupError:
                         pass
-                    proc.wait(timeout=60)
+                    try:
+                        proc.wait(timeout=60)
+                    except subprocess.TimeoutExpired:
+                        # a child stuck in uninterruptible I/O on the
+                        # wedged tunnel can survive SIGKILL for a while;
+                        # log it as such (not as a crash) and move on
+                        log("recapture unkillable 60s after killpg "
+                            "(uninterruptible I/O?) — abandoning it")
             except Exception as exc:
                 log(f"recapture crashed: {exc!r}")
             finally:
