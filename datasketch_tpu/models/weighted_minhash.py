@@ -87,6 +87,7 @@ class WeightedMinHashGenerator:
             np.float32
         )
         self.betas = generator.uniform(0, 1, (sample_size, dim)).astype(np.float32)
+        self._params_t = None  # device-cached transposed params (sparse path)
 
     def minhash(self, v) -> WeightedMinHash:
         """Sketch one weight vector (CWS: k = argmin of ln a over active
@@ -151,7 +152,12 @@ class WeightedMinHashGenerator:
             raise ValueError("Input dimension mismatch, expecting %d" % self.dim)
         issparse = sp.issparse(X)
         if issparse:
-            X = X.tocsr()
+            # sparse input takes the sparse upload path: ship (values,
+            # dim indices) per row and compute CWS over only the active
+            # dims on device — ~nnz/dim of the dense bytes over the
+            # host->device link (the end-to-end bound on tunnel-attached
+            # TPUs, BASELINE.md) for bit-identical (k, t)
+            return self._minhash_many_sparse(X.tocsr(), out)
         n = X.shape[0]
         if out == "device":
             return self._minhash_many_device(X, issparse, n)
@@ -237,3 +243,120 @@ class WeightedMinHashGenerator:
             )
         kt = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
         return kt[:n]
+
+    # Row-chunk and nnz-bucket budget for the sparse path: bounds the
+    # [chunk, NZ, S] gathered-parameter intermediates on device.
+    _SPARSE_CHUNK_ELEMS = 1 << 25
+    _SPARSE_MAX_CHUNK = 4096
+
+    def _sparse_params(self):
+        """Transposed [D, S] parameter tables, DEVICE-cached: uploaded
+        once per generator instead of ~sample_size*dim*12 bytes per
+        chunk call (15MB at dim=10k — a third of a second of tunnel
+        H2D each, BASELINE.md rates)."""
+        if self._params_t is None:
+            import jax
+
+            self._params_t = tuple(
+                jax.device_put(np.ascontiguousarray(p.T))
+                for p in (self.rs, self.ln_cs, self.betas)
+            )
+        return self._params_t
+
+    def _minhash_many_sparse(self, X, out: str):
+        """``minhash_many`` body for CSR input: ragged (values, dim
+        indices) upload + the sparse CWS kernel.
+
+        Chunks are a fixed pow-2 row count and nnz widths bucket to
+        powers of two (bounded compile-shape count); indices stay in
+        CSR ascending order so argmin tie-breaks match the dense path
+        bit-for-bit. Entries with weight <= 0 are dropped up front
+        (inactive everywhere: the reference's log(0/neg) -> NaN rows
+        never win ``nanargmin``, and the dense kernels mask w > 0).
+        Reference batch API: CSR-in
+        ``/root/reference/datasketch/weighted_minhash.py:161-247``.
+        """
+        import jax.numpy as jnp
+
+        from datasketch_tpu.ops import cws_ops
+        from datasketch_tpu.utils.pipeline import stream_batches
+
+        n = X.shape[0]
+        if n == 0:
+            return (
+                jnp.zeros((0, self.sample_size, 2), dtype=jnp.int32)
+                if out == "device"
+                else []
+            )
+        if not X.has_sorted_indices:
+            X = X.sorted_indices()
+        data = np.asarray(X.data, dtype=np.float32)
+        indices = np.asarray(X.indices, dtype=np.int32)
+        indptr = np.asarray(X.indptr)
+        pos_mask = data > 0
+        cs = np.concatenate([[0], np.cumsum(pos_mask)])
+        pnnz = (cs[indptr[1:]] - cs[indptr[:-1]]).astype(np.int64)
+        if out == "device" and np.any(pnnz == 0):
+            bad = int(np.nonzero(pnnz == 0)[0][0])
+            raise ValueError(
+                "row %d is all zeros; out='device' has no None slot — "
+                "filter zero rows first" % bad
+            )
+        max_nnz = int(pnnz.max())
+        nz_bucket = 1 << max(3, (max(1, max_nnz) - 1).bit_length())
+        chunk = self._SPARSE_CHUNK_ELEMS // max(
+            1, nz_bucket * self.sample_size
+        )
+        chunk = min(self._SPARSE_MAX_CHUNK, max(8, chunk))
+        chunk = 1 << (int(chunk) - 1).bit_length()
+        rs_t, lncs_t, betas_t = self._sparse_params()
+
+        def _dispatch(start):
+            stop = min(n, start + chunk)
+            lo, hi = indptr[start], indptr[stop]
+            sel = pos_mask[lo:hi]
+            d = data[lo:hi][sel]
+            ix = indices[lo:hi][sel]
+            rn = pnnz[start:stop]
+            # per-chunk nnz bucket: rows in a sparse corpus can be far
+            # narrower than the corpus-wide max
+            nz = 1 << max(3, (max(1, int(rn.max(initial=0))) - 1)
+                          .bit_length())
+            rows_rep = np.repeat(np.arange(stop - start), rn)
+            cs2 = np.concatenate([[0], np.cumsum(rn)])
+            cols = np.arange(d.shape[0]) - np.repeat(cs2[:-1], rn)
+            vals = np.zeros((chunk, nz), np.float32)
+            idxa = np.zeros((chunk, nz), np.int32)
+            vals[rows_rep, cols] = d
+            idxa[rows_rep, cols] = ix
+            return start, stop, cws_ops.cws_many_sparse_best(
+                vals, idxa, rs_t, lncs_t, betas_t
+            )
+
+        if out == "device":
+            parts = [
+                _dispatch(start)[2] for start in range(0, n, chunk)
+            ]
+            kt = (
+                parts[0] if len(parts) == 1
+                else jnp.concatenate(parts, axis=0)
+            )
+            return kt[:n]
+        ret: list = [None] * n
+
+        def _finish(out_):
+            start, stop, kt_dev = out_
+            kt = np.asarray(kt_dev)[: stop - start]
+            for i in range(stop - start):
+                if pnnz[start + i]:
+                    ret[start + i] = WeightedMinHash(
+                        self.seed, kt[i].astype(int)
+                    )
+
+        # pipelined: building chunk i+1's padded arrays on host overlaps
+        # the device kernel and D2H of chunk i
+        for _ in stream_batches(
+            range(0, n, chunk), _dispatch, _finish, depth=3
+        ):
+            pass
+        return ret

@@ -19,6 +19,8 @@ import jax.numpy as jnp
 __all__ = [
     "cws_many",
     "cws_many_best",
+    "cws_many_sparse",
+    "cws_many_sparse_best",
     "kt_slots",
     "kt_slots_np",
     "CWS_KERNEL_INTERPRET",
@@ -50,6 +52,59 @@ def cws_many_best(weights, rs, ln_cs, betas):
             weights, rs, ln_cs, betas, interpret=CWS_KERNEL_INTERPRET
         )
     return cws_many(weights, rs, ln_cs, betas)
+
+
+def cws_many_sparse_best(vals, idx, rs_t, lncs_t, betas_t):
+    """Sparse-input CWS batch via the best kernel for the platform.
+
+    Args:
+        vals: float32[B, NZ] positive weights, zero-padded on the right.
+        idx: int32[B, NZ] dim indices, sorted ascending per row (CSR
+            order); padding slots carry vals == 0.
+        rs_t, lncs_t, betas_t: float32[D, S] TRANSPOSED generator
+            parameters.
+
+    Returns int32[B, S, 2] (k, t) rows bit-identical to
+    :func:`cws_many_best` on the densified equivalent; all-zero rows
+    return garbage (callers exclude them). The sparse form ships
+    ~nnz/D of the dense bytes over the host->device link — the
+    end-to-end lever on tunnel-attached TPUs (BASELINE.md) — and cuts
+    compute the same factor. Reference batch API shape: CSR-in
+    ``/root/reference/datasketch/weighted_minhash.py:161-247``.
+    """
+    from datasketch_tpu.ops import pallas_kernels as pk
+
+    if pk.signature_kernel_available() or CWS_KERNEL_INTERPRET:
+        return pk.cws_sparse_pallas(
+            vals, idx, rs_t, lncs_t, betas_t,
+            interpret=CWS_KERNEL_INTERPRET,
+        )
+    return cws_many_sparse(vals, idx, rs_t, lncs_t, betas_t)
+
+
+@jax.jit
+def cws_many_sparse(vals, idx, rs_t, lncs_t, betas_t):
+    """XLA form of :func:`cws_many_sparse_best` (non-TPU platforms).
+
+    Same contract and bit-identical output: the per-row parameter
+    gather ``rs_t[idx]`` yields [B, NZ, S] columns; the argmin runs
+    over the nnz axis, whose first-minimum tie-break equals the dense
+    lowest-dim rule because ``idx`` is sorted ascending per row.
+    """
+    vals = vals.astype(jnp.float32)
+    idx = idx.astype(jnp.int32)
+    active = vals > 0
+    r_g = rs_t.astype(jnp.float32)[idx]  # [B, NZ, S]
+    lncs_g = lncs_t.astype(jnp.float32)[idx]
+    beta_g = betas_t.astype(jnp.float32)[idx]
+    vlog = jnp.where(active, jnp.log(jnp.where(active, vals, 1.0)), 0.0)
+    t3 = jnp.floor(vlog[:, :, None] / r_g + beta_g)
+    ln_a = lncs_g - (t3 - beta_g) * r_g - r_g
+    ln_a = jnp.where(active[:, :, None], ln_a, jnp.inf)
+    pos = jnp.argmin(ln_a, axis=1).astype(jnp.int32)  # [B, S]
+    k = jnp.take_along_axis(idx, pos, axis=1)
+    t_k = jnp.take_along_axis(t3, pos[:, None, :], axis=1)[:, 0, :]
+    return jnp.stack([k, t_k.astype(jnp.int32)], axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("sample_block",))

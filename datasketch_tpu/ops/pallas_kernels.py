@@ -31,6 +31,7 @@ __all__ = [
     "score_matrix_pallas",
     "rerank_scores_pallas",
     "cws_many_pallas",
+    "cws_sparse_pallas",
     "bbit_scores_pallas",
     "topk_scan_pallas",
     "TOPK_BQ",
@@ -352,6 +353,131 @@ def cws_many_pallas(weights, rs, ln_cs, betas, interpret: bool = False):
     return jnp.stack([ks[:b, :s], ts[:b, :s]], axis=-1)
 
 
+CWS_SP_BNZ = 128  # active dims (nnz slots) per grid step of the sparse
+# CWS kernel — the reduction axis, tiled like the dense kernel's dim axis.
+
+
+def _cws_sparse_kernel(w_ref, idx_ref, r_ref, lncs_ref, beta_ref,
+                       best_ref, k_ref, t_ref):
+    """Ioffe CWS over a sparse row chunk: one (batch, sample, nnz) step.
+
+    Same math, op order, and tie-breaking as :func:`_cws_kernel`, but
+    the reduction axis holds only each row's ACTIVE dims (CSR values +
+    dim indices) instead of the full dim range: w_ref/idx_ref
+    [BB, BNZ]; r/lncs/beta are the per-row GATHERED parameter columns
+    [BB, BNZ, BS] (the gather stays in XLA — cheap to compile; this
+    [B, NZ, S] elementwise+reduce is the shape-pathological part).
+    CSR indices are sorted ascending per row, so the lowest-position
+    tie-break below equals the dense kernel's lowest-dim-index rule and
+    (k, t) stay bit-identical to the dense path. Padding slots carry
+    w = 0 (inactive). Reference formula:
+    ``/root/reference/datasketch/weighted_minhash.py:141-159``.
+    """
+    z = pl.program_id(2)
+
+    @pl.when(z == 0)
+    def _():
+        best_ref[:] = jnp.full_like(best_ref, jnp.inf)
+        k_ref[:] = jnp.zeros_like(k_ref)
+        t_ref[:] = jnp.zeros_like(t_ref)
+
+    w = w_ref[:]  # [BB, BNZ]
+    active = w > 0
+    vlog = jnp.where(active, jnp.log(jnp.where(active, w, 1.0)), 0.0)
+    r = r_ref[:]  # [BB, BNZ, BS]
+    beta = beta_ref[:]
+    lncs = lncs_ref[:]
+    t3 = jnp.floor(vlog[:, :, None] / r + beta)
+    ln_a = lncs - (t3 - beta) * r - r
+    # mask built directly in rank 3 (Mosaic rejects i1 shape casts)
+    ln_a = jnp.where(w[:, :, None] > 0, ln_a, jnp.inf)
+
+    local_min = ln_a.min(axis=1)  # [BB, BS]
+    bnz = w.shape[1]
+    pos = z * bnz + jax.lax.broadcasted_iota(jnp.int32, ln_a.shape, 1)
+    big = jnp.int32(0x7FFFFFFF)
+    local_pos = jnp.where(
+        ln_a == local_min[:, None, :], pos, big
+    ).min(axis=1)
+    at = pos == local_pos[:, None, :]
+    k_at = jnp.where(at, idx_ref[:][:, :, None], -1).max(axis=1)
+    t_at = jnp.where(at, t3, -jnp.inf).max(axis=1)
+
+    better = local_min < best_ref[:]  # ties keep the carry: earlier
+    # nnz tile = lower position = lower dim, the dense argmin order
+    best_ref[:] = jnp.where(better, local_min, best_ref[:])
+    k_ref[:] = jnp.where(better, k_at, k_ref[:])
+    t_ref[:] = jnp.where(better, t_at.astype(jnp.int32), t_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cws_sparse_pallas(vals, idx, rs_t, lncs_t, betas_t,
+                      interpret: bool = False):
+    """Sparse-input CWS via Mosaic: ragged (values, dim indices) rows.
+
+    Args:
+        vals: float32[B, NZ] positive weights, zero-padded on the right.
+        idx: int32[B, NZ] dim index per value, sorted ascending per row
+            (CSR order), zero-padded (padding slots have vals == 0).
+        rs_t, lncs_t, betas_t: float32[D, S] TRANSPOSED generator
+            parameters — rows of these are gathered at ``idx``.
+
+    Returns:
+        int32[B, S, 2] (k, t) rows, bit-identical to
+        :func:`cws_many_pallas` on the densified equivalent. All-zero
+        rows (no positive value) return (0, 0) garbage — callers
+        exclude them, exactly as the dense path.
+
+    This is the transport-bound breaker for the CWS device path: a ~2%
+    dense dim=10k row ships ~2KB (256 value+index pairs) instead of the
+    40KB dense row — the tunnel H2D at ~50MB/s is the end-to-end bound
+    (BASELINE.md), so bytes-per-row is the throughput lever. Compute
+    also drops ~D/NZ-fold. HBM cost is the [B, NZ, S] gathered
+    parameter intermediates (device-side only).
+    """
+    b, nz = vals.shape
+    s = rs_t.shape[1]
+    pad_b = (-b) % CWS_BB
+    pad_nz = (-nz) % CWS_SP_BNZ
+    pad_s = (-s) % CWS_BS
+    vals_p = jnp.pad(vals.astype(jnp.float32), ((0, pad_b), (0, pad_nz)))
+    idx_p = jnp.pad(idx.astype(jnp.int32), ((0, pad_b), (0, pad_nz)))
+    # padded sample columns use r=1 (avoid 0-division); sliced off below
+    rs_tp = jnp.pad(
+        rs_t.astype(jnp.float32), ((0, 0), (0, pad_s)), constant_values=1.0
+    )
+    lncs_tp = jnp.pad(lncs_t.astype(jnp.float32), ((0, 0), (0, pad_s)))
+    betas_tp = jnp.pad(betas_t.astype(jnp.float32), ((0, 0), (0, pad_s)))
+    r_g = rs_tp[idx_p]  # [B, NZ, S] per-row parameter columns
+    lncs_g = lncs_tp[idx_p]
+    beta_g = betas_tp[idx_p]
+    bb, nzz, ss = b + pad_b, nz + pad_nz, s + pad_s
+    param_spec = pl.BlockSpec(
+        (CWS_BB, CWS_SP_BNZ, CWS_BS), lambda i, j, z: (i, z, j),
+        memory_space=pltpu.VMEM,
+    )
+    row_spec = pl.BlockSpec(
+        (CWS_BB, CWS_SP_BNZ), lambda i, j, z: (i, z),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (CWS_BB, CWS_BS), lambda i, j, z: (i, j), memory_space=pltpu.VMEM
+    )
+    _, ks, ts = pl.pallas_call(
+        _cws_sparse_kernel,
+        grid=(bb // CWS_BB, ss // CWS_BS, nzz // CWS_SP_BNZ),
+        in_specs=[row_spec, row_spec, param_spec, param_spec, param_spec],
+        out_specs=[out_spec, out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((bb, ss), jnp.float32),
+            jax.ShapeDtypeStruct((bb, ss), jnp.int32),
+            jax.ShapeDtypeStruct((bb, ss), jnp.int32),
+        ],
+        interpret=interpret,
+    )(vals_p, idx_p, r_g, lncs_g, beta_g)
+    return jnp.stack([ks[:b, :s], ts[:b, :s]], axis=-1)
+
+
 def _rerank_kernel(q_ref, cand_ref, out_ref):
     """Candidate rerank scores for one (query block, candidate tile).
 
@@ -484,7 +610,11 @@ def topk_blocks(p: int, k: int = 16, sizes: bool = False):
     grows (measured: k=64 at BQ=64/P=128 allocates 22.8M against the
     16M scoped-vmem limit). Floored to a multiple of 8 so the query
     block stays sublane-aligned for non-power-of-two widths (e.g.
-    cascade_perm=384 -> 21 would hand Mosaic an unaligned block)."""
+    cascade_perm=384 -> 21 would hand Mosaic an unaligned block).
+    When the 8-row floor alone still exceeds the budget (wide cascades
+    with large k, e.g. p=2048 at k=128), the db tile shrinks instead —
+    bt stays a 128 (lane) multiple; callers pad N to whatever bt this
+    returns."""
     budget = 12 << 20  # leave headroom under the 16MB scoped-vmem limit
     bq = (TOPK_BQ * 128) // p
     if sizes:
@@ -494,7 +624,11 @@ def topk_blocks(p: int, k: int = 16, sizes: bool = False):
         bq //= 2
     while bq > 8 and bq * TOPK_BT * 4 * (p + 2 * k) > budget:
         bq //= 2
-    return max(8, (bq // 8) * 8), TOPK_BT
+    bq = max(8, (bq // 8) * 8)
+    bt = TOPK_BT
+    while bt > 128 and bq * bt * 4 * (p + 2 * k) > budget:
+        bt //= 2
+    return bq, bt
 _TOPK_MAX_K = 128  # extraction loop is unrolled K times; beyond this the
 # XLA scan path (lsh_ops.topk_scan) is the better tool.
 

@@ -160,6 +160,80 @@ def test_cws_many_best_interpret_branch():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize(
+    "b,s,nz,d",
+    [
+        (8, 128, 128, 300),  # exact tiles
+        (5, 20, 37, 100),  # every axis needs padding
+        (9, 130, 200, 500),  # multi-tile nnz with padding
+    ],
+)
+def test_cws_sparse_kernel_matches_dense(b, s, nz, d):
+    """The sparse-upload CWS kernel is (k, t) bit-identical to the dense
+    scan on the densified equivalent — including padding slots, rows
+    narrower than the nnz bucket, and tie-break order (sorted indices =
+    lowest-dim rule)."""
+    from datasketch_tpu.ops import cws_ops
+
+    rng = np.random.RandomState(b + s + nz + d)
+    rownnz = rng.randint(1, nz + 1, size=b)
+    vals = np.zeros((b, nz), np.float32)
+    idx = np.zeros((b, nz), np.int32)
+    dense = np.zeros((b, d), np.float32)
+    for i in range(b):
+        dims = np.sort(rng.choice(d, size=rownnz[i], replace=False))
+        w = rng.gamma(1.0, 1.0, size=rownnz[i]).astype(np.float32) + 1e-3
+        vals[i, : rownnz[i]] = w
+        idx[i, : rownnz[i]] = dims
+        dense[i, dims] = w
+    rs = rng.gamma(2.0, 1.0, size=(s, d)).astype(np.float32)
+    ln_cs = np.log(rng.gamma(2.0, 1.0, size=(s, d))).astype(np.float32)
+    betas = rng.uniform(0.0, 1.0, size=(s, d)).astype(np.float32)
+    want = np.asarray(cws_ops.cws_many(dense, rs, ln_cs, betas))
+    got_xla = np.asarray(
+        cws_ops.cws_many_sparse(
+            vals, idx, rs.T.copy(), ln_cs.T.copy(), betas.T.copy()
+        )
+    )
+    np.testing.assert_array_equal(got_xla, want)
+    got_mosaic = np.asarray(
+        pallas_kernels.cws_sparse_pallas(
+            vals, idx, rs.T.copy(), ln_cs.T.copy(), betas.T.copy(),
+            interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(got_mosaic, want)
+
+
+def test_cws_sparse_best_interpret_branch():
+    """cws_many_sparse_best's Mosaic branch under the CPU-CI knob."""
+    from datasketch_tpu.ops import cws_ops
+
+    rng = np.random.RandomState(78)
+    vals = rng.gamma(1.0, 1.0, size=(4, 16)).astype(np.float32) + 1e-3
+    idx = np.sort(
+        np.stack([rng.choice(64, size=16, replace=False) for _ in range(4)])
+    ).astype(np.int32)
+    rs = rng.gamma(2.0, 1.0, size=(32, 64)).astype(np.float32)
+    ln_cs = np.log(rng.gamma(2.0, 1.0, size=(32, 64))).astype(np.float32)
+    betas = rng.uniform(0.0, 1.0, size=(32, 64)).astype(np.float32)
+    want = np.asarray(
+        cws_ops.cws_many_sparse(
+            vals, idx, rs.T.copy(), ln_cs.T.copy(), betas.T.copy()
+        )
+    )
+    cws_ops.CWS_KERNEL_INTERPRET = True
+    try:
+        got = np.asarray(
+            cws_ops.cws_many_sparse_best(
+                vals, idx, rs.T.copy(), ln_cs.T.copy(), betas.T.copy()
+            )
+        )
+    finally:
+        cws_ops.CWS_KERNEL_INTERPRET = False
+    np.testing.assert_array_equal(got, want)
+
+
 def test_score_kernel_shape_validation():
     with pytest.raises(ValueError):
         pallas_kernels.score_matrix_pallas(
@@ -311,12 +385,14 @@ def test_topk_blocks_sublane_aligned():
 
     for p in (128, 192, 256, 384, 512, 640, 1024, 2048):
         for k in (8, 16, 64, 128):
-            bq, bt = pk.topk_blocks(p, k)
-            assert bq % 8 == 0 and bq >= 8, (p, k, bq)
-            assert bt == pk.TOPK_BT
-            # VMEM stack model stays under the scoped limit (or is
-            # already at the floor)
-            assert bq == 8 or bq * bt * 4 * (p + 2 * k) <= (12 << 20)
+            for sizes in (False, True):
+                bq, bt = pk.topk_blocks(p, k, sizes=sizes)
+                assert bq % 8 == 0 and bq >= 8, (p, k, bq)
+                assert bt % 128 == 0 and bt >= 128, (p, k, bt)
+                # VMEM stack model stays under the scoped limit even at
+                # the bq floor: bt shrinks to absorb wide-p large-k
+                # combinations (p=2048, k=128 used to model 18.9MB)
+                assert bq * bt * 4 * (p + 2 * k) <= (12 << 20), (p, k, sizes)
 
 
 def test_containment_scan_fused_interpret():

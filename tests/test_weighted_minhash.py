@@ -173,6 +173,66 @@ class TestMinhashManyStreaming:
             )
             assert out[i].seed == gen.seed
 
+    def test_sparse_multichunk_and_device_out(self, monkeypatch):
+        """The sparse upload path (values + dim indices, no densify)
+        across multiple chunks and nnz buckets: objects match minhash()
+        bit-for-bit, out='device' matches the objects, zero rows are
+        None / raise."""
+        from datasketch_tpu import WeightedMinHashGenerator
+
+        gen = WeightedMinHashGenerator(200, sample_size=32, seed=9)
+        monkeypatch.setattr(
+            WeightedMinHashGenerator, "_SPARSE_CHUNK_ELEMS", 8 * 32 * 32
+        )
+        rng = np.random.RandomState(11)
+        dense = rng.rand(40, 200).astype(np.float32)
+        dense[dense < 0.9] = 0.0  # ~10% dense, ragged nnz per row
+        dense[5] = 0.0  # all-zero row
+        dense[np.arange(40) != 5, 0] = np.maximum(
+            dense[np.arange(40) != 5, 0], 0.1
+        )  # no other all-zero rows
+        X = sp.csr_matrix(dense)
+        out = gen.minhash_many(X)
+        assert out[5] is None
+        for i in range(40):
+            if i == 5:
+                continue
+            np.testing.assert_array_equal(
+                out[i].hashvalues, gen.minhash(dense[i]).hashvalues,
+                err_msg=str(i),
+            )
+        with pytest.raises(ValueError):
+            gen.minhash_many(X, out="device")
+        keep = np.arange(40) != 5
+        kt = np.asarray(gen.minhash_many(X[keep], out="device"))
+        for j, i in enumerate(np.nonzero(keep)[0]):
+            np.testing.assert_array_equal(kt[j], out[i].hashvalues)
+
+    def test_sparse_negative_and_explicit_zero_entries(self):
+        """CSR entries with weight <= 0 are inactive (reference: log of
+        0/negative -> NaN, never wins nanargmin)."""
+        from datasketch_tpu import WeightedMinHashGenerator
+
+        gen = WeightedMinHashGenerator(30, sample_size=16, seed=4)
+        dense = np.zeros((3, 30), np.float32)
+        dense[0, [2, 7, 19]] = [1.5, 2.0, 0.25]
+        dense[1, [0, 29]] = [3.0, 1.0]
+        dense[2, [4, 9]] = [2.0, 5.0]
+        # explicit zero (0, 11) and negative (2, 13) stored entries do
+        # not change the active set
+        rows = [0, 0, 0, 0, 1, 1, 2, 2, 2]
+        cols = [2, 7, 11, 19, 0, 29, 4, 9, 13]
+        vals = [1.5, 2.0, 0.0, 0.25, 3.0, 1.0, 2.0, 5.0, -1.0]
+        X = sp.csr_matrix(
+            (np.array(vals, np.float32), (rows, cols)), shape=(3, 30)
+        )
+        assert X.nnz == 9  # the zero/negative entries really are stored
+        out = gen.minhash_many(X)
+        for i in range(3):
+            np.testing.assert_array_equal(
+                out[i].hashvalues, gen.minhash(dense[i]).hashvalues
+            )
+
     def test_dense_input_and_validation(self):
         from datasketch_tpu import WeightedMinHashGenerator
 
