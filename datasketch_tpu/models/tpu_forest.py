@@ -46,6 +46,19 @@ def _fused_packed(sorted_fps, sorted_ids, db_sigs, q_sigs, l, k_prefix,
     return jnp.stack([ids, jac_fx, lev, tr], axis=1)  # [Q, 4, k_out]
 
 
+@functools.partial(jax.jit, static_argnames=("k_out",))
+def _scan_packed(db_sigs, q_sigs, k_out, n_valid):
+    """Exact fused-scan top-k packed into the same [Q, 4, k_out] buffer
+    layout as :func:`_fused_packed` (level plane 0, truncation 0 — the
+    scan touches every row, nothing to cap)."""
+    from datasketch_tpu.ops import lsh_ops
+
+    ids, sc = lsh_ops.topk_scan(db_sigs, q_sigs, k_out, n_valid=n_valid)
+    jac_fx = jnp.round(sc * _JAC_FX).astype(jnp.int32)
+    z = jnp.zeros_like(ids)
+    return jnp.stack([ids, jac_fx, z, z], axis=1)
+
+
 class TpuMinHashLSHForest:
     """Top-k Jaccard index with prefix-tree semantics, resident on device.
 
@@ -84,14 +97,25 @@ class TpuMinHashLSHForest:
 
     def __init__(self, num_perm: int = 128, l: int = 8, cap: int = 64,
                  rank: str = "forest", cascade_perm: Optional[int] = None,
-                 pool: int = 0):
+                 pool: int = 0, method: str = "auto"):
         if l <= 0 or num_perm <= 0:
             raise ValueError("num_perm and l must be positive")
         if l > num_perm:
             raise ValueError("l cannot be greater than num_perm")
         if rank not in ("forest", "jaccard"):
             raise ValueError("rank must be 'forest' or 'jaccard'")
+        if method not in ("auto", "forest", "scan"):
+            raise ValueError("method must be 'auto', 'forest' or 'scan'")
         self.rank = rank
+        # 'forest' = prefix-tree walk (reference semantics); 'scan' =
+        # exact fused top-k over every stored signature (recall 1.0 by
+        # construction, jaccard-ranked); 'auto' = scan whenever rank is
+        # 'jaccard' AND the corpus is smaller than the walk's worst-case
+        # gather volume (q_pad * l * k_prefix * cap slots — the
+        # bytes-moved rule of TpuMinHashLSH.top_k). rank='forest' always
+        # walks: prefix-depth ordering is the reference contract and the
+        # scan cannot reproduce it.
+        self.method = method
         self.l = l
         self.k = int(num_perm / l)
         self.num_perm = num_perm
@@ -238,25 +262,29 @@ class TpuMinHashLSHForest:
 
     # -------------------------------------------------------------- queries
 
-    def query(self, minhash, k: int, rank: Optional[str] = None) -> list:
+    def query(self, minhash, k: int, rank: Optional[str] = None,
+              method: Optional[str] = None) -> list:
         """Top-k keys, ordered per the index's ``rank`` mode."""
-        return self.query_batch([minhash], k, rank=rank)[0]
+        return self.query_batch([minhash], k, rank=rank, method=method)[0]
 
     def query_batch(self, minhashes, k: int, return_scores: bool = False,
-                    rank: Optional[str] = None):
+                    rank: Optional[str] = None,
+                    method: Optional[str] = None):
         """Top-k for a query batch in one device dispatch.
 
         Returns a list per query of keys — or of (key, jaccard) pairs when
         ``return_scores`` — nearest first. ``rank`` overrides the index's
-        ordering mode for this call ('forest' | 'jaccard').
+        ordering mode for this call ('forest' | 'jaccard'); ``method``
+        the serving route ('auto' | 'forest' | 'scan', see ``__init__``).
         """
-        out = self._query_dispatch(minhashes, k, rank=rank)
+        out = self._query_dispatch(minhashes, k, rank=rank, method=method)
         if isinstance(out, list):
             return out
         return self._query_finish(out, k, return_scores)
 
     def query_stream(self, batches, k: int, return_scores: bool = False,
-                     depth: int = 4, rank: Optional[str] = None):
+                     depth: int = 4, rank: Optional[str] = None,
+                     method: Optional[str] = None):
         """Pipelined :meth:`query_batch` over an iterable of batches:
         keeps ``depth`` batches in flight with eager async D2H copies,
         hiding the per-batch host<->device round trip (see
@@ -273,11 +301,30 @@ class TpuMinHashLSHForest:
             return self._query_finish(out, k, return_scores)
 
         return stream_batches(
-            batches, lambda b: self._query_dispatch(b, k, rank=rank),
+            batches,
+            lambda b: self._query_dispatch(b, k, rank=rank, method=method),
             _finish, depth=depth
         )
 
-    def _query_dispatch(self, minhashes, k: int, rank: Optional[str] = None):
+    def _resolve_method(self, method: str, rank: str, q_pad: int) -> str:
+        """'auto' resolution: the exact scan wins below the crossover
+        where the whole table is smaller than the prefix walk's
+        worst-case gather volume (q_pad * l * k_prefix * cap slots) —
+        and only for jaccard ranking (the scan IS a jaccard ordering;
+        prefix-depth ordering is the reference contract of
+        rank='forest'). Measured on the 16k-set protocol the walk
+        saturates recall@10 ~0.905 while the scan is exact at HIGHER
+        q/s (BASELINE.md round-4/5 notes)."""
+        if method == "auto":
+            if rank != "jaccard":
+                return "forest"
+            walk_slots = q_pad * self.l * self.k * self.cap
+            n_rows = int(self._sigs_dev.shape[0])
+            return "scan" if n_rows <= walk_slots else "forest"
+        return method
+
+    def _query_dispatch(self, minhashes, k: int, rank: Optional[str] = None,
+                        method: Optional[str] = None):
         """Dispatch one batch; returns (device packed, nq) or a ready
         host result (empty-index / empty-batch short-circuits)."""
         if k <= 0:
@@ -286,6 +333,10 @@ class TpuMinHashLSHForest:
             rank = self.rank
         if rank not in ("forest", "jaccard"):
             raise ValueError("rank must be 'forest' or 'jaccard'")
+        if method is None:
+            method = self.method
+        if method not in ("auto", "forest", "scan"):
+            raise ValueError("method must be 'auto', 'forest' or 'scan'")
         if self._sorted_fps is None:
             return [[] for _ in minhashes]
         q = _as_signature_matrix(minhashes)
@@ -302,19 +353,26 @@ class TpuMinHashLSHForest:
         if q_pad != nq:
             q = np.pad(q, ((0, q_pad - nq), (0, 0)))
         k_pad = max(8, 1 << (k - 1).bit_length())
-        packed = _fused_packed(
-            self._sorted_fps,
-            self._sorted_ids,
-            self._sigs_dev,
-            jnp.asarray(q),
-            self.l,
-            self.k,
-            self.cap,
-            k_pad,
-            self._n_real_dev,
-            rank,
-            self.pool,
-        )
+        method = self._resolve_method(method, rank, q_pad)
+        if method == "scan":
+            packed = _scan_packed(
+                self._sigs_dev, jnp.asarray(q), k_pad, self._n_real_dev
+            )
+        else:
+            packed = _fused_packed(
+                self._sorted_fps,
+                self._sorted_ids,
+                self._sigs_dev,
+                jnp.asarray(q),
+                self.l,
+                self.k,
+                self.cap,
+                k_pad,
+                self._n_real_dev,
+                rank,
+                self.pool,
+            )
+        packed.copy_to_host_async()
         return packed, nq
 
     def _query_finish(self, out, k: int, return_scores: bool):
@@ -418,7 +476,8 @@ class TpuMinHashLSHForest:
             params=np.array(
                 [self.num_perm, self.l, self.cap,
                  int(self.rank == "jaccard"),
-                 self.cascade_perm or 0, self.pool],
+                 self.cascade_perm or 0, self.pool,
+                 ("auto", "forest", "scan").index(self.method)],
                 dtype=np.int64,
             ),
         )
@@ -436,8 +495,12 @@ class TpuMinHashLSHForest:
         rank = "jaccard" if len(params) > 3 and params[3] else "forest"
         cascade = params[4] if len(params) > 4 and params[4] else None
         pool = params[5] if len(params) > 5 else 0
+        method = (
+            ("auto", "forest", "scan")[params[6]]
+            if len(params) > 6 else "auto"
+        )
         forest = cls(num_perm=num_perm, l=l, cap=cap, rank=rank,
-                     cascade_perm=cascade, pool=pool)
+                     cascade_perm=cascade, pool=pool, method=method)
         keys = unpack_keys(data["keys"])
         sigs = data["sigs"]
         if len(keys):

@@ -40,14 +40,23 @@ class ShardedMinHashLSHForest:
 
     def __init__(self, mesh: Mesh, num_perm: int = 128, l: int = 8,
                  cap: int = 64, shard_axis: str = "data",
-                 rank: str = "forest", cascade_perm=None, pool: int = 0):
+                 rank: str = "forest", cascade_perm=None, pool: int = 0,
+                 method: str = "auto"):
         if l <= 0 or num_perm <= 0:
             raise ValueError("num_perm and l must be positive")
         if l > num_perm:
             raise ValueError("l cannot be greater than num_perm")
         if rank not in ("forest", "jaccard"):
             raise ValueError("rank must be 'forest' or 'jaccard'")
+        if method not in ("auto", "forest", "scan"):
+            raise ValueError("method must be 'auto', 'forest' or 'scan'")
         self.rank = rank
+        # serving route — see TpuMinHashLSHForest: 'scan' answers with
+        # the exact per-shard fused top-k (recall 1.0 over stored
+        # sketches, jaccard-ranked), 'auto' picks it whenever each
+        # shard's slice is smaller than the walk's worst-case gather
+        # volume AND ranking is 'jaccard'
+        self.method = method
         self.mesh = mesh
         self.l = l
         self.k = int(num_perm / l)
@@ -226,21 +235,79 @@ class ShardedMinHashLSHForest:
             )
         )
 
-    def query(self, minhash, k: int, rank: Optional[str] = None) -> list:
+    def _make_scan_fn(self, k_out: int):
+        """Exact top-k: each shard STREAMS its slice of the signature
+        table (``lsh_ops.topk_scan`` — sequential HBM reads, recall 1.0
+        over stored sketches) and only ``k_out`` candidates per shard
+        ride the all_gather; the forest analogue of
+        ``ShardedMinHashLSH._make_topk_scan_fn`` (same collective
+        shape). Ordering is pure estimated Jaccard — the scan route of
+        :class:`~datasketch_tpu.models.tpu_forest.TpuMinHashLSHForest`.
+        """
+        from datasketch_tpu.ops import lsh_ops
+
+        mesh, axis = self.mesh, self.shard_axis
+
+        def body(db_sigs, q_sigs, n_real):
+            local_n = db_sigs.shape[0]
+            base = jax.lax.axis_index(axis) * local_n
+            nv = jnp.clip(n_real - base, 0, local_n)
+            loc_ids, loc_sc = lsh_ops.topk_scan(
+                db_sigs, q_sigs, k_out, n_valid=nv
+            )
+            gids = jnp.where(loc_ids >= 0, loc_ids + base, -1)
+            g_ids = jax.lax.all_gather(gids, axis, axis=1, tiled=True)
+            g_sc = jax.lax.all_gather(loc_sc, axis, axis=1, tiled=True)
+            score = jnp.where(g_ids >= 0, g_sc, -1.0)
+            top_sc, pos = jax.lax.top_k(score, k_out)
+            top_ids = jnp.take_along_axis(g_ids, pos, axis=1)
+            top_ids = jnp.where(top_sc >= 0, top_ids, -1)
+            return top_ids, top_sc, n_real * 0  # scan never truncates
+
+        return jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(axis, None), P(None, None), P()),
+                out_specs=(P(None, None), P(None, None), P()),
+                check_vma=False,
+            )
+        )
+
+    def _resolve_method(self, method: str, rank: str, q_pad: int) -> str:
+        """'auto' resolution, per shard: the exact scan wins when each
+        shard's slice is smaller than the walk's worst-case gather
+        volume (same bytes-moved rule as the single-chip forest, with
+        the table split ``n_shards`` ways); only for jaccard ranking —
+        prefix-depth ordering is the reference contract of
+        rank='forest'."""
+        if method == "auto":
+            if rank != "jaccard":
+                return "forest"
+            walk_slots = q_pad * self.l * self.k * self.cap
+            local_n = int(self._sigs.shape[0]) // self.n_shards
+            return "scan" if local_n <= walk_slots else "forest"
+        return method
+
+    def query(self, minhash, k: int, rank: Optional[str] = None,
+              method: Optional[str] = None) -> list:
         """Top-k keys, ordered per the index's ``rank`` mode."""
-        return self.query_batch([minhash], k, rank=rank)[0]
+        return self.query_batch([minhash], k, rank=rank, method=method)[0]
 
     def query_batch(self, minhashes, k: int, return_scores: bool = False,
-                    rank: Optional[str] = None) -> list:
+                    rank: Optional[str] = None,
+                    method: Optional[str] = None) -> list:
         """Top-k for a query batch: one sharded dispatch, one all_gather.
-        ``rank`` overrides the ordering mode ('forest' | 'jaccard')."""
-        out = self._query_dispatch(minhashes, k, rank=rank)
+        ``rank`` overrides the ordering mode ('forest' | 'jaccard');
+        ``method`` the serving route ('auto' | 'forest' | 'scan')."""
+        out = self._query_dispatch(minhashes, k, rank=rank, method=method)
         if isinstance(out, list):
             return out
         return self._query_finish(out, k, return_scores)
 
     def query_stream(self, batches, k: int, return_scores: bool = False,
-                     depth: int = 4, rank: Optional[str] = None):
+                     depth: int = 4, rank: Optional[str] = None,
+                     method: Optional[str] = None):
         """Pipelined :meth:`query_batch` over an iterable of batches:
         ``depth`` batches in flight, eager async D2H copies (see
         :mod:`datasketch_tpu.utils.pipeline`). Keep batch sizes uniform."""
@@ -255,18 +322,24 @@ class ShardedMinHashLSHForest:
             return self._query_finish(out, k, return_scores)
 
         return stream_batches(
-            batches, lambda b: self._query_dispatch(b, k, rank=rank),
+            batches,
+            lambda b: self._query_dispatch(b, k, rank=rank, method=method),
             _finish, depth=depth,
         )
 
     def _query_dispatch(self, minhashes, k: int,
-                        rank: Optional[str] = None):
+                        rank: Optional[str] = None,
+                        method: Optional[str] = None):
         if k <= 0:
             raise ValueError("k must be positive")
         if rank is None:
             rank = self.rank
         if rank not in ("forest", "jaccard"):
             raise ValueError("rank must be 'forest' or 'jaccard'")
+        if method is None:
+            method = self.method
+        if method not in ("auto", "forest", "scan"):
+            raise ValueError("method must be 'auto', 'forest' or 'scan'")
         if self._sigs is None or not self._n_real:
             return [[] for _ in minhashes]
         q = _as_signature_matrix(minhashes)
@@ -282,14 +355,23 @@ class ShardedMinHashLSHForest:
         if q_pad != nq:
             q = np.pad(q, ((0, q_pad - nq), (0, 0)))
         k_out = max(8, 1 << (k - 1).bit_length())
+        method = self._resolve_method(method, rank, q_pad)
+        rep = NamedSharding(self.mesh, P(None, None))
+        q_dev = jax.device_put(jnp.asarray(q), rep)
+        if method == "scan":
+            if (k_out, "scan") not in self._query_fns:
+                self._query_fns[k_out, "scan"] = self._make_scan_fn(k_out)
+            ids, jac, trunc = self._query_fns[k_out, "scan"](
+                self._sigs, q_dev, self._n_real_dev
+            )
+            return ids, jac, trunc, nq
         if (k_out, rank) not in self._query_fns:
             self._query_fns[k_out, rank] = self._make_query_fn(k_out, rank)
-        rep = NamedSharding(self.mesh, P(None, None))
         ids, jac, lev, trunc = self._query_fns[k_out, rank](
             self._sorted_fps,
             self._sorted_ids,
             self._sigs,
-            jax.device_put(jnp.asarray(q), rep),
+            q_dev,
             self._n_real_dev,
         )
         return ids, jac, trunc, nq
@@ -371,7 +453,8 @@ class ShardedMinHashLSHForest:
             params=np.array(
                 [self.num_perm, self.l, self.cap,
                  int(self.rank == "jaccard"),
-                 self.cascade_perm or 0, self.pool],
+                 self.cascade_perm or 0, self.pool,
+                 ("auto", "forest", "scan").index(self.method)],
                 dtype=np.int64,
             ),
         )
@@ -389,9 +472,13 @@ class ShardedMinHashLSHForest:
         rank = "jaccard" if len(params) > 3 and params[3] else "forest"
         cascade = params[4] if len(params) > 4 and params[4] else None
         pool = params[5] if len(params) > 5 else 0
+        method = (
+            ("auto", "forest", "scan")[params[6]]
+            if len(params) > 6 else "auto"
+        )
         forest = cls(mesh, num_perm=num_perm, l=l, cap=cap,
                      shard_axis=shard_axis, rank=rank,
-                     cascade_perm=cascade, pool=pool)
+                     cascade_perm=cascade, pool=pool, method=method)
         keys = unpack_keys(data["keys"])
         if keys:
             forest._keys = keys

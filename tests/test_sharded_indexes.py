@@ -432,3 +432,47 @@ def test_sharded_ensemble_query_stream():
         for i, (w, g) in enumerate(zip(w_rows, g_rows)):
             assert set(w) == set(g)
             assert base + i in g  # self-containment
+
+
+def test_sharded_forest_scan_method_matches_single_chip():
+    """method='scan' (and 'auto' below the crossover): per-shard exact
+    topk_scan + k-wide all_gather reproduces the single-chip scan route
+    EXACTLY (both are exact over stored sketches), and the method knob
+    survives a cross-mesh checkpoint."""
+    import tempfile, os
+
+    _, sigs = _corpus(n=80, seed=41)
+    single = TpuMinHashLSHForest(num_perm=128, l=8, cap=32, rank="jaccard")
+    single.index(list(range(len(sigs))), sigs)
+    sharded = ShardedMinHashLSHForest(
+        _mesh(4), num_perm=128, l=8, cap=32, rank="jaccard"
+    )
+    sharded.index(list(range(len(sigs))), sigs)
+    # default 'auto' resolves to scan at this size for BOTH — exact match
+    assert sharded._resolve_method("auto", "jaccard", 8) == "scan"
+    got = sharded.query_batch(sigs[:8], k=5, return_scores=True)
+    want = single.query_batch(sigs[:8], k=5, method="scan",
+                              return_scores=True)
+    assert [[k for k, _ in row] for row in got] == [
+        [k for k, _ in row] for row in want
+    ]
+    for g, w in zip(got, want):
+        for (_, gs), (_, ws) in zip(g, w):
+            assert gs == pytest.approx(ws)
+    # rank='forest' never auto-routes to the scan; explicit passthrough
+    assert sharded._resolve_method("auto", "forest", 8) == "forest"
+    assert sharded._resolve_method("forest", "jaccard", 8) == "forest"
+    # the walk route stays reachable per call and still self-recalls
+    walk = sharded.query_batch(sigs[:4], k=5, method="forest")
+    for qi, row in enumerate(walk):
+        assert qi in row
+    # method persists across a checkpoint onto another mesh shape
+    sharded.method = "scan"
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "f.npz")
+        sharded.save(p)
+        loaded = ShardedMinHashLSHForest.load(p, _mesh(2))
+    assert loaded.method == "scan"
+    assert loaded.query_batch(sigs[:4], k=5) == sharded.query_batch(
+        sigs[:4], k=5
+    )
