@@ -97,7 +97,9 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
         # exact set sizes (0 = padding row): the containment-scan query
         # path scores c = J*(x+q)/((1+J)*q) directly from these
         self._sizes_host = None  # int32[parts, N_pad]
-        self._sizes_dev = None  # int32[parts * N_pad] flat device copy
+        self._thr_dev = None  # cached device threshold scalar
+        self._keys_flat = None  # object[parts * N_pad] flat key lookup
+        self._scan_compact = None  # lazy compact scan-only table
         self.last_truncated = 0
 
     # ------------------------------------------------------------------ build
@@ -179,17 +181,55 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
         self._build_tables(stack)
 
     def _set_sizes(self, sizes: np.ndarray) -> None:
-        # Device copy is lazy (_scan_sizes): subclasses lay the table
+        # Device layout is lazy (_scan_table): subclasses lay the table
         # out their own way (the sharded ensemble shards the partition
-        # axis) and must not pay a second, never-read single-device
-        # upload here.
+        # axis) and must not pay a never-read single-device upload here.
         self._sizes_host = sizes.astype(np.int32)
-        self._sizes_dev = None
+        self._scan_compact = None
 
-    def _scan_sizes(self):
-        if self._sizes_dev is None:
-            self._sizes_dev = jnp.asarray(self._sizes_host.reshape(-1))
-        return self._sizes_dev
+    def _scan_table(self):
+        """Compact scan-only layout, built lazily on first scan query:
+        the stacked [parts, N_pad, P] table pads every partition to the
+        LARGEST one, so scanning it flat pays for up to 2x phantom rows
+        (16384 real sets scanned as 32768 rows on the 16k protocol —
+        uneven DP partitions). The scan does not need partitions at
+        all, so real rows compact into one [N_real_pad, P] table (one
+        device gather) with their sizes and a direct key lookup.
+
+        Returns (sigs_dev, sizes_dev, keys, n_rows_padded).
+        """
+        if self._scan_compact is None:
+            flat_sizes = self._sizes_host.reshape(-1)
+            real = np.nonzero(flat_sizes > 0)[0]
+            n_pad = 128
+            while n_pad < real.size:
+                n_pad *= 2
+            sel = np.zeros(n_pad, dtype=np.int32)  # padding re-reads row
+            sel[: real.size] = real  # 0 but carries size 0 (masked)
+            sizes_c = np.zeros(n_pad, dtype=np.int32)
+            sizes_c[: real.size] = flat_sizes[real]
+            flat = self._sigs_dev.reshape(-1, self.h)
+            self._scan_compact = (
+                flat[jnp.asarray(sel)],
+                jnp.asarray(sizes_c),
+                self._flat_keys()[real],
+                n_pad,
+            )
+        return self._scan_compact
+
+    def _flat_keys(self) -> np.ndarray:
+        """Flat object-array lookup (global row id -> key): one
+        vectorized fancy-index per batch instead of a per-match Python
+        divmod loop. Built lazily; ``index``/``load`` construct fresh
+        objects so no invalidation hook is needed."""
+        if self._keys_flat is None:
+            flat = np.empty(self.num_part * self._n_pad, dtype=object)
+            for part, keys in enumerate(self._keys_per_part):
+                off = part * self._n_pad
+                for i, key in enumerate(keys):  # element-wise: tuple
+                    flat[off + i] = key  # keys must not broadcast
+            self._keys_flat = flat
+        return self._keys_flat
 
     def _has_scan_sizes(self) -> bool:
         """Whether the containment scan has a sizes table to read
@@ -317,6 +357,7 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
 
         results = [set() for _ in queries]
         total_trunc = 0
+        keys_flat = self._flat_keys()
         for sel_ids, n_match, trunc, max_out in probes:
             ids_host, n_host, trunc_h = jax.device_get(
                 (sel_ids, n_match, trunc)
@@ -326,56 +367,70 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
             )
             for qi in range(nq):
                 row = ids_host[qi]
-                for g in row[row >= 0]:
-                    part, local = divmod(int(g), self._n_pad)
-                    results[qi].add(self._keys_per_part[part][local])
+                results[qi].update(keys_flat[row[row >= 0]].tolist())
         self.last_truncated = total_trunc
         return [list(r) for r in results]
 
     def _scan_dispatch(self, queries, q_sigs: np.ndarray, nq: int):
         """Dispatch one containment-scan batch without forcing any
-        transfer (the stream path keeps several of these in flight)."""
+        transfer (the stream path keeps several of these in flight).
+
+        The batch's outputs come back as ONE packed int32 buffer (ids
+        with the exact match count appended as a final column) with an
+        eager async D2H copy: a sync batch then costs a single
+        dependent fetch — two separate device_get arrays each paid
+        their own ~30ms tunnel round trip, which dominated the
+        single-digit-ms kernel (commit 2bdfa16 analysis)."""
         q_sizes = np.ones(q_sigs.shape[0], dtype=np.int32)
         q_sizes[:nq] = [int(size) for _, size in queries]
-        flat_sigs = self._sigs_dev.reshape(-1, self.h)
+        flat_sigs, flat_sizes, scan_keys, _n_rows = self._scan_table()
         max_out = min(self.max_results, flat_sigs.shape[0])
-        # Serve at a fused-kernel-sized k first (the Mosaic scan branch
-        # is ~5x the lax.scan form but unrolls its extraction k times);
-        # escalate to the full max_results only when some query actually
-        # overflows — rare at real thresholds, and exactness is kept.
-        scan_k = min(max_out, 128)
+        # Serve at a SMALL k first: the Mosaic kernel's extraction merge
+        # unrolls k rounds and fires on every tile with a hit, so k is a
+        # first-order kernel cost — measured 34.6ms/batch at k=128 vs
+        # 16.5ms at k=16 on the 16k-set protocol, where the widest
+        # per-query match count was 13. _scan_finish escalates k x8
+        # (staged, re-running the batch) only when a query's EXACT match
+        # count overflows — rare at real thresholds, and exactness is
+        # kept.
+        scan_k = min(max_out, 16)
         q_dev, qs_dev = jnp.asarray(q_sigs), jnp.asarray(q_sizes)
+        if self._thr_dev is None:  # one upload per index, not per batch
+            self._thr_dev = jnp.float32(self.threshold)
 
         def _scan(k_):
-            return lsh_ops.containment_scan(
+            ids, _sc, n_match = lsh_ops.containment_scan(
                 flat_sigs,
-                self._scan_sizes(),
+                flat_sizes,
                 q_dev,
                 qs_dev,
-                jnp.float32(self.threshold),
+                self._thr_dev,
                 k_,
             )
+            packed = jnp.concatenate([ids, n_match[:, None]], axis=1)
+            packed.copy_to_host_async()
+            return packed
 
-        ids, _sc, n_match = _scan(scan_k)
-        return ids, n_match, _scan, scan_k, max_out, nq
+        return _scan(scan_k), _scan, scan_k, max_out, nq, scan_keys
 
     def _scan_finish(self, item) -> list:
         """Fetch + decode one dispatched scan batch; reruns at the full
         ``max_results`` when a query's exact match count overflowed the
         fast-path k."""
-        ids, n_match, scan, scan_k, max_out, nq = item
-        ids_host, n_host = jax.device_get((ids, n_match))
-        if scan_k < max_out and int(n_host[:nq].max(initial=0)) > scan_k:
-            ids, _sc, n_match = scan(max_out)
-            ids_host, n_host = jax.device_get((ids, n_match))
+        packed, scan, scan_k, max_out, nq, scan_keys = item
+        host = np.asarray(jax.device_get(packed))
+        ids_host, n_host = host[:, :-1], host[:, -1]
+        # staged escalation: keeps the common no-overflow batch at the
+        # cheap small-k kernel, retries once inside the fused branch
+        # (k=128), then falls to the full max_results (lax.scan form)
+        while scan_k < max_out and int(n_host[:nq].max(initial=0)) > scan_k:
+            scan_k = min(max_out, 128 if scan_k < 128 else max_out)
+            host = np.asarray(jax.device_get(scan(scan_k)))
+            ids_host, n_host = host[:, :-1], host[:, -1]
         results = []
         for qi in range(nq):
             row = ids_host[qi]
-            keys = []
-            for g in row[row >= 0]:
-                part, local = divmod(int(g), self._n_pad)
-                keys.append(self._keys_per_part[part][local])
-            results.append(keys)
+            results.append(scan_keys[row[row >= 0]].tolist())
         self.last_truncated = int(
             np.maximum(n_host[:nq] - max_out, 0).sum()
         )

@@ -279,9 +279,10 @@ class ShardedMinHashLSHEnsemble(TpuMinHashLSHEnsemble):
         q_sizes[:nq] = [int(size) for _, size in queries]
         parts_local = self._parts_pad // self.n_shards
         full_out = min(self.max_results, parts_local * self._n_pad)
-        # fused-kernel-sized per-shard k first; escalate only when a
-        # shard actually overflowed (see TpuMinHashLSHEnsemble._query_scan)
-        scan_k = min(full_out, 128)
+        # SMALL per-shard k first (the kernel's extraction merge unrolls
+        # k rounds — see TpuMinHashLSHEnsemble._scan_dispatch); staged
+        # escalation below when a shard actually overflowed
+        scan_k = min(full_out, 16)
         rep = NamedSharding(self.mesh, P(None, None))
         rep1 = NamedSharding(self.mesh, P(None))
         q_dev = jax.device_put(jnp.asarray(q_sigs), rep)
@@ -300,8 +301,11 @@ class ShardedMinHashLSHEnsemble(TpuMinHashLSHEnsemble):
     def _scan_finish(self, item) -> list:
         ids, over, scan, scan_k, full_out, nq = item
         ids_host, over_host = jax.device_get((ids, over))
-        if scan_k < full_out and int(over_host) > 0:
-            ids, over = scan(full_out)
+        # staged: one retry inside the fused branch (k=128) before the
+        # full per-shard width
+        while scan_k < full_out and int(over_host) > 0:
+            scan_k = min(full_out, 128 if scan_k < 128 else full_out)
+            ids, over = scan(scan_k)
             ids_host, over_host = jax.device_get((ids, over))
         results = []
         for qi in range(nq):
