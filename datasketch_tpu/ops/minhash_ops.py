@@ -211,9 +211,22 @@ def compute_signatures(hashes, lengths, seed: int, num_perm: int,
         and t % pk.TILE_T == 0
         and num_perm % 128 == 0
     ):
-        return pk.sign_batch_pallas(
-            jnp.asarray(hashes), jnp.asarray(lengths), *limbs, mix=mix
-        )
+        h_dev, len_dev = jnp.asarray(hashes), jnp.asarray(lengths)
+        if num_perm <= pk.SIGN_MAX_P:
+            return pk.sign_batch_pallas(h_dev, len_dev, *limbs, mix=mix)
+        # wide cascades: one kernel call per SIGN_MAX_P perm slice (the
+        # minimum tile at p=1024 already blows the 16MB scoped-vmem
+        # limit); interleaved draws make every slice prefix-stable, so
+        # the concat is bit-identical to a single wide call
+        parts = [
+            pk.sign_batch_pallas(
+                h_dev, len_dev,
+                *(limb[off : off + pk.SIGN_MAX_P] for limb in limbs),
+                mix=mix,
+            )
+            for off in range(0, num_perm, pk.SIGN_MAX_P)
+        ]
+        return jnp.concatenate(parts, axis=1)
     return _sign_batch(hashes, jnp.asarray(lengths), *limbs, mix=mix)
 
 

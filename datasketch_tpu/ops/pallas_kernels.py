@@ -59,6 +59,12 @@ TILE_T = 128  # tokens per grid step (lane multiple) — the DIVISIBILITY
 # stays inside VMEM at that size.
 _SIGN_SLOT_BUDGET = 8 * 512 * 128
 
+# Widest perm axis one kernel call fits: past this even the minimum
+# (8, 128) tile blows the 16MB scoped-vmem limit (p=1024 allocated
+# 17.18M), so compute_signatures splits the perm axis into
+# SIGN_MAX_P-wide calls and concatenates.
+SIGN_MAX_P = _SIGN_SLOT_BUDGET // (BLOCK_B * TILE_T)
+
 
 def _sign_tiles(b: int, t: int, p: int):
     """(block_b, tile_t) actually used for a [b, t] x p signature call."""

@@ -377,6 +377,35 @@ def test_topk_scan_pallas_guards():
                             interpret=True)
 
 
+def test_sign_perm_chunking_wide_cascade(monkeypatch):
+    """num_perm > SIGN_MAX_P splits into per-slice Mosaic calls (a
+    single p=1024 call blew the 16MB scoped-vmem limit on real TPU —
+    17.18M allocated); interleaved permutation draws make each slice
+    prefix-stable so the concat is bit-identical to the XLA form."""
+    from datasketch_tpu.ops import minhash_ops
+    from datasketch_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.RandomState(5)
+    hashes = rng.randint(
+        0, 1 << 32, size=(8, 128), dtype=np.uint64
+    ).astype(np.uint32)
+    lengths = np.array([128, 100, 7, 1, 128, 64, 2, 33], np.int32)
+    want = np.asarray(
+        minhash_ops.compute_signatures(hashes, lengths, 1, 1024)
+    )
+    monkeypatch.setattr(pk, "signature_kernel_available", lambda: True)
+    orig = pk.sign_batch_pallas
+    monkeypatch.setattr(
+        pk, "sign_batch_pallas",
+        lambda *a, **kw: orig(*a, interpret=True, **kw),
+    )
+    monkeypatch.setattr(pk, "SIGN_MAX_P", 256)  # force 4-way chunking
+    got = np.asarray(
+        minhash_ops.compute_signatures(hashes, lengths, 1, 1024)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
 def test_topk_blocks_sublane_aligned():
     """Query block heights must be multiples of the 8-row uint32 sublane
     for EVERY signature width the constructors accept (a cascade_perm of
