@@ -530,6 +530,37 @@ inline void sha1_32_short_x2(const uint8_t* pA, uint32_t lenA,
   *outA = bswap32(hA[0]);
   *outB = bswap32(hB[0]);
 }
+
+// 64-bit-output twin of sha1_32_short_x2 (low 8 digest bytes LE — the
+// reference's sha1_hash64): same paired SHA-NI compress, two state words
+// read out instead of one.
+__attribute__((target("sha,sse4.1,ssse3")))
+inline void sha1_64_short_x2(const uint8_t* pA, uint32_t lenA,
+                             const uint8_t* pB, uint32_t lenB, uint64_t* outA,
+                             uint64_t* outB) {
+  alignas(16) uint8_t blockA[64], blockB[64];
+  std::memset(blockA, 0, 64);
+  std::memset(blockB, 0, 64);
+  std::memcpy(blockA, pA, lenA);
+  std::memcpy(blockB, pB, lenB);
+  blockA[lenA] = 0x80;
+  blockB[lenB] = 0x80;
+  const uint64_t bitsA = static_cast<uint64_t>(lenA) * 8;
+  const uint64_t bitsB = static_cast<uint64_t>(lenB) * 8;
+  for (int i = 0; i < 8; i++) {
+    blockA[56 + i] = static_cast<uint8_t>(bitsA >> (8 * (7 - i)));
+    blockB[56 + i] = static_cast<uint8_t>(bitsB >> (8 * (7 - i)));
+  }
+  uint32_t hA[5] = {0x67452301u, 0xEFCDAB89u, 0x98BADCFEu, 0x10325476u,
+                    0xC3D2E1F0u};
+  uint32_t hB[5] = {0x67452301u, 0xEFCDAB89u, 0x98BADCFEu, 0x10325476u,
+                    0xC3D2E1F0u};
+  sha1_compress_ni_x2(hA, blockA, hB, blockB);
+  *outA = (static_cast<uint64_t>(bswap32(hA[1])) << 32) |
+          static_cast<uint64_t>(bswap32(hA[0]));
+  *outB = (static_cast<uint64_t>(bswap32(hB[1])) << 32) |
+          static_cast<uint64_t>(bswap32(hB[0]));
+}
 #endif  // DSHASH_X86
 
 inline bool sha_ni_available() {

@@ -134,21 +134,41 @@ struct TokenSink {
         out32[pos] = dshash::xxh32(ptr, len, seed);
         return;
       default:
+#ifdef DSHASH_X86
+        // same 2-way SHA-NI pairing as case 0 (no content cache on the
+        // 64-bit path — HLL streams are dominated by unique tokens)
+        if (use_x2 && len <= 55) {
+          if (!has_pending) {
+            pending = TokenRef{ptr, len, pos};
+            has_pending = true;
+          } else {
+            dshash::sha1_64_short_x2(pending.ptr, pending.len, ptr, len,
+                                     &out64[pending.out_pos], &out64[pos]);
+            has_pending = false;
+          }
+          return;
+        }
+#endif
         out64[pos] = dshash::sha1_64(ptr, len, compress);
     }
   }
 
   inline void flush() {
-    if (has_pending) {
-      out32[pending.out_pos] =
-          dshash::sha1_32(pending.ptr, pending.len, compress);
-      if (cache && pending_key)
-        cache->insert(pending_key, pending.len, out32[pending.out_pos]);
-      if (ident)
-        ident->insert(pending.ptr, pending.len, out32[pending.out_pos],
-                      ident_epoch);
+    if (!has_pending) return;
+    if (algo == 2) {
+      out64[pending.out_pos] =
+          dshash::sha1_64(pending.ptr, pending.len, compress);
       has_pending = false;
+      return;
     }
+    out32[pending.out_pos] =
+        dshash::sha1_32(pending.ptr, pending.len, compress);
+    if (cache && pending_key)
+      cache->insert(pending_key, pending.len, out32[pending.out_pos]);
+    if (ident)
+      ident->insert(pending.ptr, pending.len, out32[pending.out_pos],
+                    ident_epoch);
+    has_pending = false;
   }
 };
 
@@ -290,6 +310,31 @@ void hash_refs(const std::vector<TokenRef>& refs, int algo, uint32_t seed,
         const TokenRef& p = refs[pending];
         out32[p.out_pos] = dshash::sha1_32(p.ptr, p.len, c);
         if (cache && pending_key) cache->insert(pending_key, p.len, out32[p.out_pos]);
+      }
+    });
+    return;
+  }
+  if (algo == 2 && dshash::sha_ni_available()) {
+    dshash::parallel_for(n, [&](int64_t lo, int64_t hi) {
+      int64_t pending = -1;
+      for (int64_t i = lo; i < hi; i++) {
+        const TokenRef& r = refs[i];
+        if (r.len <= 55) {
+          if (pending < 0) {
+            pending = i;
+          } else {
+            const TokenRef& p = refs[pending];
+            dshash::sha1_64_short_x2(p.ptr, p.len, r.ptr, r.len,
+                                     &out64[p.out_pos], &out64[r.out_pos]);
+            pending = -1;
+          }
+        } else {
+          out64[r.out_pos] = dshash::sha1_64(r.ptr, r.len, c);
+        }
+      }
+      if (pending >= 0) {
+        const TokenRef& p = refs[pending];
+        out64[p.out_pos] = dshash::sha1_64(p.ptr, p.len, c);
       }
     });
     return;

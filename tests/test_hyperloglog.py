@@ -349,3 +349,61 @@ class TestHLLBatchSurface:
         s.update_batch([b"a", b"b"])
         s2 = pickle.loads(pickle.dumps(s))
         np.testing.assert_array_equal(s.reg, s2.reg)
+
+
+class TestRound5FastPaths:
+    """Round-5 HLL++ bulk speedups: frexp bit_length, paired SHA-NI
+    sha1_64, narrow-dtype device id uploads — all bit-identical."""
+
+    def test_np_bit_length_frexp_matches_ladder(self):
+        from datasketch_tpu.models.hyperloglog import _np_bit_length
+
+        rng = np.random.RandomState(9)
+        # below 2**53: frexp fast path; includes 0, 1 and pow2 edges
+        vals = np.concatenate([
+            np.array([0, 1, 2, 3, 4, (1 << 52) - 1, 1 << 52,
+                      (1 << 53) - 1], dtype=np.uint64),
+            rng.randint(0, 1 << 50, size=4096).astype(np.uint64),
+        ])
+        got = _np_bit_length(vals)
+        want = np.array([int(v).bit_length() for v in vals])
+        np.testing.assert_array_equal(got, want)
+        # at/above 2**53 the exact shift ladder takes over
+        wide = np.array([1 << 53, (1 << 60) | 5, (1 << 63) + 1],
+                        dtype=np.uint64)
+        np.testing.assert_array_equal(
+            _np_bit_length(wide), [int(v).bit_length() for v in wide]
+        )
+
+    def test_pad_pow2_ids_narrow_dtypes(self):
+        from datasketch_tpu.models.hyperloglog import _pad_pow2_ids
+
+        small = [np.array([1, 2, 250], dtype=np.uint64)]
+        ids, lengths = _pad_pow2_ids(small)
+        assert ids.dtype == np.uint8
+        mid = [np.array([1, 60000], dtype=np.uint64)]
+        assert _pad_pow2_ids(mid)[0].dtype == np.uint16
+        wide = [np.array([1 << 20], dtype=np.uint64)]
+        assert _pad_pow2_ids(wide)[0].dtype == np.uint32
+        # values survive the narrowing
+        np.testing.assert_array_equal(ids[0, :3], [1, 2, 250])
+        assert lengths[0] == 3
+
+    def test_device_ids_bulk_matches_host_at_every_width(self):
+        """Registers from the narrow-upload device path == the host
+        scatter path (the device mix64 zero-extends narrow ids)."""
+        rng = np.random.RandomState(11)
+        for max_id in (200, 50000, 1 << 20):
+            docs = [
+                rng.randint(0, max_id, size=rng.randint(5, 40)).astype(
+                    np.uint64
+                )
+                for _ in range(6)
+            ]
+            host = HyperLogLogPlusPlus.bulk_registers(
+                docs, p=8, hashfunc="device", device_mode="disable"
+            )
+            dev = HyperLogLogPlusPlus.bulk_registers(
+                docs, p=8, hashfunc="device", device_mode="always"
+            )
+            np.testing.assert_array_equal(host, dev)
