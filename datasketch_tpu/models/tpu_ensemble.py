@@ -125,6 +125,53 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
             (key, sig, size) for key, sig, size in zip(keys, sigs, sizes)
         )
 
+    def index_batch(self, keys, minhashes, sizes) -> None:
+        """One-shot bulk build from a signature/kt BATCH: a host or
+        device 2-D signature matrix or ``[N, S, 2]`` (k, t) pair batch
+        (e.g. ``WeightedMinHashGenerator.minhash_many(out='device')``)
+        plus the exact set sizes. Device batches are mixed to band
+        slots ON DEVICE and fetched once as a compact uint32 matrix —
+        the DP partition build groups rows on host, and per-entry
+        iteration over a device array would pay a tunnel round trip
+        per row. Weighted-forest parity: the reference aliases weighted
+        sketches into every index
+        (``/root/reference/datasketch/__init__.py:24-25``)."""
+        keys = list(keys)
+        sizes = [int(s) for s in sizes]
+        sigs = _as_signature_matrix(minhashes)
+        if isinstance(sigs, jax.Array):
+            sigs = np.asarray(sigs)
+        if not (len(keys) == sigs.shape[0] == len(sizes)):
+            raise ValueError(
+                "keys, minhashes and sizes must have equal length"
+            )
+        self.index(zip(keys, sigs, sizes))
+
+    def _as_query_batch(self, queries):
+        """Normalize a query batch: an iterable of ``(minhash, size)``
+        pairs (reference semantics,
+        ``/root/reference/datasketch/lshensemble.py:230-249``) or a
+        ``(batch, sizes)`` 2-tuple where ``batch`` is a host/device
+        signature or kt matrix — device kt batches are mixed to slots
+        on device and never round-trip to host. Returns
+        ``(pairs, q_sigs)``; ``q_sigs`` is None for an empty batch and
+        pairs carry ``(None, size)`` in tuple form."""
+        if (
+            isinstance(queries, tuple)
+            and len(queries) == 2
+            and isinstance(queries[0], (np.ndarray, jax.Array))
+        ):
+            batch, sizes = queries
+            q_sigs = _as_signature_matrix(batch)
+            pairs = [(None, int(s)) for s in sizes]
+            if q_sigs.shape[0] != len(pairs):
+                raise ValueError("batch and sizes must have equal length")
+            return pairs, q_sigs
+        pairs = list(queries)
+        if not pairs:
+            return pairs, None
+        return pairs, _as_signature_matrix([mh for mh, _ in pairs])
+
     def index(self, entries: Iterable) -> None:
         """One-shot bulk build: size partitions by DP, then ONE stacked
         device build per unique r."""
@@ -299,10 +346,9 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
         bytes-moved rule as ``TpuMinHashLSH``)."""
         if method not in ("auto", "bands", "scan"):
             raise ValueError("method must be 'auto', 'bands' or 'scan'")
-        queries = list(queries)
+        queries, q_sigs = self._as_query_batch(queries)
         if not queries or not self._tables:
             return [[] for _ in queries]
-        q_sigs = _as_signature_matrix([mh for mh, _ in queries])
         if q_sigs.shape[1] != self.h:
             raise ValueError(
                 "Expecting minhash with length %d, got %d"
@@ -313,7 +359,14 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
         while q_pad < nq:
             q_pad *= 2
         if q_pad != nq:
-            q_sigs = np.pad(q_sigs, ((0, q_pad - nq), (0, 0)))
+            pad = ((0, q_pad - nq), (0, 0))
+            # device query batches stay on device (np.pad would silently
+            # round-trip them to host)
+            q_sigs = (
+                jnp.pad(q_sigs, pad)
+                if isinstance(q_sigs, jax.Array)
+                else np.pad(q_sigs, pad)
+            )
         method = self._resolve_scan_method(method, q_pad)
         if method == "scan":
             return self._query_scan(queries, q_sigs, nq)
@@ -455,10 +508,9 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
         from datasketch_tpu.utils.pipeline import stream_batches
 
         def _dispatch(batch):
-            queries = list(batch)
+            queries, q_sigs = self._as_query_batch(batch)
             if not queries or not self._tables:
                 return len(queries)
-            q_sigs = _as_signature_matrix([mh for mh, _ in queries])
             if q_sigs.shape[1] != self.h:
                 raise ValueError(
                     "Expecting minhash with length %d, got %d"
@@ -469,7 +521,12 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
             while q_pad < nq:
                 q_pad *= 2
             if q_pad != nq:
-                q_sigs = np.pad(q_sigs, ((0, q_pad - nq), (0, 0)))
+                pad = ((0, q_pad - nq), (0, 0))
+                q_sigs = (
+                    jnp.pad(q_sigs, pad)
+                    if isinstance(q_sigs, jax.Array)
+                    else np.pad(q_sigs, pad)
+                )
             self._resolve_scan_method("scan", q_pad)  # sizes guard
             return self._scan_dispatch(queries, q_sigs, nq)
 

@@ -170,6 +170,14 @@ class TpuMinHashLSHForest:
         if keys is not None:
             keys = list(keys)
             sigs = _as_signature_matrix(minhashes)
+            if isinstance(sigs, jax.Array):
+                # device batches (e.g. WeightedMinHashGenerator
+                # .minhash_many(out='device') kt pairs, already mixed to
+                # slots on device by _as_signature_matrix): ONE compact
+                # uint32[N, P] fetch — the prefix tables are built by
+                # host lexsort, and per-row iteration below would
+                # otherwise pay a tunnel round trip per row
+                sigs = np.asarray(sigs)
             if sigs.shape[0] != len(keys):
                 raise ValueError("keys and minhashes must have equal length")
             if sigs.shape[0] and sigs.shape[1] < self.score_width:
@@ -351,7 +359,12 @@ class TpuMinHashLSHForest:
         while q_pad < nq:
             q_pad *= 2
         if q_pad != nq:
-            q = np.pad(q, ((0, q_pad - nq), (0, 0)))
+            pad = ((0, q_pad - nq), (0, 0))
+            # device query batches (kt pairs mixed on device) stay on
+            # device — np.pad would silently round-trip them to host
+            q = jnp.pad(q, pad) if isinstance(q, jax.Array) else np.pad(
+                q, pad
+            )
         k_pad = max(8, 1 << (k - 1).bit_length())
         method = self._resolve_method(method, rank, q_pad)
         if method == "scan":

@@ -143,3 +143,115 @@ def test_sharded_lsh_accepts_weighted():
     assert "w0" in res
     top = idx.top_k([wms[0]], k=3)[0]
     assert top and top[0][0] == "w0"
+
+
+def test_forest_accepts_device_kt_batches():
+    """TpuMinHashLSHForest indexes and queries device (k, t) batches —
+    the round-5 item (VERDICT r4 #7): the kt batch is mixed to slots ON
+    DEVICE (one compact fetch for the host lexsort build; query batches
+    never round-trip), and results match the object path exactly.
+    Reference aliases weighted sketches into the forest
+    (``/root/reference/datasketch/__init__.py:24-25``)."""
+    from datasketch_tpu import TpuMinHashLSHForest
+
+    gen = WeightedMinHashGenerator(60, sample_size=128, seed=11)
+    X = _corpus(n_related=10, n_noise=10, seed=11)
+    wms = gen.minhash_many(X)
+    kt_dev = gen.minhash_many(X, out="device")
+    keys = ["w%d" % i for i in range(len(wms))]
+
+    via_objs = TpuMinHashLSHForest(num_perm=128, l=8)
+    via_objs.index(keys, wms)
+    via_dev = TpuMinHashLSHForest(num_perm=128, l=8)
+    via_dev.index(keys, kt_dev)
+
+    # object queries against both indexes agree exactly
+    assert via_dev.query_batch(wms[:6], 5) == via_objs.query_batch(
+        wms[:6], 5
+    )
+    # device kt QUERY batch == the same queries via objects
+    got = via_dev.query_batch(kt_dev[:6], 5)
+    assert got == via_objs.query_batch(wms[:6], 5)
+    for qi, row in enumerate(got):
+        assert "w%d" % qi in row  # self-recall
+    # scan route serves weighted sketches too (jaccard over slots)
+    scan = via_dev.query_batch(kt_dev[:3], 5, rank="jaccard",
+                               method="scan")
+    for qi, row in enumerate(scan):
+        assert row[0] == "w%d" % qi
+
+
+def test_forest_weighted_recall_vs_host_weighted_forest():
+    """Device forest recall (vs true weighted-Jaccard top-k) >= the host
+    WeightedMinHashLSHForest's at equal (num_perm, l)."""
+    from datasketch_tpu import TpuMinHashLSHForest, WeightedMinHashLSHForest
+
+    gen = WeightedMinHashGenerator(60, sample_size=128, seed=13)
+    X = _corpus(n_related=12, n_noise=12, seed=13)
+    wms = gen.minhash_many(X)
+    kt_dev = gen.minhash_many(X, out="device")
+
+    host = WeightedMinHashLSHForest(num_perm=128, l=8)
+    for i, m in enumerate(wms):
+        host.add(i, m)
+    host.index()
+    dev = TpuMinHashLSHForest(num_perm=128, l=8)
+    dev.index(list(range(len(wms))), kt_dev)
+
+    # true weighted-Jaccard ground truth
+    mins = np.minimum(X[:, None, :], X[None, :, :]).sum(-1)
+    maxs = np.maximum(X[:, None, :], X[None, :, :]).sum(-1)
+    true_j = mins / maxs
+    host_hits = dev_hits = 0
+    for qi in range(6):
+        truth = set(np.argsort(-true_j[qi])[:5].tolist())
+        host_hits += len(set(host.query(wms[qi], 5)) & truth)
+        dev_hits += len(set(dev.query(wms[qi], 5)) & truth)
+    assert dev_hits >= host_hits
+
+
+def test_ensemble_accepts_device_kt_batches():
+    """TpuMinHashLSHEnsemble.index_batch + (batch, sizes) queries:
+    device kt batches build and query the containment index without a
+    host round trip of the sketches; results match the object path."""
+    from datasketch_tpu import TpuMinHashLSHEnsemble
+
+    gen = WeightedMinHashGenerator(60, sample_size=128, seed=17)
+    X = _corpus(n_related=10, n_noise=10, seed=17)
+    wms = gen.minhash_many(X)
+    kt_dev = gen.minhash_many(X, out="device")
+    keys = ["w%d" % i for i in range(len(wms))]
+    sizes = [60] * len(wms)  # dense rows: every dim active
+
+    via_objs = TpuMinHashLSHEnsemble(
+        threshold=0.6, num_perm=128, num_part=4
+    )
+    via_objs.index(zip(keys, wms, sizes))
+    via_dev = TpuMinHashLSHEnsemble(
+        threshold=0.6, num_perm=128, num_part=4
+    )
+    via_dev.index_batch(keys, kt_dev, sizes)
+
+    obj_queries = [(wms[i], sizes[i]) for i in range(6)]
+    want = via_objs.query_batch(obj_queries)
+    # object queries on the kt-built index
+    assert [sorted(r) for r in via_dev.query_batch(obj_queries)] == [
+        sorted(r) for r in want
+    ]
+    # device kt QUERY batch via the (batch, sizes) tuple form
+    got = via_dev.query_batch((kt_dev[:6], sizes[:6]))
+    assert [sorted(r) for r in got] == [sorted(r) for r in want]
+    for qi, row in enumerate(got):
+        assert "w%d" % qi in row  # self-containment
+    # scan route too
+    got_scan = via_dev.query_batch((kt_dev[:6], sizes[:6]), method="scan")
+    for qi, row in enumerate(got_scan):
+        assert "w%d" % qi in row
+    # mismatched lengths rejected
+    with pytest.raises(ValueError):
+        via_dev.query_batch((kt_dev[:6], sizes[:3]))
+    with pytest.raises(ValueError):
+        via_dev2 = TpuMinHashLSHEnsemble(
+            threshold=0.6, num_perm=128, num_part=4
+        )
+        via_dev2.index_batch(keys, kt_dev, sizes[:-1])
