@@ -456,21 +456,36 @@ def bench_cws(device_kind: str):
     from datasketch_tpu import WeightedMinHashGenerator
     from datasketch_tpu.utils.profiling import device_sync
 
+    import scipy.sparse as sp
+
     dim, sample_size = 10000, 128
-    n_rows = 2048 if device_kind == "tpu" else 128
+    n_rows = 8192 if device_kind == "tpu" else 128
     rng = np.random.RandomState(17)
     X = np.abs(rng.randn(n_rows, dim)).astype(np.float32)
     X *= rng.rand(n_rows, dim) < 0.02  # ~2% dense rows
     X[np.arange(n_rows), np.arange(n_rows) % dim] = 1.0  # no all-zero rows
+    # CSR input takes the round-5 sparse upload path: (values,
+    # dim-indices) ship ragged (~2KB/row at 2% density vs 40KB dense
+    # over the ~50MB/s tunnel) and a Mosaic kernel reduces over only
+    # the active dims — bit-identical (k, t) to the dense path
+    # (tests/test_pallas_kernels.py parity; reference CSR-in batch API:
+    # /root/reference/datasketch/weighted_minhash.py:161-247)
+    X_csr = sp.csr_matrix(X)
+    bytes_per_row = (X_csr.data.nbytes + X_csr.indices.nbytes) / n_rows
     gen = WeightedMinHashGenerator(dim, sample_size=sample_size, seed=1)
-    device_sync([gen.minhash_many(X[:64], out="device")])  # warm compile
+    device_sync([gen.minhash_many(X_csr[:64], out="device")])  # warm
     samples = []
     kt_dev = None
     for _ in range(3):
         t0 = time.perf_counter()
-        kt_dev = gen.minhash_many(X, out="device")
+        kt_dev = gen.minhash_many(X_csr, out="device")
         device_sync([kt_dev])
         samples.append(round(n_rows / (time.perf_counter() - t0), 1))
+    # dense-path contrast sample (the transport-bound r4 configuration)
+    n_dense = min(1024, n_rows)
+    t0 = time.perf_counter()
+    device_sync([gen.minhash_many(X[:n_dense], out="device")])
+    dense_rate = round(n_dense / (time.perf_counter() - t0), 1)
     # device serving: the (k,t) batch indexes into TpuMinHashLSH without
     # ever leaving HBM (on-device kt->slot mix); self top-1 checks the
     # weighted-Jaccard rerank end to end
@@ -512,12 +527,14 @@ def bench_cws(device_kind: str):
     return {
         "sketches_per_sec": max(samples),
         "samples": samples,
+        "dense_path_sketches_per_sec": dense_rate,
         "ref_sketches_per_sec": round(ref_rate, 1),
         "vs_reference": round(max(samples) / ref_rate, 2) if ref_rate else None,
         **serve,
-        "config": "dim=%d, sample_size=%d, %d rows (~2%% dense), "
-        "device-resident (k,t) output; serving = device kt batch -> "
-        "TpuMinHashLSH top-5" % (dim, sample_size, n_rows),
+        "config": "dim=%d, sample_size=%d, %d CSR rows (~2%% dense, "
+        "%.0fB/row shipped vs %dB dense), device-resident (k,t) output; "
+        "serving = device kt batch -> TpuMinHashLSH top-5"
+        % (dim, sample_size, n_rows, bytes_per_row, dim * 4),
     }
 
 
