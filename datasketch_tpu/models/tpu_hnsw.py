@@ -150,6 +150,13 @@ class TpuHNSW:
             raise ValueError("The given key already exists")
         self._pending.append((key, np.asarray(point)))
 
+    def flush(self) -> None:
+        """Link any buffered :meth:`add` points into the graph NOW
+        (queries flush implicitly; explicit flush separates the link
+        cost from query latency — what `benchmarks/hnsw_incremental.py`
+        measures)."""
+        self._flush_pending()
+
     def _flush_pending(self) -> None:
         if not self._pending:
             return

@@ -101,6 +101,20 @@ class TestIncrementalAppend:
         idx.index(list(range(n)), pts)
         return idx, pts, rng
 
+    def test_explicit_flush_links_pending(self):
+        """flush() links buffered adds without a query (the benchmark's
+        way of timing the link step apart from query latency)."""
+        idx, pts, rng = self._build()
+        new = rng.randn(4, 16).astype(np.float32)
+        for i, p in enumerate(new):
+            idx.add(5000 + i, p)
+        assert len(idx._pending) == 4
+        idx.flush()
+        assert not idx._pending
+        assert idx.status()["appended_since_build"] == 4
+        res = idx.query_batch(new, k=1)
+        assert all(r[0][0] == 5000 + i for i, r in enumerate(res))
+
     def test_append_links_without_rebuild(self):
         idx, pts, rng = self._build()
         new = rng.randn(16, 16).astype(np.float32)
