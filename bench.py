@@ -49,6 +49,19 @@ def _budget_left() -> float:
     return _BENCH_BUDGET - (time.monotonic() - _BENCH_T0)
 
 
+_ROW_SECONDS: dict = {}
+
+
+def _timed(name: str, thunk):
+    """Run one bench row recording its wall time (summary.row_seconds —
+    the data that says which row to trim when bench_seconds drifts)."""
+    t0 = time.monotonic()
+    try:
+        return thunk()
+    finally:
+        _ROW_SECONDS[name] = round(time.monotonic() - t0, 1)
+
+
 def _skip(need: float) -> Optional[dict]:
     """None if `need` seconds fit the remaining budget, else a skip row."""
     left = _budget_left()
@@ -1069,8 +1082,8 @@ def main() -> None:
             flush=True,
         )
     corpus = make_corpus(n_docs)
-    ours = bench_ours(corpus)
-    ref = bench_reference(corpus[:REF_DOCS])
+    ours = _timed("headline", lambda: bench_ours(corpus))
+    ref = _timed("headline_ref", lambda: bench_reference(corpus[:REF_DOCS]))
     baseline_ref = (
         "reference MinHash.update_batch measured live on this host CPU "
         "(same corpus config)"
@@ -1085,52 +1098,59 @@ def main() -> None:
     # degrades them ~3-4x, measured 2026-08-17), sequentially with a
     # strict per-row corpus lifecycle (see bench_fast_rows)
     try:
-        fast_rows = bench_fast_rows(8192 if device_kind == "tpu" else 512)
+        fast_rows = _timed("fast_hash_rows", lambda: bench_fast_rows(
+            8192 if device_kind == "tpu" else 512))
     except Exception as exc:
         fast_rows = {"error": repr(exc)}
     # BASELINE protocol configs 2 and 4a: cheap host/Mosaic rows
     try:
-        hll = _skip(20) or bench_hll(device_kind)
+        hll = _skip(20) or _timed("hllpp", lambda: bench_hll(device_kind))
     except Exception as exc:
         hll = {"error": repr(exc)}
     try:
-        cws = _skip(30) or bench_cws(device_kind)
+        cws = _skip(30) or _timed("weighted_cws", lambda: bench_cws(device_kind))
     except Exception as exc:
         cws = {"error": repr(exc)}
     try:
-        lsh = bench_lsh_topk()
+        lsh = _timed("lsh_topk", bench_lsh_topk)
     except Exception as exc:  # the primary metric must still report
         lsh = {"error": repr(exc)}
     # configs 4b and 5: each pays per-shape serving compiles on top of
     # the measurement, so they carry explicit budget gates
     try:
-        ensemble = _skip(90) or bench_ensemble(device_kind)
+        ensemble = _skip(90) or _timed("lsh_ensemble",
+                                       lambda: bench_ensemble(device_kind))
     except Exception as exc:
         ensemble = {"error": repr(exc)}
     try:
-        forest = _skip(90) or bench_forest(device_kind)
+        forest = _skip(90) or _timed("lsh_forest",
+                                     lambda: bench_forest(device_kind))
     except Exception as exc:
         forest = {"error": repr(exc)}
     try:
         # at-scale row: full size on the TPU; bounded on the CPU fallback
         if device_kind == "tpu":
-            lsh_scale = bench_lsh_scale()
+            lsh_scale = _timed("lsh_topk_scale", bench_lsh_scale)
         else:
-            lsh_scale = bench_lsh_scale(n_docs=16384, n_queries=128)
+            lsh_scale = _timed("lsh_topk_scale",
+                               lambda: bench_lsh_scale(n_docs=16384,
+                                                       n_queries=128))
     except Exception as exc:
         lsh_scale = {"error": repr(exc)}
     # config 5 first half: device HNSW vs the reference's (its Python
     # insert loop bounds the reference corpus — see bench_hnsw)
     try:
-        hnsw = _skip(80) or bench_hnsw(device_kind)
+        hnsw = _skip(80) or _timed("hnsw", lambda: bench_hnsw(device_kind))
     except Exception as exc:
         hnsw = {"error": repr(exc)}
     try:
-        util = bench_kernel_utilization(device_kind)
+        util = _timed("signature_kernel",
+                      lambda: bench_kernel_utilization(device_kind))
     except Exception as exc:
         util = {"error": repr(exc)}
     try:
-        bbit = bench_bbit_scan(131072 if device_kind == "tpu" else 16384)
+        bbit = _timed("bbit_scan", lambda: bench_bbit_scan(
+            131072 if device_kind == "tpu" else 16384))
     except Exception as exc:
         bbit = {"error": repr(exc)}
     # config 3 at full scale: 512MB of signatures through the tunnel —
@@ -1138,7 +1158,7 @@ def main() -> None:
     # fallback the 131k-doc lsh_topk_scale row already covers the config)
     try:
         if device_kind == "tpu":
-            scale_1m = _skip(150) or bench_scale_1m()
+            scale_1m = _skip(150) or _timed("lsh_scale_1m", bench_scale_1m)
         else:
             scale_1m = {"skipped": "cpu-fallback (1M row is TPU-only)"}
     except Exception as exc:
@@ -1150,7 +1170,7 @@ def main() -> None:
     headline_samples = [round(ours, 1)]
     if device_kind == "tpu":
         try:
-            ours2 = bench_ours(corpus)
+            ours2 = _timed("headline_resample", lambda: bench_ours(corpus))
             headline_samples.append(round(ours2, 1))
             ours = max(ours, ours2)
         except Exception:
@@ -1197,6 +1217,7 @@ def main() -> None:
         "vs_baseline": rows["vs_baseline"],
         "device": device_kind,
         "bench_seconds": rows["bench_seconds"],
+        "row_seconds": _ROW_SECONDS,
         "signature_kernel": _pick(util, "vpu_utilization",
                                   "achieved_uint32_gops"),
         "hllpp": _pick(hll, "tokens_per_sec", "vs_reference"),
