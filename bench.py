@@ -62,6 +62,64 @@ def _timed(name: str, thunk):
         _ROW_SECONDS[name] = round(time.monotonic() - t0, 1)
 
 
+# Shared clustered-sets protocol artifacts. Corpus generation and the
+# exact-Jaccard ground truth each cost ~15s at 16k sets on this 1-core
+# host, and the forest and hnsw rows use IDENTICAL protocol parameters
+# (their ground truths nest: same query order, same k) — paying that
+# fixed cost once cut ~25-40s off bench_seconds (round-5 row_seconds).
+# Host-side objects only: no device buffers are cached (the tunnel's
+# live-corpora pathology — see bench_fast_rows — is about device
+# uploads, which each row still owns and frees).
+_PROTO_CACHE: dict = {}
+_SIG_CACHE: dict = {}
+
+
+def _protocol(n_sets: int, n_queries: int, mean_size: int = 190,
+              gt_queries: int = 0, k: int = 10):
+    """(sets, query_sets, query_keys, gt) for the clustered protocol."""
+    from benchmarks import utils as butils
+
+    key = (n_sets, n_queries, mean_size)
+    if key not in _PROTO_CACHE:
+        sets, _keys, query_sets, query_keys = butils.generate_sets(
+            n_sets=n_sets, n_queries=n_queries, mean_size=mean_size
+        )
+        _PROTO_CACHE[key] = {
+            "sets": sets, "query_sets": query_sets,
+            "query_keys": query_keys, "gt": {},
+        }
+    ent = _PROTO_CACHE[key]
+    gt = None
+    if gt_queries:
+        have = ent["gt"].get(k)
+        if have is None or len(have) < gt_queries:
+            ent["gt"][k] = butils.exact_topk(
+                ent["sets"], ent["query_sets"][:gt_queries], k
+            )[0]
+        gt = ent["gt"][k][:gt_queries]
+    return ent["sets"], ent["query_sets"], ent["query_keys"], gt
+
+
+def _proto_sigs(n_sets: int, n_queries: int, num_perm: int,
+                mean_size: int = 190) -> np.ndarray:
+    """Signature matrix for a cached protocol corpus. Permutation draws
+    are interleaved (ops/minhash_ops.py), so a wide matrix's first
+    columns are bit-identical to a narrower build — one widest build
+    serves every row (tests/test_tpu_forest.py prefix-stability)."""
+    from benchmarks import utils as butils
+    from datasketch_tpu import MinHash
+
+    key = (n_sets, n_queries, mean_size)
+    cached = _SIG_CACHE.get(key)
+    if cached is None or cached.shape[1] < num_perm:
+        sets, _, _, _ = _protocol(n_sets, n_queries, mean_size)
+        cached = MinHash.bulk_signatures(
+            butils.sets_to_docs(sets), num_perm=num_perm
+        )
+        _SIG_CACHE[key] = cached
+    return cached[:, :num_perm]
+
+
 def _skip(need: float) -> Optional[dict]:
     """None if `need` seconds fit the remaining budget, else a skip row."""
     left = _budget_left()
@@ -627,16 +685,24 @@ def bench_ensemble(device_kind: str, n_sets: int = 16384,
     prec = float(np.mean(ps or [1.0]))
     rec = float(np.mean(rs or [1.0]))
     ref_qps = 0.0
+    n_ref = min(n_sets, 4096)
     datasketch = _import_reference()
     if datasketch is not None:
+        # The reference's generator-pipeline insert runs ~185 sets/s on
+        # this host (measured: 88.8s to index the full 16k corpus,
+        # 0.06s for 64 queries) — its q/s, the only reference number
+        # this row reports, is measured on an n_ref-set subset instead.
+        # Per-query cost is b dict probes per partition (size-grows only
+        # through bucket fan-out), so the subset q/s is an UPPER bound
+        # and vs_reference stays conservative.
         rens = datasketch.MinHashLSHEnsemble(
             threshold=threshold, num_perm=NUM_PERM, num_part=num_part
         )
         rmh = [
             datasketch.MinHash(num_perm=NUM_PERM, hashvalues=row)
-            for row in sigs
+            for row in sigs[:n_ref]
         ]
-        rens.index((i, rmh[i], len(sets[i])) for i in range(n_sets))
+        rens.index((i, rmh[i], len(sets[i])) for i in range(n_ref))
         rq = [
             datasketch.MinHash(num_perm=NUM_PERM, hashvalues=row)
             for row in q_sigs
@@ -656,7 +722,9 @@ def bench_ensemble(device_kind: str, n_sets: int = 16384,
         "ref_queries_per_sec": round(ref_qps, 1),
         "vs_reference": round(max(samples) / ref_qps, 2) if ref_qps else None,
         "config": "%d sets, %d-query batches (P/R on %d), threshold=%.1f, "
-        "num_part=%d" % (n_sets, n_queries, n_eval, threshold, num_part),
+        "num_part=%d; ref q/s on a %d-set subset (its ~185 inserts/s "
+        "build loop — upper bound, conservative ratio)"
+        % (n_sets, n_queries, n_eval, threshold, num_part, n_ref),
     }
 
 
@@ -681,17 +749,14 @@ def bench_forest(device_kind: str, n_docs: int = 16384,
     if device_kind != "tpu":
         n_docs, n_queries, n_eval = 512, 32, 32
     n_eval = min(n_eval, n_queries)
-    sets, _keys, query_sets, query_keys = butils.generate_sets(
-        n_sets=n_docs, n_queries=n_queries
+    sets, query_sets, query_keys, gt = _protocol(
+        n_docs, n_queries, gt_queries=n_eval, k=k
     )
-    gt, _times = butils.exact_topk(sets, query_sets[:n_eval], k)
     # 2*NUM_PERM-wide signatures: prefix trees read the first NUM_PERM
     # slots (prefix-stable, bit-identical to plain 128-wide rows — the
     # reference forest below gets exactly those), the Jaccard rerank
     # scores all 256.
-    sigs = MinHash.bulk_signatures(
-        butils.sets_to_docs(sets), num_perm=2 * NUM_PERM
-    )
+    sigs = _proto_sigs(n_docs, n_queries, 2 * NUM_PERM)
     # rank='jaccard' + method='auto' (default): below the bytes-moved
     # crossover (16k rows << the walk's worst-case q_pad*l*k*cap gather
     # volume) queries route to the EXACT fused top-k scan — recall 1.0
@@ -796,14 +861,14 @@ def bench_hnsw(device_kind: str, n_docs: int = 16384, n_queries: int = 256,
     if device_kind != "tpu":
         n_docs, n_queries, n_eval, n_ref = 512, 32, 16, 256
     n_eval = min(n_eval, n_queries)
-    sets, _keys, _qs, query_keys = butils.generate_sets(
-        n_sets=n_docs, n_queries=n_queries
+    # identical protocol parameters to bench_forest: corpus, ground
+    # truth (its 32 eval queries are a prefix of the forest's 64), and
+    # the signature matrix (first 128 columns of the forest's 256-wide
+    # build — prefix-stable) all come from the shared cache
+    sets, query_sets, query_keys, gt = _protocol(
+        n_docs, n_queries, gt_queries=n_eval, k=k
     )
-    gt, _times = butils.exact_topk(
-        sets, [sets[i] for i in query_keys[:n_eval]], k
-    )
-    sigs = MinHash.bulk_signatures(butils.sets_to_docs(sets),
-                                   num_perm=NUM_PERM)
+    sigs = _proto_sigs(n_docs, n_queries, NUM_PERM)
     index = TpuHNSW(distance_metric="minhash_jaccard", m=m, ef=ef)
     t0 = time.perf_counter()
     index.index(list(range(n_docs)), sigs)
