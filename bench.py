@@ -1277,12 +1277,38 @@ def main() -> None:
                 out[name.replace("queries_per_sec", "qps")] = row[name]
         return out
 
+    last_tpu = None
+    if device_kind != "tpu":
+        # Degraded run: point the artifact at the most recent real-TPU
+        # capture so its reader still sees hardware numbers (the wedge
+        # can outlast a whole round — BASELINE.md round-5 notes).
+        cap_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "tpu_evidence", "bench.json",
+        )
+        try:
+            with open(cap_path) as f:
+                cap = json.loads(f.readline())
+            if cap.get("device") == "tpu":
+                last_tpu = {
+                    "path": "tpu_evidence/bench.json",
+                    "captured_mtime": time.strftime(
+                        "%Y-%m-%d %H:%M", time.gmtime(os.path.getmtime(cap_path))
+                    ),
+                    "summary": cap.get("summary") or {
+                        "headline_sigs_per_sec": cap.get("value"),
+                        "vs_baseline": cap.get("vs_baseline"),
+                    },
+                }
+        except Exception:
+            pass
     rows["summary"] = {
         "headline_sigs_per_sec": rows["value"],
         "vs_baseline": rows["vs_baseline"],
         "device": device_kind,
         "bench_seconds": rows["bench_seconds"],
         "row_seconds": _ROW_SECONDS,
+        **({"last_tpu_capture": last_tpu} if last_tpu else {}),
         "signature_kernel": _pick(util, "vpu_utilization",
                                   "achieved_uint32_gops"),
         "hllpp": _pick(hll, "tokens_per_sec", "vs_reference"),
