@@ -62,6 +62,28 @@ def _timed(name: str, thunk):
         _ROW_SECONDS[name] = round(time.monotonic() - t0, 1)
 
 
+class _phases:
+    """Sub-row phase timer: ``with _phases("forest") as ph: ph("gt")``
+    stamps the elapsed time since the previous stamp into
+    summary.row_seconds as "forest.gt" — the per-phase data that says
+    WHAT inside a row to trim (row totals alone said which row)."""
+
+    def __init__(self, row: str):
+        self.row = row
+
+    def __enter__(self):
+        self.t = time.monotonic()
+        return self
+
+    def __call__(self, phase: str):
+        now = time.monotonic()
+        _ROW_SECONDS["%s.%s" % (self.row, phase)] = round(now - self.t, 1)
+        self.t = now
+
+    def __exit__(self, *exc):
+        return False
+
+
 # Shared clustered-sets protocol artifacts. Corpus generation and the
 # exact-Jaccard ground truth each cost ~15s at 16k sets on this 1-core
 # host, and the forest and hnsw rows use IDENTICAL protocol parameters
@@ -93,9 +115,9 @@ def _protocol(n_sets: int, n_queries: int, mean_size: int = 190,
     if gt_queries:
         have = ent["gt"].get(k)
         if have is None or len(have) < gt_queries:
-            ent["gt"][k] = butils.exact_topk(
+            ent["gt"][k] = butils.exact_topk_sparse(
                 ent["sets"], ent["query_sets"][:gt_queries], k
-            )[0]
+            )
         gt = ent["gt"][k][:gt_queries]
     return ent["sets"], ent["query_sets"], ent["query_keys"], gt
 
@@ -378,16 +400,25 @@ def bench_lsh_topk(n_sets: int = 2000, n_queries: int = 50, k: int = 10,
         best = min(best, time.perf_counter() - t0)
     recall = float(np.mean(butils.compute_recalls(rows, gt)))
     ours_qps = n_queries / best
-    # pipelined serving: 16 batches in flight hide the tunnel round trip
-    n_stream = 16
-    t0 = time.perf_counter()
-    stream_rows = list(index.top_k_stream([queries] * n_stream, k=k))
-    stream_qps = n_stream * n_queries / (time.perf_counter() - t0)
+    # pipelined serving: batches in flight hide the tunnel round trip.
+    # Two 8-batch windows (same total cost as one 16-batch run) so the
+    # server-side rate drift can't sink the metric — same best-of
+    # treatment as the sync loop above.
+    n_stream = 8
+    stream_samples = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        stream_rows = list(index.top_k_stream([queries] * n_stream, k=k))
+        stream_samples.append(
+            round(n_stream * n_queries / (time.perf_counter() - t0), 1)
+        )
+    stream_qps = max(stream_samples)
     assert stream_rows[0] == rows
     exact_qps = 1.0 / float(np.mean(exact_times))
     return {
         "queries_per_sec": round(ours_qps, 1),
         "pipelined_queries_per_sec": round(stream_qps, 1),
+        "pipelined_samples": stream_samples,
         "recall_at_10": round(recall, 3),
         "exact_scan_queries_per_sec": round(exact_qps, 1),
         "vs_exact_scan": round(ours_qps / exact_qps, 2),
@@ -630,6 +661,7 @@ def bench_ensemble(device_kind: str, n_sets: int = 16384,
     threshold, num_part = 0.8, 8
     if device_kind != "tpu":
         n_sets, n_queries, n_eval = 512, 32, 32
+    ph = _phases("lsh_ensemble").__enter__()
     sets, _keys, _qs, query_keys = butils.generate_sets(
         n_sets=n_sets, n_queries=n_queries, mean_size=120
     )
@@ -640,18 +672,17 @@ def bench_ensemble(device_kind: str, n_sets: int = 16384,
         take = rng.rand(len(s)) < rng.uniform(0.3, 1.0)
         q = s[take]
         query_sets.append(q if len(q) else s[:1])
-    truth = []
-    for q in query_sets[:n_eval]:
-        truth.append({
-            j for j, s in enumerate(sets)
-            if np.intersect1d(q, s, assume_unique=True).shape[0] / len(q)
-            >= threshold
-        })
+    ph("corpus")
+    truth = butils.exact_containment_sparse(
+        sets, query_sets[:n_eval], threshold
+    )
+    ph("gt")
     docs = butils.sets_to_docs(sets)
     sigs = MinHash.bulk_signatures(docs, num_perm=NUM_PERM)
     q_sigs = MinHash.bulk_signatures(
         butils.sets_to_docs(query_sets), num_perm=NUM_PERM
     )
+    ph("sigs")
     ens = TpuMinHashLSHEnsemble(
         threshold=threshold, num_perm=NUM_PERM, num_part=num_part
     )
@@ -659,7 +690,9 @@ def bench_ensemble(device_kind: str, n_sets: int = 16384,
     queries = [
         (q_sigs[i], len(query_sets[i])) for i in range(n_queries)
     ]
+    ph("index")
     ens.query_batch(queries)  # warm the per-unique-r probe compiles
+    ph("warm")
     samples = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -684,8 +717,9 @@ def bench_ensemble(device_kind: str, n_sets: int = 16384,
     rs = [len(f & t) / len(t) for f, t in zip(found, truth) if t]
     prec = float(np.mean(ps or [1.0]))
     rec = float(np.mean(rs or [1.0]))
+    ph("measure")
     ref_qps = 0.0
-    n_ref = min(n_sets, 4096)
+    n_ref = min(n_sets, 2048)
     datasketch = _import_reference()
     if datasketch is not None:
         # The reference's generator-pipeline insert runs ~185 sets/s on
@@ -711,6 +745,7 @@ def bench_ensemble(device_kind: str, n_sets: int = 16384,
         for (qm, qs) in zip(rq, (len(q) for q in query_sets)):
             list(rens.query(qm, qs))
         ref_qps = n_queries / (time.perf_counter() - t0)
+    ph("reference")
     return {
         "queries_per_sec": max(samples),
         "samples": samples,
@@ -749,14 +784,17 @@ def bench_forest(device_kind: str, n_docs: int = 16384,
     if device_kind != "tpu":
         n_docs, n_queries, n_eval = 512, 32, 32
     n_eval = min(n_eval, n_queries)
+    ph = _phases("lsh_forest").__enter__()
     sets, query_sets, query_keys, gt = _protocol(
         n_docs, n_queries, gt_queries=n_eval, k=k
     )
+    ph("corpus_gt")
     # 2*NUM_PERM-wide signatures: prefix trees read the first NUM_PERM
     # slots (prefix-stable, bit-identical to plain 128-wide rows — the
     # reference forest below gets exactly those), the Jaccard rerank
     # scores all 256.
     sigs = _proto_sigs(n_docs, n_queries, 2 * NUM_PERM)
+    ph("sigs")
     # rank='jaccard' + method='auto' (default): below the bytes-moved
     # crossover (16k rows << the walk's worst-case q_pad*l*k*cap gather
     # volume) queries route to the EXACT fused top-k scan — recall 1.0
@@ -773,8 +811,10 @@ def bench_forest(device_kind: str, n_docs: int = 16384,
         cascade_perm=2 * NUM_PERM, pool=512,
     )
     forest.index(list(range(n_docs)), sigs)
+    ph("index")
     q_sigs = sigs[query_keys]
     forest.query_batch(q_sigs, k)  # warm the serving-shape compile
+    ph("warm")
     samples = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -792,9 +832,9 @@ def bench_forest(device_kind: str, n_docs: int = 16384,
     rows = rows[:n_eval]
     rows_ref_rank = forest.query_batch(q_sigs, k, rank="forest")[:n_eval]
 
-    def _recall(result_rows):  # rows are plain key lists here
+    def _recall(result_rows, truth=None):  # rows are plain key lists here
         vals = []
-        for res, g in zip(result_rows, gt):
+        for res, g in zip(result_rows, truth if truth is not None else gt):
             gt_keys = set(kk for kk, _ in g)
             vals.append(
                 sum(1 for kk in res if kk in gt_keys) / len(gt_keys)
@@ -803,23 +843,39 @@ def bench_forest(device_kind: str, n_docs: int = 16384,
         return float(np.mean(vals))
 
     recall = _recall(rows)
+    ph("measure")
     ref_qps, ref_recall = 0.0, None
+    # The reference's host build (16k MinHash facades + per-tree sorts
+    # in Python) costs ~20s for a q/s number measured in <1s; build it
+    # on a subset instead. Per-query prefix probes binary-search l
+    # sorted arrays and fan out over bucket collisions, both of which
+    # GROW with corpus size, so the subset q/s is an upper bound and
+    # vs_reference stays conservative (same treatment as the ensemble
+    # row); its recall is scored against ground truth over ITS corpus.
+    n_ref = min(n_docs, 4096)
     datasketch = _import_reference()
     if datasketch is not None:
         rforest = datasketch.MinHashLSHForest(num_perm=NUM_PERM, l=l)
         rmh = [
             datasketch.MinHash(num_perm=NUM_PERM, hashvalues=row)
-            for row in sigs[:, :NUM_PERM]
+            for row in sigs[:n_ref, :NUM_PERM]
         ]
         for i, m in enumerate(rmh):
             rforest.add(i, m)
         rforest.index()
-        rq = [rmh[i] for i in query_keys]
+        rq = [
+            datasketch.MinHash(num_perm=NUM_PERM, hashvalues=row)
+            for row in sigs[query_keys][:, :NUM_PERM]
+        ]
         rforest.query(rq[0], k)  # warm
         t0 = time.perf_counter()
         ref_rows = [rforest.query(m, k) for m in rq]
         ref_qps = n_queries / (time.perf_counter() - t0)
-        ref_recall = _recall(ref_rows)
+        ref_gt = butils.exact_topk_sparse(
+            sets[:n_ref], [sets[i] for i in query_keys[:n_eval]], k
+        )
+        ref_recall = _recall(ref_rows[:n_eval], ref_gt)
+    ph("reference")
     return {
         "queries_per_sec": max(samples),
         "samples": samples,
@@ -833,8 +889,9 @@ def bench_forest(device_kind: str, n_docs: int = 16384,
         "vs_reference": round(max(samples) / ref_qps, 2) if ref_qps else None,
         "config": "%d clustered sets, %d-query batches (recall on %d), "
         "k=%d, l=%d, cascade %d, pool 512, method=auto (exact scan below "
-        "the crossover; forest_rank row is the prefix walk)"
-        % (n_docs, n_queries, n_eval, k, l, 2 * NUM_PERM),
+        "the crossover; forest_rank row is the prefix walk); ref q/s on "
+        "a %d-set subset (upper bound, conservative ratio)"
+        % (n_docs, n_queries, n_eval, k, l, 2 * NUM_PERM, n_ref),
     }
 
 

@@ -50,7 +50,15 @@ def generate_sets(
     """
     rng = np.random.RandomState(seed)
     zipf_w = 1.0 / np.arange(1, vocab + 1) ** 0.8
-    zipf_p = zipf_w / zipf_w.sum()
+    zipf_cum = np.cumsum(zipf_w / zipf_w.sum())
+
+    def zipf_draw(size):
+        # inverse-CDF sampling: rng.choice(p=...) recomputes the 50k-entry
+        # cumsum on EVERY call (~1ms each — tens of seconds across a 16k
+        # corpus); one precomputed cumsum + searchsorted is the same
+        # distribution at ~100x the rate (different draw stream, so
+        # corpora differ from pre-round-5 captures — same protocol).
+        return np.searchsorted(zipf_cum, rng.rand(size)).astype(np.int64)
 
     # Clustered corpus: each cluster is a base set plus mutations at graded
     # similarity (Jaccard roughly 0.3..0.95 to the base), so exact top-k
@@ -62,14 +70,14 @@ def generate_sets(
         base_size = max(
             8, int(rng.lognormal(np.log(mean_size), 0.5))
         )
-        base = np.unique(rng.choice(vocab, size=base_size, p=zipf_p))
+        base = np.unique(zipf_draw(base_size))
         sets.append(base.astype(np.int64))
         n_members = min(cluster_size - 1, n_sets - len(sets))
         for j in range(n_members):
             keep_rate = rng.uniform(0.45, 0.98)
             keep = base[rng.rand(len(base)) < keep_rate]
             n_extra = max(1, int(len(base) * rng.uniform(0.02, 0.35)))
-            extra = rng.choice(vocab, size=n_extra, p=zipf_p)
+            extra = zipf_draw(n_extra)
             sets.append(np.union1d(keep, extra).astype(np.int64))
     sets = sets[:n_sets]
     order = rng.permutation(n_sets)
@@ -86,8 +94,15 @@ def sets_to_docs(sets):
 
     The shared corpus representation for every benchmark — width and
     endianness must match across scripts for results to be comparable.
+    Tokens come from one contiguous ``tobytes`` buffer per set (bytes
+    slices are byte-identical to ``int.to_bytes(8, "little")`` but ~4x
+    faster across a 16k-set corpus on this 1-core host).
     """
-    return [[int(t).to_bytes(8, "little") for t in s] for s in sets]
+    docs = []
+    for s in sets:
+        buf = np.ascontiguousarray(s, dtype="<i8").tobytes()
+        docs.append([buf[i:i + 8] for i in range(0, len(buf), 8)])
+    return docs
 
 
 def exact_jaccard(q: np.ndarray, s: np.ndarray) -> float:
@@ -111,6 +126,70 @@ def exact_topk(sets, query_sets, k: int):
         times.append(time.perf_counter() - t0)
         results.append([(int(i), float(sims[i])) for i in top])
     return results, times
+
+
+def _sets_csr(sets, vocab):
+    """Binary CSR incidence matrix [len(sets), vocab] of unique-token sets."""
+    import scipy.sparse as sp
+
+    lens = np.fromiter((len(s) for s in sets), dtype=np.int64,
+                       count=len(sets))
+    indptr = np.concatenate([[0], np.cumsum(lens)])
+    indices = (np.concatenate(sets) if len(sets)
+               else np.empty(0, np.int64))
+    return sp.csr_matrix(
+        (np.ones(len(indices), np.float64), indices, indptr),
+        shape=(len(sets), vocab),
+    )
+
+
+def exact_topk_sparse(sets, query_sets, k: int):
+    """Exact top-k ground truth via one sparse matmul.
+
+    Same results as ``exact_topk`` (intersection sizes are exact integer
+    counts; Jaccard from the inclusion-exclusion identity) without its
+    per-pair ``np.intersect1d`` python loop — 64 queries over a 16k-set
+    corpus drop from ~15s to <1s on this 1-core host. ``exact_topk``
+    stays for rows that REPORT per-query exact-scan latency; this is for
+    ground truth, where only the result matters. Ties are broken by
+    lowest key (deterministic), matching what a stable descending sort
+    of the dense scan produces."""
+    if not query_sets:
+        return []
+    vocab = int(max(int(s[-1]) for s in list(sets) + list(query_sets)
+                    if len(s))) + 1
+    A = _sets_csr(sets, vocab)
+    Q = _sets_csr(query_sets, vocab)
+    inter = np.asarray((A @ Q.T).todense())  # [n_sets, n_q] exact counts
+    set_sz = np.fromiter((len(s) for s in sets), np.float64, len(sets))
+    q_sz = np.fromiter((len(q) for q in query_sets), np.float64,
+                       len(query_sets))
+    union = set_sz[:, None] + q_sz[None, :] - inter
+    sims = np.where(union > 0, inter / np.maximum(union, 1.0), 0.0)
+    results = []
+    for j in range(sims.shape[1]):
+        col = sims[:, j]
+        top = np.argpartition(-col, min(k, len(col) - 1))[:k]
+        top = top[np.lexsort((top, -col[top]))]
+        results.append([(int(i), float(col[i])) for i in top])
+    return results
+
+
+def exact_containment_sparse(sets, query_sets, threshold: float):
+    """Exact containment ground truth (one sparse matmul): per query q,
+    ``{j : |q & sets[j]| / |q| >= threshold}``."""
+    if not query_sets:
+        return []
+    vocab = int(max(int(s[-1]) for s in list(sets) + list(query_sets)
+                    if len(s))) + 1
+    A = _sets_csr(sets, vocab)
+    Q = _sets_csr(query_sets, vocab)
+    inter = np.asarray((A @ Q.T).todense())
+    q_sz = np.fromiter((max(len(q), 1) for q in query_sets), np.float64,
+                       len(query_sets))
+    cont = inter / q_sz[None, :]
+    return [set(np.flatnonzero(cont[:, j] >= threshold).tolist())
+            for j in range(cont.shape[1])]
 
 
 def compute_recalls(results, ground_truths):

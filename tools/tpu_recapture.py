@@ -76,6 +76,10 @@ def main() -> None:
     run("scale_1m",
         [py, "benchmarks/scale_benchmark.py", "1000000", "1024"], 1800)
     run("topk_2k", [py, "benchmarks/jaccard_topk.py", "2000"], 1200)
+    # round-5 incremental-insert evidence (BASELINE promised the TPU
+    # capture of the CPU-measured 0.14 cost ratio on heal)
+    run("hnsw_incremental",
+        [py, "benchmarks/hnsw_incremental.py", "20000"], 1800)
     run("threshold_2k",
         [py, "benchmarks/jaccard_threshold.py", "2000"], 1200)
     run(
