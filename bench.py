@@ -560,22 +560,42 @@ def bench_cws(device_kind: str):
 
     import scipy.sparse as sp
 
+    ph = _phases("weighted_cws").__enter__()
     dim, sample_size = 10000, 128
     n_rows = 8192 if device_kind == "tpu" else 128
     rng = np.random.RandomState(17)
-    X = np.abs(rng.randn(n_rows, dim)).astype(np.float32)
-    X *= rng.rand(n_rows, dim) < 0.02  # ~2% dense rows
-    X[np.arange(n_rows), np.arange(n_rows) % dim] = 1.0  # no all-zero rows
+    # ~2%-dense corpus generated DIRECTLY in CSR form: drawing the two
+    # dense [n_rows, dim] uniforms/normals the old mask construction
+    # needed cost 23-28s of the row's budget on this 1-core host for
+    # entries that are 98% zeros. Same distribution (iid Bernoulli(2%)
+    # mask x |N(0,1)| values, one guaranteed nonzero per row).
+    indices, data, indptr = [], [], [0]
+    row_nnz = rng.binomial(dim, 0.02, size=n_rows)
+    for i in range(n_rows):
+        ix = np.unique(np.append(rng.randint(0, dim, row_nnz[i]),
+                                 i % dim))
+        v = np.abs(rng.randn(ix.size)).astype(np.float32)
+        v[np.searchsorted(ix, i % dim)] = 1.0
+        indices.append(ix.astype(np.int32))
+        data.append(v)
+        indptr.append(indptr[-1] + ix.size)
+    ph("gen_X")
     # CSR input takes the round-5 sparse upload path: (values,
     # dim-indices) ship ragged (~2KB/row at 2% density vs 40KB dense
     # over the ~50MB/s tunnel) and a Mosaic kernel reduces over only
     # the active dims — bit-identical (k, t) to the dense path
     # (tests/test_pallas_kernels.py parity; reference CSR-in batch API:
     # /root/reference/datasketch/weighted_minhash.py:161-247)
-    X_csr = sp.csr_matrix(X)
+    X_csr = sp.csr_matrix(
+        (np.concatenate(data), np.concatenate(indices),
+         np.asarray(indptr)),
+        shape=(n_rows, dim),
+    )
     bytes_per_row = (X_csr.data.nbytes + X_csr.indices.nbytes) / n_rows
     gen = WeightedMinHashGenerator(dim, sample_size=sample_size, seed=1)
+    ph("csr_gen")
     device_sync([gen.minhash_many(X_csr[:64], out="device")])  # warm
+    ph("warm")
     samples = []
     kt_dev = None
     for _ in range(3):
@@ -583,11 +603,14 @@ def bench_cws(device_kind: str):
         kt_dev = gen.minhash_many(X_csr, out="device")
         device_sync([kt_dev])
         samples.append(round(n_rows / (time.perf_counter() - t0), 1))
+    ph("measure")
     # dense-path contrast sample (the transport-bound r4 configuration)
     n_dense = min(1024, n_rows)
+    X_head = X_csr[:n_dense].toarray().astype(np.float32)
     t0 = time.perf_counter()
-    device_sync([gen.minhash_many(X[:n_dense], out="device")])
+    device_sync([gen.minhash_many(X_head, out="device")])
     dense_rate = round(n_dense / (time.perf_counter() - t0), 1)
+    ph("dense_contrast")
     # device serving: the (k,t) batch indexes into TpuMinHashLSH without
     # ever leaving HBM (on-device kt->slot mix); self top-1 checks the
     # weighted-Jaccard rerank end to end
@@ -598,7 +621,7 @@ def bench_cws(device_kind: str):
         idx = TpuMinHashLSH(threshold=0.5, num_perm=sample_size)
         idx.index(list(range(n_rows)), kt_dev)
         n_q = min(256, n_rows)
-        q_kt = gen.minhash_many(X[:n_q], out="device")
+        q_kt = gen.minhash_many(X_csr[:n_q], out="device")
         idx.top_k(q_kt, k=5)  # warm the serving-shape compile
         best = float("inf")
         for _ in range(3):
@@ -615,6 +638,7 @@ def bench_cws(device_kind: str):
         del idx, q_kt
     except Exception as exc:
         serve = {"serving_error": repr(exc)}
+    ph("serving")
     ref_rate = 0.0
     datasketch = _import_reference()
     if datasketch is not None:
@@ -622,10 +646,12 @@ def bench_cws(device_kind: str):
             dim, sample_size=sample_size, seed=1
         )
         n_ref = 8
+        X_ref = X_csr[:n_ref].toarray()
         t0 = time.perf_counter()
         for i in range(n_ref):
-            rgen.minhash(X[i])
+            rgen.minhash(X_ref[i])
         ref_rate = n_ref / (time.perf_counter() - t0)
+    ph("reference")
     return {
         "sketches_per_sec": max(samples),
         "samples": samples,
