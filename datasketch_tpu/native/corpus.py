@@ -176,6 +176,23 @@ def hash_tokens(tokens, algo: int = ALGO_SHA1_32, seed: int = 0) -> np.ndarray:
     return hn.batch_xxhash32(list(tokens), seed)
 
 
+def hll_scatter(regs: np.ndarray, hv: np.ndarray, lengths: np.ndarray,
+                p: int, max_rank: int):
+    """Fused HLL register scatter-max over a flat hashed corpus.
+
+    ``regs`` is int8[n_docs * 2**p] (flat, writable); ``hv`` uint64
+    hashes; ``lengths`` int64 per-doc token counts. Returns the minimum
+    rank observed (callers raise the reference hash-overflow ValueError
+    on <= 0 — ``/root/reference/datasketch/hyperloglog.py:131-137``), or
+    None when the extension is unavailable (callers take the numpy
+    path). Registers may be partially written when overflow is
+    reported; callers must discard them."""
+    mod = _load()
+    if mod is None or not hasattr(mod, "hll_scatter"):
+        return None
+    return mod.hll_scatter(regs, hv, lengths, int(p), int(max_rank))
+
+
 def hash_shingles_padded(texts, k: int, algo: int = ALGO_SHA1_32,
                          seed: int = 0, pad_multiple: int = 128,
                          mode: int = MODE_AUTO):

@@ -665,6 +665,89 @@ PyObject* sha_ni(PyObject*, PyObject*) {
   return PyBool_FromLong(dshash::sha_ni_available() ? 1 : 0);
 }
 
+// hll_scatter(regs, hv, lengths, p, max_rank) -> min_rank
+//
+// Fused HyperLogLog register update over a flat hashed corpus: for doc
+// d's hash h, regs[d*2^p + (h & (2^p-1))] max= max_rank -
+// bit_length(h >> p) + 1. One C pass replaces the numpy pipeline's
+// np.repeat doc base + flat-index build + frexp bit_length +
+// np.maximum.at (~65ms/1M tokens on the bench host vs ~2ms here).
+// Returns the minimum rank observed so the caller can raise the
+// reference's hash-overflow ValueError (hyperloglog.py:131-137
+// semantics); registers may be partially updated on overflow, so
+// callers must not return them (bulk_registers builds regs fresh).
+PyObject* hll_scatter(PyObject*, PyObject* args) {
+  PyObject* regs_obj;
+  PyObject* hv_obj;
+  PyObject* len_obj;
+  int p;
+  int max_rank;
+  if (!PyArg_ParseTuple(args, "OOOii", &regs_obj, &hv_obj, &len_obj, &p,
+                        &max_rank))
+    return nullptr;
+  if (p < 1 || p > 30 || max_rank < 1) {
+    PyErr_SetString(PyExc_ValueError, "bad p/max_rank");
+    return nullptr;
+  }
+  Py_buffer regs, hv, lens;
+  if (PyObject_GetBuffer(regs_obj, &regs,
+                         PyBUF_WRITABLE | PyBUF_C_CONTIGUOUS) < 0)
+    return nullptr;
+  if (PyObject_GetBuffer(hv_obj, &hv, PyBUF_C_CONTIGUOUS) < 0) {
+    PyBuffer_Release(&regs);
+    return nullptr;
+  }
+  if (PyObject_GetBuffer(len_obj, &lens, PyBUF_C_CONTIGUOUS) < 0) {
+    PyBuffer_Release(&regs);
+    PyBuffer_Release(&hv);
+    return nullptr;
+  }
+  const int64_t m = int64_t(1) << p;
+  const int64_t n_docs = lens.len / int64_t(sizeof(int64_t));
+  const int64_t n_hv = hv.len / int64_t(sizeof(uint64_t));
+  bool size_ok = regs.itemsize == 1 && hv.itemsize == 8 &&
+                 lens.itemsize == 8 && regs.len >= n_docs * m;
+  const int64_t* lengths = static_cast<const int64_t*>(lens.buf);
+  int64_t total = 0;
+  if (size_ok) {
+    for (int64_t d = 0; d < n_docs; d++) total += lengths[d];
+    size_ok = total == n_hv;
+  }
+  if (!size_ok) {
+    PyBuffer_Release(&regs);
+    PyBuffer_Release(&hv);
+    PyBuffer_Release(&lens);
+    PyErr_SetString(PyExc_ValueError,
+                    "hll_scatter: buffer sizes/dtypes inconsistent "
+                    "(regs int8[n_docs*2^p], hv uint64, lengths int64)");
+    return nullptr;
+  }
+  int8_t* r = static_cast<int8_t*>(regs.buf);
+  const uint64_t* h = static_cast<const uint64_t*>(hv.buf);
+  const uint64_t mask = uint64_t(m) - 1;
+  int min_rank = INT32_MAX;
+  Py_BEGIN_ALLOW_THREADS
+  int64_t pos = 0;
+  for (int64_t d = 0; d < n_docs; d++) {
+    int8_t* row = r + d * m;
+    const int64_t end = pos + lengths[d];
+    for (; pos < end; pos++) {
+      const uint64_t v = h[pos];
+      const uint64_t bits = v >> p;
+      const int bl = bits ? 64 - __builtin_clzll(bits) : 0;
+      const int rank = max_rank - bl + 1;
+      if (rank < min_rank) min_rank = rank;
+      const int64_t ix = int64_t(v & mask);
+      if (int8_t(rank) > row[ix]) row[ix] = int8_t(rank);
+    }
+  }
+  Py_END_ALLOW_THREADS
+  PyBuffer_Release(&regs);
+  PyBuffer_Release(&hv);
+  PyBuffer_Release(&lens);
+  return PyLong_FromLong(min_rank == INT32_MAX ? max_rank : min_rank);
+}
+
 PyMethodDef methods[] = {
     {"hash_flat", hash_flat, METH_VARARGS,
      "hash_flat(tokens, out, algo, seed, mode=0) -> n"},
@@ -675,6 +758,8 @@ PyMethodDef methods[] = {
     {"hash_shingles", hash_shingles, METH_VARARGS,
      "hash_shingles(texts, out, row_stride, k, algo, seed, mode=0) -> total"},
     {"sha_ni_available", sha_ni, METH_NOARGS, "SHA-NI fast path active?"},
+    {"hll_scatter", hll_scatter, METH_VARARGS,
+     "hll_scatter(regs, hv, lengths, p, max_rank) -> min_rank"},
     {nullptr, nullptr, 0, nullptr}};
 
 PyModuleDef moduledef = {PyModuleDef_HEAD_INIT, "_dshash",

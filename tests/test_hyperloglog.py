@@ -298,6 +298,39 @@ class TestHLLBatchSurface:
                 s.update_batch(d)
                 np.testing.assert_array_equal(regs[i], s.reg, err_msg=str(i))
 
+    def test_bulk_registers_c_scatter_matches_numpy(self):
+        """The fused native hll_scatter (index + bit_length rank +
+        register max in one C pass) is bit-identical to the numpy
+        scatter pipeline it replaced, including empty docs and ragged
+        lengths, for both hash widths."""
+        from datasketch_tpu.native import corpus
+
+        rng = np.random.RandomState(11)
+        docs = [
+            [bytes(rng.randint(0, 256, rng.randint(1, 24), dtype=np.uint8))
+             for _ in range(int(n))]
+            for n in rng.randint(0, 60, size=64)
+        ]
+        for cls, p in ((HyperLogLog, 4), (HyperLogLog, 12),
+                       (HyperLogLogPlusPlus, 8), (HyperLogLogPlusPlus, 14)):
+            fast = cls.bulk_registers(docs, p=p)
+            real = corpus.hll_scatter
+            corpus.hll_scatter = lambda *a, **k: None  # force numpy path
+            try:
+                slow = cls.bulk_registers(docs, p=p)
+            finally:
+                corpus.hll_scatter = real
+            np.testing.assert_array_equal(fast, slow,
+                                          err_msg="%s p=%d" % (cls, p))
+
+    def test_bulk_registers_c_scatter_overflow_raises(self):
+        """A hashfunc wider than the declared hash range must raise the
+        reference's overflow ValueError through the C scatter too
+        (reference hyperloglog.py:131-137)."""
+        wide = lambda b: (1 << 40)  # noqa: E731 — 41 bits >> 32-bit range
+        with pytest.raises(ValueError, match="overflow"):
+            HyperLogLog.bulk_registers([[b"x"]], p=8, hashfunc=wide)
+
     def test_bulk_objects(self):
         docs = [[b"a", b"b", b"c"], [b"x", b"y"], []]
         sketches = HyperLogLog.bulk(docs, p=6)

@@ -64,6 +64,9 @@ def main() -> None:
             print("tunnel still wedged — nothing to capture", flush=True)
             return
 
+    # evidence recaptures want every row even on a cold tunnel; the
+    # 300s default budget is the driver-run contract, not this one's
+    os.environ.setdefault("DATASKETCH_BENCH_BUDGET", "900")
     out = run("bench", [py, "bench.py"], 1200)
     for line in out.splitlines():
         if line.startswith("{"):
