@@ -610,13 +610,18 @@ def bench_cws(device_kind: str):
     # ~2%-dense corpus generated DIRECTLY in CSR form: drawing the two
     # dense [n_rows, dim] uniforms/normals the old mask construction
     # needed cost 23-28s of the row's budget on this 1-core host for
-    # entries that are 98% zeros. Same distribution (iid Bernoulli(2%)
-    # mask x |N(0,1)| values, one guaranteed nonzero per row).
+    # entries that are 98% zeros. Exactly the same law — an iid
+    # Bernoulli(2%) mask is a Binomial(dim, 2%) count plus a uniform
+    # WITHOUT-replacement subset of that size (Generator.choice uses
+    # Floyd's algorithm; RandomState.choice would permute all of dim) —
+    # x |N(0,1)| values, one guaranteed nonzero per row.
+    subset_rng = np.random.default_rng(17)
     indices, data, indptr = [], [], [0]
     row_nnz = rng.binomial(dim, 0.02, size=n_rows)
     for i in range(n_rows):
-        ix = np.unique(np.append(rng.randint(0, dim, row_nnz[i]),
-                                 i % dim))
+        ix = np.unique(np.append(
+            subset_rng.choice(dim, row_nnz[i], replace=False), i % dim
+        ))
         v = np.abs(rng.randn(ix.size)).astype(np.float32)
         v[np.searchsorted(ix, i % dim)] = 1.0
         indices.append(ix.astype(np.int32))

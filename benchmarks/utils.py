@@ -156,8 +156,9 @@ def exact_topk_sparse(sets, query_sets, k: int):
     of the dense scan produces."""
     if not query_sets:
         return []
-    vocab = int(max(int(s[-1]) for s in list(sets) + list(query_sets)
-                    if len(s))) + 1
+    vocab = int(max(int(np.max(s)) for s in list(sets) + list(query_sets)
+                    if len(s))) + 1  # max(), not s[-1]: sorted order is
+    # not part of these helpers' contract
     A = _sets_csr(sets, vocab)
     Q = _sets_csr(query_sets, vocab)
     inter = np.asarray((A @ Q.T).todense())  # [n_sets, n_q] exact counts
@@ -180,8 +181,9 @@ def exact_containment_sparse(sets, query_sets, threshold: float):
     ``{j : |q & sets[j]| / |q| >= threshold}``."""
     if not query_sets:
         return []
-    vocab = int(max(int(s[-1]) for s in list(sets) + list(query_sets)
-                    if len(s))) + 1
+    vocab = int(max(int(np.max(s)) for s in list(sets) + list(query_sets)
+                    if len(s))) + 1  # max(), not s[-1]: sorted order is
+    # not part of these helpers' contract
     A = _sets_csr(sets, vocab)
     Q = _sets_csr(query_sets, vocab)
     inter = np.asarray((A @ Q.T).todense())

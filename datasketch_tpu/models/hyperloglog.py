@@ -158,14 +158,21 @@ class HyperLogLog:
             return
         # fused C scatter (index + bit_length rank + register max in one
         # pass); the range check above already guarantees rank >= 1, so
-        # the in-place update cannot end in the overflow error state
-        from datasketch_tpu.native import corpus as _corpus
+        # the in-place update cannot end in the overflow error state.
+        # Only for stock int8 registers — a user-supplied reg= of any
+        # other dtype/layout keeps the dtype-agnostic numpy path.
+        if (
+            self.reg.dtype == np.int8
+            and self.reg.flags.c_contiguous
+            and self.reg.flags.writeable
+        ):
+            from datasketch_tpu.native import corpus as _corpus
 
-        if _corpus.hll_scatter(
-            self.reg, np.ascontiguousarray(hv.astype(np.uint64)),
-            np.array([hv.size], dtype=np.int64), self.p, self.max_rank,
-        ) is not None:
-            return
+            if _corpus.hll_scatter(
+                self.reg, np.ascontiguousarray(hv.astype(np.uint64)),
+                np.array([hv.size], dtype=np.int64), self.p, self.max_rank,
+            ) is not None:
+                return
         idx = (hv & (self.m - 1)).astype(np.int64)
         bits = hv >> self.p
         # vectorized bit_length via float log2 is unsafe; use numpy trick
@@ -738,9 +745,16 @@ class HyperLogLogPlusPlus(HyperLogLog):
             )
             np.maximum(self.reg, np.asarray(row)[0], out=self.reg)
             return
-        if not self._sparse:
+        if (
+            not self._sparse
+            and self.reg.dtype == np.int8
+            and self.reg.flags.c_contiguous
+            and self.reg.flags.writeable
+        ):
             # fused C scatter; at a 64-bit hash range rank >= 1 holds
-            # for every uint64, so no overflow error state is reachable
+            # for every uint64, so no overflow error state is reachable.
+            # int8-contiguous gate: user-supplied reg= of another dtype
+            # keeps the dtype-agnostic numpy path below.
             from datasketch_tpu.native import corpus as _corpus
 
             if _corpus.hll_scatter(

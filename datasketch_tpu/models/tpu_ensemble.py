@@ -137,6 +137,10 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
         sketches into every index
         (``/root/reference/datasketch/__init__.py:24-25``)."""
         keys = list(keys)
+        # ONE host transfer for device size vectors: per-element int(s)
+        # on a jax array costs a ~30ms tunnel round trip per row
+        if isinstance(sizes, jax.Array):
+            sizes = np.asarray(jax.device_get(sizes))
         sizes = [int(s) for s in sizes]
         sigs = _as_signature_matrix(minhashes)
         if isinstance(sigs, jax.Array):
@@ -163,6 +167,8 @@ class TpuMinHashLSHEnsemble(MinHashLSHEnsemble):
         ):
             batch, sizes = queries
             q_sigs = _as_signature_matrix(batch)
+            if isinstance(sizes, jax.Array):  # one fetch, not one per row
+                sizes = np.asarray(jax.device_get(sizes))
             pairs = [(None, int(s)) for s in sizes]
             if q_sigs.shape[0] != len(pairs):
                 raise ValueError("batch and sizes must have equal length")

@@ -710,8 +710,14 @@ PyObject* hll_scatter(PyObject*, PyObject* args) {
   const int64_t* lengths = static_cast<const int64_t*>(lens.buf);
   int64_t total = 0;
   if (size_ok) {
-    for (int64_t d = 0; d < n_docs; d++) total += lengths[d];
-    size_ok = total == n_hv;
+    for (int64_t d = 0; d < n_docs; d++) {
+      if (lengths[d] < 0) {  // a negative length whose sum still matched
+        size_ok = false;     // n_hv would read past the hv buffer
+        break;
+      }
+      total += lengths[d];
+    }
+    size_ok = size_ok && total == n_hv;
   }
   if (!size_ok) {
     PyBuffer_Release(&regs);

@@ -323,6 +323,26 @@ class TestHLLBatchSurface:
             np.testing.assert_array_equal(fast, slow,
                                           err_msg="%s p=%d" % (cls, p))
 
+    def test_update_batch_accepts_non_int8_registers(self):
+        """A user-supplied ``reg=`` of a non-int8 dtype must keep
+        working through update_batch (the C scatter only serves stock
+        int8 registers; anything else takes the dtype-agnostic numpy
+        path — regression: the fused path's buffer check used to raise
+        for float64 registers)."""
+        h = HyperLogLog(p=8, reg=np.zeros(256), device_mode="disable")
+        h.update_batch([b"a", b"b", b"c"])
+        want = HyperLogLog(p=8, device_mode="disable")
+        want.update_batch([b"a", b"b", b"c"])
+        np.testing.assert_array_equal(np.asarray(h.reg, np.int8), want.reg)
+        hpp = HyperLogLogPlusPlus(
+            p=8, reg=np.zeros(256), device_mode="disable"
+        )
+        hpp.update_batch([b"a", b"b"])
+        want = HyperLogLogPlusPlus(p=8, device_mode="disable")
+        want.update_batch([b"a", b"b"])
+        np.testing.assert_array_equal(np.asarray(hpp.reg, np.int8),
+                                      want.reg)
+
     def test_bulk_registers_c_scatter_overflow_raises(self):
         """A hashfunc wider than the declared hash range must raise the
         reference's overflow ValueError through the C scatter too

@@ -308,7 +308,6 @@ class TestEnsembleContainmentScan:
         # simulate a pre-sizes checkpoint (the device copy is lazy and
         # derived from the host table, so the host table is the truth)
         ens._sizes_host = None
-        ens._sizes_dev = None
         with pytest.raises(ValueError, match="sizes"):
             ens.query_batch([(sigs[0], len(sets[0]))], method="scan")
         # auto degrades to bands instead of raising
@@ -391,6 +390,5 @@ class TestEnsembleQueryStream:
         ens = TpuMinHashLSHEnsemble(threshold=0.6, num_perm=128, num_part=2)
         ens.index((i, sigs[i], 3) for i in range(2))
         ens._sizes_host = None  # simulate a pre-sizes checkpoint
-        ens._sizes_dev = None
         with pytest.raises(ValueError, match="sizes"):
             list(ens.query_stream([[(sigs[0], 3)]]))
