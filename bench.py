@@ -1309,15 +1309,12 @@ def main() -> None:
             8192 if device_kind == "tpu" else 512))
     except Exception as exc:
         fast_rows = {"error": repr(exc)}
-    # BASELINE protocol configs 2 and 4a: cheap host/Mosaic rows
+    # BASELINE protocol config 2: cheap host-side row (config 4a runs
+    # after the index rows — see the weighted_cws note below)
     try:
         hll = _skip(15, "hllpp") or _timed("hllpp", lambda: bench_hll(device_kind))
     except Exception as exc:
         hll = {"error": repr(exc)}
-    try:
-        cws = _skip(35, "weighted_cws") or _timed("weighted_cws", lambda: bench_cws(device_kind))
-    except Exception as exc:
-        cws = {"error": repr(exc)}
     try:
         lsh = _timed("lsh_topk", bench_lsh_topk)
     except Exception as exc:  # the primary metric must still report
@@ -1355,6 +1352,16 @@ def main() -> None:
                       lambda: bench_kernel_utilization(device_kind))
     except Exception as exc:
         util = {"error": repr(exc)}
+    # config 4a LAST among the serving rows: its sparse-path warm
+    # dispatch intermittently stalls for minutes (measured 221s once at
+    # 2026-08-19 18:0x vs 4-25s typical — same tunnel stall family as
+    # the upload-rate drift), and running it after the index rows means
+    # a stall can no longer starve ensemble/forest/hnsw out of the
+    # budget; its own gate carries the last capture instead.
+    try:
+        cws = _skip(35, "weighted_cws") or _timed("weighted_cws", lambda: bench_cws(device_kind))
+    except Exception as exc:
+        cws = {"error": repr(exc)}
     try:
         bbit = _skip(20, "bbit_scan") or _timed(
             "bbit_scan", lambda: bench_bbit_scan(
