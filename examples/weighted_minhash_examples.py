@@ -29,6 +29,20 @@ def main():
     wms = wmg.minhash_many(X)
     print("Batch of", len([w for w in wms if w is not None]), "weighted sketches")
 
+    # Device serving matrix (round 5): CSR weights -> device-resident
+    # (k, t) batch -> indexed and queried without the sketches ever
+    # leaving HBM. CSR input ships only (values, dim-indices) — on
+    # tunnel-attached TPUs that is the end-to-end throughput lever
+    # (~nnz/dim of the dense bytes).
+    from datasketch_tpu import TpuMinHashLSH
+
+    gen128 = WeightedMinHashGenerator(10, sample_size=128, seed=1)
+    kt = gen128.minhash_many(X, out="device")  # int32[8, 128, 2] on device
+    index = TpuMinHashLSH(threshold=0.5, num_perm=128)
+    index.index(list(range(X.shape[0])), kt)
+    hits = index.top_k(gen128.minhash_many(X[:2], out="device"), k=3)
+    print("Weighted device top-3 for rows 0-1:", [[k for k, _ in row] for row in hits])
+
 
 if __name__ == "__main__":
     main()
